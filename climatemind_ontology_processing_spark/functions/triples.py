@@ -1,0 +1,100 @@
+"""Cue-pattern (subj, pred, obj) triple extraction from extracted text.
+
+The reference emits triples by walking object-property links of a curated
+ontology (``network_class.py:46-63,121-156``, materialized with columns
+subject/object/predicate at ``make_network.py:41-43``).  At web scale the
+triples come from text instead: sentence-level cue patterns whose slots must
+BOTH resolve against the broadcast alias dictionary (precision — non-dictionary
+entities never produce triples), emitted with provenance (url, warc_ts) and a
+score.
+
+Cue grammar (matches sources/pages.py templates, which mirror the reference's
+edge-type vocabulary):
+    "<A> causes <B>"  "<A> leads to <B>"       -> (A, causes_or_promotes, B)
+    "<A> is inhibited by <B>"                   -> (A, is_inhibited_..., B)
+    "<B> prevents <A>"                          -> (A, is_inhibited_..., B)
+    "<M> is a myth about <B>"                   -> (M, is_a_myth_about, B)
+
+Note the reference's direction convention: ``parent is_inhibited_by child``
+means child inhibits parent (``network_class.py:57`` stores (parent, child,
+prop)), so "B prevents A" maps to subj=A, obj=B.
+"""
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import CAUSES, INHIBITS, MYTH_ABOUT
+
+TRIPLES_SCHEMA = T.StructType([
+    T.StructField("subj", T.StringType(), False),
+    T.StructField("pred", T.StringType(), False),
+    T.StructField("obj", T.StringType(), False),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+|\n+")
+
+# (regex, pred, swap_slots) — slot1/slot2 are candidate surface forms
+_CUE_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
+    (re.compile(r"^(.+?)\s+causes\s+(.+?)$", re.IGNORECASE), CAUSES, False),
+    (re.compile(r"^(.+?)\s+leads to\s+(.+?)$", re.IGNORECASE), CAUSES, False),
+    (re.compile(r"^(.+?)\s+is inhibited by\s+(.+?)$", re.IGNORECASE), INHIBITS, False),
+    (re.compile(r"^(.+?)\s+prevents\s+(.+?)$", re.IGNORECASE), INHIBITS, True),
+    (re.compile(r"^(.+?)\s+is a myth about\s+(.+?)$", re.IGNORECASE), MYTH_ABOUT, False),
+]
+
+_TRAIL_PUNCT = re.compile(r"[\s.!?,;:]+$")
+
+
+def extract_from_text(text: str, aliases: dict[str, str]) -> list[tuple[str, str, str, float]]:
+    """One document -> [(subj, pred, obj, score)].  Both slots must resolve."""
+    out = []
+    for sent in _SENT_SPLIT.split(text):
+        sent = _TRAIL_PUNCT.sub("", sent.strip())
+        if not sent:
+            continue
+        for pat, pred, swap in _CUE_PATTERNS:
+            m = pat.match(sent)
+            if not m:
+                continue
+            s1 = aliases.get(m.group(1).strip().lower())
+            s2 = aliases.get(m.group(2).strip().lower())
+            if s1 is None or s2 is None:
+                continue
+            if swap:
+                s1, s2 = s2, s1
+            out.append((s1, pred, s2, 1.0))
+            break  # first matching cue wins per sentence
+    return out
+
+
+def extract_triples(pages: DataFrame, aliases: dict[str, str],
+                    text_col: str = "text", lang_filter: str | None = "en") -> DataFrame:
+    """pages -> raw triples table (duplicates allowed; dedupe downstream with
+    ``operators.dedup.dedup_triples`` — mirrors ``make_network.py:44``).
+
+    Narrow stage: per-page work only, dictionary in closure, Arrow batches.
+    """
+    if lang_filter is not None:
+        pages = pages.filter(F.col("lang") == lang_filter)
+    cols = pages.select("url", "warc_ts", text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf[text_col]):
+                for subj, pred, obj, score in extract_from_text(text or "", aliases):
+                    rows.append((subj, pred, obj, url, ts, score))
+            yield pd.DataFrame(rows, columns=["subj", "pred", "obj", "url",
+                                              "warc_ts", "score"])
+
+    return cols.mapInPandas(run, TRIPLES_SCHEMA)

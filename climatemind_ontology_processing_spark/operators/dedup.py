@@ -1,0 +1,195 @@
+"""Deduplication operators.
+
+A1 — exact triple dedup mirrors ``make_network.py:44`` (pandas
+``drop_duplicates`` on subject/object/predicate) as a hash aggregate.
+
+The rest is the web-scale document-dedup suite a training-data pipeline needs
+(task brief): exact content dedup, MinHash+LSH near-dup, SimHash, and n-gram
+Jaccard — all pure DataFrame ops (shingling via ``F.transform`` over token
+arrays, hashing via ``F.xxhash64``/``F.hash``), no Python in the hot path.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# A1 — exact triple dedup (make_network.py:44)
+# ---------------------------------------------------------------------------
+def dedup_triples(triples: DataFrame, keep_provenance: bool = True) -> DataFrame:
+    """Distinct (subj, pred, obj); when keeping provenance, retain the earliest
+    (warc_ts, url) occurrence — deterministic regardless of partitioning.
+
+    One shuffle on the triple key; map-side partial aggregation applies.
+    """
+    if not keep_provenance:
+        return triples.select("subj", "pred", "obj").dropDuplicates(
+            ["subj", "pred", "obj"])
+    w = Window.partitionBy("subj", "pred", "obj").orderBy(
+        F.col("warc_ts").asc_nulls_last(), F.col("url").asc_nulls_last())
+    return (triples.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# exact document dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+def dedup_exact(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact text; single shuffle on a 64-bit
+    fingerprint (not the full text — cheap network, rare collisions resolved by
+    grouping on the text itself within the fingerprint group)."""
+    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)) \
+              .orderBy(F.col(id_col).asc())
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# shingling helpers (shared by MinHash / Jaccard)
+# ---------------------------------------------------------------------------
+def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
+                  out_col: str = "shingles") -> DataFrame:
+    """Word n-gram shingle set as an array<long> of xxhash64 values.
+
+    Built entirely from JVM-side higher-order functions: tokenize, slide an
+    n-window via transform over indices, hash each shingle.
+    """
+    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    shingle = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i + 1, n))))
+    return docs.withColumn(out_col, F.array_distinct(shingle))
+
+
+def minhash_signature(shingles_col, num_hashes: int = 32):
+    """num_hashes permutation minima over the shingle hash set.
+
+    Universal-hash family h_i(x) = (a_i * x + b_i) mod p over the xxhash64
+    values; coefficients fixed (seeded) so signatures are deterministic.
+    Returns an array<long> column expression.
+    """
+    import random
+    rng = random.Random(42)
+    p = (1 << 61) - 1
+    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+    mins = [
+        F.array_min(F.transform(
+            shingles_col,
+            lambda x, a=a, b=b: (F.abs(x) * F.lit(a) + F.lit(b)) % F.lit(p)))
+        for a, b in coeffs
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Pipeline: shingle -> signature -> split into ``bands`` bands of
+    ``num_hashes/bands`` rows -> explode (band_idx, band_hash) -> self-join on
+    the bucket key.  The only shuffle is the bucket-key join; bucket keys are
+    high-cardinality so skew is bounded by construction.
+
+    Returns (a, b) with a < b, distinct.
+    """
+    rows = num_hashes // bands
+    sigs = with_shingles(docs, text_col, n).filter(F.size("shingles") > 0) \
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    banded = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.slice(F.col("sig"), b * rows + 1, rows))).alias("bh"),
+            ))).alias("bucket"))
+    buckets = banded.select("doc", "bucket.band", "bucket.bh")
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band")) &
+                      (F.col("l.bh") == F.col("r.bh")) &
+                      (F.col("l.doc") < F.col("r.doc")))
+            .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+            .distinct())
+
+
+def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    explode(shingles) -> self-join on shingle -> per-pair intersection count ->
+    |A ∪ B| = |A| + |B| − |A ∩ B|.  Shuffles on shingle hash then pair key; at
+    scale, run on LSH candidates instead of all pairs (``verify_pairs``).
+    """
+    sh = with_shingles(docs, text_col, n).select(
+        F.col(id_col).alias("doc"), F.col("shingles"))
+    sizes = sh.select("doc", F.size("shingles").alias("sz"))
+    ex = sh.select("doc", F.explode("shingles").alias("s"))
+    inter = (ex.alias("l").join(ex.alias("r"),
+                                (F.col("l.s") == F.col("r.s")) &
+                                (F.col("l.doc") < F.col("r.doc")))
+             .groupBy(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc", "a")
+                       .withColumnRenamed("sz", "sz_a"), "a")
+            .join(sizes.withColumnRenamed("doc", "b")
+                       .withColumnRenamed("sz", "sz_b"), "b")
+            .withColumn("jaccard",
+                        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64,
+            out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over word tokens, fully JVM-side.
+
+    For each bit position, sum +1/-1 contributions across token hashes via
+    ``F.aggregate``; assemble the sign vector into a long with shiftleft/bor.
+    """
+    tokens = F.transform(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t))
+    acc = None
+    for i in range(bits):
+        bit = F.aggregate(
+            tokens, F.lit(0),
+            lambda s, h, i=i: s + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                                         F.lit(1)).otherwise(F.lit(-1)))
+        contrib = F.when(bit > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(contrib, i)
+        acc = term if acc is None else acc.bitwiseOR(term)
+    return docs.withColumn(out_col, acc)
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 4 x 16-bit bands
+    (any pair within Hamming<=3 of 64 bits shares at least one exact band)."""
+    hashed = simhash(docs, text_col).select(F.col(id_col).alias("doc"), "simhash")
+    bands = hashed.select(
+        "doc", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright(F.col("simhash"), i * 16)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("bh"))
+            for i in range(4)
+        ])).alias("b")).select("doc", "simhash", "b.band", "b.bh")
+    cand = (bands.alias("l").join(
+                bands.alias("r"),
+                (F.col("l.band") == F.col("r.band")) &
+                (F.col("l.bh") == F.col("r.bh")) &
+                (F.col("l.doc") < F.col("r.doc")))
+            .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"),
+                    F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"))
+            .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
