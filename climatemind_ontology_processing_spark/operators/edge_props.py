@@ -1,0 +1,99 @@
+"""Edge-property derivation and node-property removal.
+
+Reproduces ``make_graph_class.set_edge_properties`` (:306-354, SURVEY §2.3 J2 +
+§2.6 U1/U2) and ``remove_edge_properties_from_nodes`` (:357-376, U3/A7):
+
+* For every edge whose type is NOT the inhibit relation, per source-type
+  property, the URL-set intersection of the two endpoints becomes an edge
+  property (only non-empty intersections are kept; inhibit edges get an empty
+  property bag — the reference assigns ``{}`` to every edge at :352).
+* Every (node, prop) that contributed an intersection has those URLs removed
+  from the node's own property list (:338-350 build, :357-376 apply).
+
+Implementation: double broadcast join of edges against the node property bags,
+``F.array_intersect`` per source type, ``map_filter`` to keep non-empty; the
+removal sets are a groupBy over the exploded (node, prop, urls) pairs joined
+back with ``array_except``.
+
+Ordering: the reference materializes Python sets (`list(intersection)`,
+set difference) whose order is hash-randomized per process — not reproducible
+even by the reference itself.  We canonicalize every URL array with
+``sort_array`` (documented divergence; parity fixtures compare sorted).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import INHIBITS, SOURCE_TYPES
+
+
+def _node_props(nodes: DataFrame) -> DataFrame:
+    return nodes.select(F.col("label").alias("_n"), F.col("properties").alias("_p"))
+
+
+def set_edge_properties(edges: DataFrame, nodes: DataFrame,
+                        source_types: list[str] | None = None) -> DataFrame:
+    """J2 — edges with a ``properties: map<string, array<string>>`` column.
+
+    ``nodes`` must carry (label, properties).  The dictionary-sized property
+    table is broadcast to both join sides; edges stream through without a
+    shuffle at scale.
+    """
+    st = source_types or SOURCE_TYPES
+    props = _node_props(nodes)
+    a = props.alias("a")
+    b = props.alias("b")
+    joined = (edges
+              .join(F.broadcast(a), edges.src == F.col("a._n"), "left")
+              .join(F.broadcast(b), edges.dst == F.col("b._n"), "left"))
+
+    entries = [
+        F.struct(
+            F.lit(k).alias("key"),
+            F.when(
+                F.col("type") != INHIBITS,
+                F.sort_array(F.array_intersect(
+                    F.coalesce(F.col("a._p").getItem(k), F.array().cast("array<string>")),
+                    F.coalesce(F.col("b._p").getItem(k), F.array().cast("array<string>")),
+                ))).otherwise(F.array().cast("array<string>")).alias("value"),
+        )
+        for k in st
+    ]
+    prop_map = F.map_filter(
+        F.map_from_entries(F.array(*entries)), lambda k, v: F.size(v) > 0)
+    return (joined
+            .select(*[edges[c] for c in edges.columns if c != "properties"],
+                    prop_map.alias("properties")))
+
+
+def removal_sets(edges_with_props: DataFrame) -> DataFrame:
+    """A7/U2 — per-(node, prop) union of edge intersections to subtract
+    (``make_graph_class.py:338-350``).  Returns (label, prop, removed)."""
+    ex = edges_with_props.select(
+        "src", "dst", F.explode("properties").alias("prop", "urls"))
+    both = (ex.select(F.col("src").alias("label"), "prop", "urls")
+            .unionByName(ex.select(F.col("dst").alias("label"), "prop", "urls")))
+    return (both.groupBy("label", "prop")
+            .agg(F.array_distinct(F.flatten(F.collect_list("urls"))).alias("removed")))
+
+
+def remove_edge_properties_from_nodes(nodes: DataFrame,
+                                      edges_with_props: DataFrame) -> DataFrame:
+    """U3 — subtract the removal sets from node property bags
+    (``make_graph_class.py:357-376``); non-source-type keys untouched."""
+    removal = (removal_sets(edges_with_props)
+               .groupBy("label")
+               .agg(F.map_from_entries(
+                   F.collect_list(F.struct("prop", "removed"))).alias("_removed")))
+    joined = nodes.join(F.broadcast(removal), "label", "left")
+    cleaned = F.transform_values(
+        F.col("properties"),
+        lambda k, v: F.when(
+            F.col("_removed").isNotNull() & F.col("_removed").getItem(k).isNotNull(),
+            F.sort_array(F.array_except(v, F.col("_removed")[k]))
+        ).otherwise(F.sort_array(v)))
+    return (joined
+            .withColumn("properties",
+                        F.when(F.col("properties").isNotNull(), cleaned))
+            .drop("_removed"))

@@ -1,0 +1,135 @@
+"""EP1 orchestration — the engine's ``make_graph.make_graph`` (:28-67).
+
+Stage order mirrors the reference exactly (each stage cites its impl):
+
+  triples -> edges                          (make_graph_class.py:84-91)
+  attach_attributes (J1 + A3)               (:93-304)
+  set_edge_properties (J2)                  (:306-354)
+  remove_edge_properties_from_nodes (U3)    (:357-376)
+  make_acyclic -> B (G6)                    (:395-431)
+  mitigations + ranking (G3/G7/O1)          (:433-513)
+  adaptations (G4/G5/G8)                    (:515-559)
+  annotated graph = B minus myths           (:381-393)
+  cyto annotation + subgraphs (G2/G9/G10)   (process_visualization.py)
+  myths (J4/A6/O2)                          (process_myths.py)
+  causal sources (J3/A4/P6)                 (process_causal_sources.py)
+
+Everything is lazily-planned DataFrames except the iterative traversals
+(driver loops, SURVEY §4) and the tiny ranked lists (collected — they are
+attributes of one root node in the reference).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import GREENHOUSE_EFFECT
+from ..functions.arrays import flatten_source_lists
+from .acyclic import make_acyclic
+from .adaptation import adaptation_solutions, total_adaptation_nodes
+from .attributes import attach_attributes
+from .causal_sources import causal_sources
+from .edge_props import remove_edge_properties_from_nodes, set_edge_properties
+from .mitigation import mitigation_solutions, rank_mitigations, upstream_nodes
+from .myths import general_myths_ranked, myth_sources, solution_and_impact_myths
+from .visualization import (annotate_cyto_edges, annotate_cyto_nodes,
+                            annotated_graph, build_subgraphs, subgraph_tables)
+
+
+@dataclass
+class GraphBundle:
+    nodes: DataFrame            # post-removal attributes + annotations
+    edges: DataFrame            # G edges with properties
+    edges_b: DataFrame          # acyclic B edges
+    annotated_nodes: DataFrame  # B minus myths, cyto-annotated
+    annotated_edges: DataFrame
+    subgraph_nodes: DataFrame   # (subgraph_name, node_id)
+    subgraph_edges: DataFrame   # (subgraph_name, src, dst)
+    mitigation_ranked: list[str] = field(default_factory=list)
+    extras: dict = field(default_factory=dict)
+
+
+def triples_to_edges(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj) -> (src, dst, type); dedup mirrors the reference
+    reading the already-deduped CSV (make_network.py:44)."""
+    return (triples.select(F.col("subj").alias("src"),
+                           F.col("obj").alias("dst"),
+                           F.col("pred").alias("type"))
+            .dropDuplicates(["src", "dst", "type"]))
+
+
+def build_graph(triples: DataFrame, concepts: DataFrame,
+                root: str = GREENHOUSE_EFFECT) -> GraphBundle:
+    edges0 = triples_to_edges(triples)
+
+    # J1 + A3
+    nodes0 = attach_attributes(edges0, concepts)
+
+    # J2 / A7 / U1-U3  (eager checkpoint: lazy localCheckpoint under AQE can
+    # lose attribute bindings — observed "key not found: src#N" in Spark 4.1)
+    edges = set_edge_properties(edges0, nodes0).localCheckpoint(eager=True)
+    nodes = remove_edge_properties_from_nodes(nodes0, edges).localCheckpoint(eager=True)
+
+    # G6 (checkpointed: the traversal loops below self-union this plan, and
+    # deep self-unions under AQE hit the same attribute-binding bug)
+    edges_b = make_acyclic(edges, nodes).localCheckpoint(eager=True)
+
+    # G3/G7/O1
+    ups = upstream_nodes(edges_b, root).localCheckpoint(eager=True)
+    mit = mitigation_solutions(edges_b, root).localCheckpoint(eager=True)
+    mit_ranked = [r.id for r in rank_mitigations(mit, nodes).collect()]
+
+    # G4/G5/G8 — inhibit neighbors from PRE-cut G, paths from B
+    adapt = adaptation_solutions(edges, edges_b, root).localCheckpoint(eager=True)
+    adapt_ids = total_adaptation_nodes(adapt)
+
+    # solution sources (A5) for mitigation + adaptation solution nodes
+    sol_ids = (mit.unionByName(adapt_ids)).distinct()
+    solution_sources_df = (nodes
+        .join(sol_ids.withColumnRenamed("id", "label"), "label", "left_semi")
+        .select("label",
+                flatten_source_lists(F.col("properties")).alias("solution_sources")))
+
+    # annotated graph + cyto + subgraphs
+    a_nodes, a_edges = annotated_graph(nodes, edges_b)
+    a_nodes = annotate_cyto_nodes(a_nodes)
+    a_edges = annotate_cyto_edges(a_edges, a_nodes)
+    subs = build_subgraphs(a_nodes, a_edges, mit, adapt_ids, root)
+    sub_nodes, sub_edges = subgraph_tables(subs, a_edges)
+
+    # myths (against full G nodes/edges; downstream set from the annotated
+    # subgraph per process_myths.py:42)
+    down_ids = subs["downstream_adaptations"]
+    myth_cat = solution_and_impact_myths(edges, nodes, down_ids)
+    gen_myths = general_myths_ranked(edges, nodes, ups)
+    myth_src = myth_sources(nodes)
+
+    # causal sources
+    causal = causal_sources(edges)
+
+    # fold per-node annotation outputs back onto the node table
+    nodes_final = (nodes
+        .join(solution_sources_df, "label", "left")
+        .join(adapt.withColumnRenamed("effect", "label"), "label", "left")
+        .join(myth_cat.withColumnRenamed("target", "label"), "label", "left")
+        .join(myth_src.withColumnRenamed("myth", "label"), "label", "left")
+        .join(causal, "label", "left"))
+
+    return GraphBundle(
+        nodes=nodes_final,
+        edges=edges,
+        edges_b=edges_b,
+        annotated_nodes=a_nodes,
+        annotated_edges=a_edges,
+        subgraph_nodes=sub_nodes,
+        subgraph_edges=sub_edges,
+        mitigation_ranked=mit_ranked,
+        extras={
+            "upstream_ids": ups,
+            "mitigation_ids": mit,
+            "adaptations": adapt,
+            "general_myths": gen_myths,
+        },
+    )

@@ -1,0 +1,75 @@
+"""G3/G7/O1 — upstream set, mitigation detection, CO2 ranking.
+
+Reproduces ``make_graph_class.get_mitigations`` (:433-464) and
+``add_mitigations`` (:466-513):
+
+* upstream set (G3): ``nx.edge_dfs(B, root, orientation="reverse")`` visits
+  every edge whose TARGET is reverse-reachable from the root over ANY edge
+  type; nodes on ``causes_or_promotes`` edges among those are collected.
+  Spark: reverse BFS node set R (any type), then both endpoints of causes
+  edges with dst ∈ R.
+* mitigations (G7): out-edges of upstream nodes with the inhibit type ->
+  distinct targets (:459-463).
+* ranking (O1): sort by data_properties["CO2_eq_reduced"] descending; nodes
+  whose CO2 value is falsy (null OR 0 — the reference's truthiness test at
+  :478) are appended after all ranked ones (:487-493).
+
+Ordering divergence (documented): the reference's tail order is Python
+set-iteration order (hash-randomized, not reproducible across its own runs);
+we canonicalize with label-ascending tiebreaks (SURVEY §2.5 O1 note).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import CAUSES, GREENHOUSE_EFFECT, INHIBITS
+from .traversal import bfs_reachable
+
+
+def upstream_nodes(edges_b: DataFrame, root: str = GREENHOUSE_EFFECT) -> DataFrame:
+    """G3 — DataFrame[id] of nodes on causes-edges upstream of ``root``."""
+    spark = edges_b.sparkSession
+    seeds = spark.createDataFrame([(root,)], "id string")
+    reached = bfs_reachable(edges_b, seeds, direction="reverse", edge_type=None)
+    causes = edges_b.filter(F.col("type") == CAUSES) \
+        .join(reached.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    return (causes.select(F.col("src").alias("id"))
+            .unionByName(causes.select(F.col("dst").alias("id")))
+            .distinct())
+
+
+def mitigation_solutions(edges_b: DataFrame,
+                         root: str = GREENHOUSE_EFFECT) -> DataFrame:
+    """G7 — DataFrame[id]: inhibit-edge targets of upstream nodes."""
+    ups = upstream_nodes(edges_b, root)
+    return (edges_b.filter(F.col("type") == INHIBITS)
+            .join(ups.withColumnRenamed("id", "src"), "src", "left_semi")
+            .select(F.col("dst").alias("id")).distinct())
+
+
+def rank_mitigations(mitigations: DataFrame, nodes: DataFrame) -> DataFrame:
+    """O1 — ranked mitigation list: (id, co2, rank).
+
+    NULLS-LAST on the truthy CO2 value (null and 0 both count as "no CO2
+    data", per the reference's ``if ... and co2`` truthiness), CO2 descending,
+    label ascending as the deterministic tiebreak.
+    """
+    co2 = nodes.select(
+        F.col("label").alias("id"),
+        F.col("data_properties").getItem("CO2_eq_reduced").alias("co2"))
+    ranked = mitigations.join(co2, "id", "left")
+    truthy = F.when(F.col("co2").isNotNull() & (F.col("co2") != 0), F.col("co2"))
+    return (ranked.withColumn("_key", truthy)
+            .orderBy(F.col("_key").isNull().asc(), F.col("_key").desc(),
+                     F.col("id").asc())
+            .select("id", "co2"))
+
+
+def mitigation_list(edges_b: DataFrame, nodes: DataFrame,
+                    root: str = GREENHOUSE_EFFECT) -> list[str]:
+    """Driver-side ordered list for the ``mitigation solutions`` attribute of
+    the root node (``make_graph_class.py:499-503``).  Small by construction
+    (solution count), so collect is safe."""
+    ranked = rank_mitigations(mitigation_solutions(edges_b, root), nodes)
+    return [r.id for r in ranked.collect()]

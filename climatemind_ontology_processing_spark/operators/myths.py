@@ -1,0 +1,90 @@
+"""J4/A6/O2 — myth processing (``process_myths.py:19-106``).
+
+A myth node is one carrying the "myth" attribute key
+(``process_myths.py:24`` — in the dictionary this is a
+``super_class_membership`` key).  For every ``is_a_myth_about`` out-edge of a
+myth:
+
+* target has the "risk solution" key      -> myth joins target's solution_myths
+* target in downstream-adaptations set    -> myth joins target's impact_myths
+* target in the upstream set              -> myth joins the GLOBAL general
+  myths list, deduped and sorted by data_properties["myth_frequency"]
+  descending (O2, ``process_myths.py:80-95``), attached to the root node.
+
+Myth sources (A6): flatten the myth's 8 source-type URL lists, first-occurrence
+dedup (``process_myths.py:58-78``).
+
+Membership tests are left-semi joins; per-target myth lists are collect_set
+aggregations canonicalized label-ascending (reference order is iteration
+order, see edge_props.py ordering note).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import MYTH_ABOUT
+from ..functions.arrays import flatten_source_lists
+
+MYTH_KEY = "myth"
+RISK_SOLUTION_KEY = "risk solution"
+
+
+def myth_nodes(nodes: DataFrame) -> DataFrame:
+    """P8 — nodes carrying the myth attribute key."""
+    return nodes.filter(
+        F.col("super_class_membership").isNotNull() &
+        F.map_contains_key(F.col("super_class_membership"), MYTH_KEY))
+
+
+def myth_edges(edges_g: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(myth, target) pairs over is_a_myth_about out-edges of myth nodes."""
+    myths = myth_nodes(nodes).select(F.col("label").alias("myth"))
+    return (edges_g.filter(F.col("type") == MYTH_ABOUT)
+            .join(F.broadcast(myths), edges_g.src == F.col("myth"), "left_semi")
+            .select(F.col("src").alias("myth"), F.col("dst").alias("target")))
+
+
+def solution_and_impact_myths(edges_g: DataFrame, nodes: DataFrame,
+                              downstream_adaptation_ids: DataFrame) -> DataFrame:
+    """(target, solution_myths array, impact_myths array) — empty arrays where
+    a category doesn't apply but the other does."""
+    me = myth_edges(edges_g, nodes)
+    risk = nodes.filter(
+        F.col("super_class_membership").isNotNull() &
+        F.map_contains_key("super_class_membership", RISK_SOLUTION_KEY)
+    ).select(F.col("label").alias("target"))
+    down = downstream_adaptation_ids.select(
+        F.col(downstream_adaptation_ids.columns[0]).alias("target"))
+
+    tagged = (me
+              .join(F.broadcast(risk.withColumn("_is_risk", F.lit(True))),
+                    "target", "left")
+              .join(down.withColumn("_is_down", F.lit(True)), "target", "left"))
+    return (tagged.groupBy("target")
+            .agg(
+                F.array_sort(F.collect_set(
+                    F.when(F.col("_is_risk"), F.col("myth")))).alias("solution_myths"),
+                F.array_sort(F.collect_set(
+                    F.when(F.col("_is_down"), F.col("myth")))).alias("impact_myths"))
+            .filter((F.size("solution_myths") > 0) | (F.size("impact_myths") > 0)))
+
+
+def general_myths_ranked(edges_g: DataFrame, nodes: DataFrame,
+                         upstream_ids: DataFrame) -> DataFrame:
+    """O2 — (myth, myth_frequency) sorted by frequency desc, label asc."""
+    me = myth_edges(edges_g, nodes)
+    ups = upstream_ids.select(F.col(upstream_ids.columns[0]).alias("target"))
+    general = me.join(ups, "target", "left_semi").select("myth").distinct()
+    freq = nodes.select(
+        F.col("label").alias("myth"),
+        F.col("data_properties").getItem("myth_frequency").alias("myth_frequency"))
+    return (general.join(F.broadcast(freq), "myth", "left")
+            .orderBy(F.col("myth_frequency").desc_nulls_last(), F.col("myth").asc()))
+
+
+def myth_sources(nodes: DataFrame) -> DataFrame:
+    """A6 — (myth, myth_sources array) for every myth node."""
+    return myth_nodes(nodes).select(
+        F.col("label").alias("myth"),
+        flatten_source_lists(F.col("properties")).alias("myth_sources"))

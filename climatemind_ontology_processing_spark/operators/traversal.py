@@ -1,0 +1,151 @@
+"""Iterative graph-traversal operators (SURVEY §2.7 G2-G5, J5, J6).
+
+The reference's traversals are Python recursion/stacks over an in-RAM NetworkX
+graph (``ontology_processing_utils.py:7-41``, ``make_graph_class.py:440-455,
+516-531``).  Catalyst has no fixpoint operator, so each traversal is a
+driver-side loop of DataFrame joins with ``localCheckpoint`` per iteration to
+cut lineage (SURVEY §4).  Iteration count is bounded by graph diameter (small
+for causal web graphs); each iteration is one shuffle join on the frontier —
+the frontier is usually tiny relative to the edge table, so Spark broadcasts
+it under AQE.
+
+Edges schema throughout: (src string, dst string, type string, ...).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint with a defensive fallback.
+
+    Spark 4.1's localCheckpoint intermittently fails with
+    ``NoSuchElementException: key not found: <attr>`` when checkpointing a
+    Union of previously-checkpointed plans (observed in the closure loop).
+    Re-aliasing every column mints fresh attribute ids, which sidesteps the
+    stale-attribute lookup; if even that fails we return the plan
+    uncheckpointed (correctness unaffected — only lineage length grows).
+    """
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:
+        try:
+            aliased = df.select([F.col(c).alias(c) for c in df.columns])
+            return aliased.localCheckpoint(eager=True)
+        except Exception:
+            return df
+
+
+def bfs_reachable(edges: DataFrame, seeds: DataFrame, direction: str = "forward",
+                  edge_type: str | None = None, max_iters: int = 200) -> DataFrame:
+    """G2 — typed directional BFS (``custom_bfs``,
+    ``ontology_processing_utils.py:7-41``): node set reachable from ``seeds``
+    along edges of ``edge_type`` (None = "any") in ``direction`` (forward /
+    reverse / any).  Returns DataFrame[id] including the seeds.
+
+    The reference returns an *induced subgraph*; compose with
+    :func:`induced_edges` for the edge set.
+    """
+    e = edges
+    if edge_type is not None:
+        e = e.filter(F.col("type") == edge_type)
+    hops = []
+    if direction in ("forward", "any"):
+        hops.append(e.select(F.col("src").alias("from"), F.col("dst").alias("to")))
+    if direction in ("reverse", "any"):
+        hops.append(e.select(F.col("dst").alias("from"), F.col("src").alias("to")))
+    if not hops:
+        raise ValueError(f"bad direction {direction!r}")
+    hop = hops[0] if len(hops) == 1 else hops[0].unionByName(hops[1])
+    hop = _checkpoint(hop.distinct())
+
+    visited = _checkpoint(seeds.select(F.col(seeds.columns[0]).alias("id")).distinct())
+    frontier = visited
+    for _ in range(max_iters):
+        nxt = (frontier.join(hop, frontier.id == hop["from"])
+               .select(F.col("to").alias("id")).distinct()
+               .join(visited, "id", "left_anti"))
+        nxt = _checkpoint(nxt)
+        if nxt.isEmpty():
+            break
+        visited = _checkpoint(visited.unionByName(nxt))
+        frontier = nxt
+    return visited
+
+
+def bfs_reachable_tagged(edges: DataFrame, seeds: DataFrame,
+                         direction: str = "forward", edge_type: str | None = None,
+                         max_iters: int = 200) -> DataFrame:
+    """G10 — multi-source tagged BFS: ``seeds`` is DataFrame[tag, id]; expands
+    all tags in ONE iterative join (one Spark loop for ~20 seeds, not 20
+    loops).  Returns DataFrame[tag, id]."""
+    e = edges
+    if edge_type is not None:
+        e = e.filter(F.col("type") == edge_type)
+    hops = []
+    if direction in ("forward", "any"):
+        hops.append(e.select(F.col("src").alias("from"), F.col("dst").alias("to")))
+    if direction in ("reverse", "any"):
+        hops.append(e.select(F.col("dst").alias("from"), F.col("src").alias("to")))
+    hop = hops[0] if len(hops) == 1 else hops[0].unionByName(hops[1])
+    hop = _checkpoint(hop.distinct())
+
+    visited = _checkpoint(seeds.select("tag", F.col(seeds.columns[1]).alias("id")).distinct())
+    frontier = visited
+    for _ in range(max_iters):
+        nxt = (frontier.join(hop, frontier.id == hop["from"])
+               .select("tag", F.col("to").alias("id")).distinct()
+               .join(visited, ["tag", "id"], "left_anti"))
+        nxt = _checkpoint(nxt)
+        if nxt.isEmpty():
+            break
+        visited = _checkpoint(visited.unionByName(nxt))
+        frontier = nxt
+    return visited
+
+
+def induced_edges(edges: DataFrame, nodeset: DataFrame) -> DataFrame:
+    """J5 — ``graph.subgraph(nodes)`` edge selection
+    (``ontology_processing_utils.py:41,59``): keep edges with BOTH endpoints in
+    the node set, via two left-semi joins (broadcast when the set is small)."""
+    ns = nodeset.select(F.col(nodeset.columns[0]).alias("id")).distinct()
+    return (edges.join(ns.withColumnRenamed("id", "src"), "src", "left_semi")
+                 .join(ns.withColumnRenamed("id", "dst"), "dst", "left_semi"))
+
+
+def transitive_closure(edges: DataFrame, edge_type: str | None = None,
+                       max_iters: int = 200) -> DataFrame:
+    """Reflexive-transitive closure pairs (src, dst): src reaches dst.
+
+    Supports the G5 rewrite (SURVEY §2.7): node n lies on a simple path
+    root -> e in a DAG iff reach(root, n) ∧ reach(n, e) — replacing the
+    reference's exponential ``nx.all_simple_paths`` enumeration
+    (``make_graph_class.py:522-528``) with a polynomial reachability product.
+
+    Semi-naive iteration: delta ⨝ edges, accumulate, stop at fixpoint; bounded
+    by diameter.  Reflexive pairs (n, n) for every endpoint are included
+    (``all_simple_paths(r, r)`` yields [[r]] in the reference's NetworkX).
+    """
+    e = edges
+    if edge_type is not None:
+        e = e.filter(F.col("type") == edge_type)
+    base = _checkpoint(e.select("src", "dst").distinct())
+    nodes = base.select(F.col("src").alias("n")).unionByName(
+        base.select(F.col("dst").alias("n"))).distinct()
+    closure = _checkpoint(
+        nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+        .unionByName(base).distinct())
+    delta = closure
+    for _ in range(max_iters):
+        step = (delta.alias("c").join(base.alias("e"),
+                                      F.col("c.dst") == F.col("e.src"))
+                .select(F.col("c.src").alias("src"), F.col("e.dst").alias("dst"))
+                .distinct()
+                .join(closure, ["src", "dst"], "left_anti"))
+        step = _checkpoint(step)
+        if step.isEmpty():
+            break
+        closure = _checkpoint(closure.unionByName(step))
+        delta = step
+    return closure

@@ -37,6 +37,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Spark 4.1: localCheckpoint of a projected join fails with
+        # "NoSuchElementException: key not found: <attr>" when propagated
+        # constraints reference dropped join keys; the iterative traversal
+        # loops (operators/traversal.py) checkpoint such plans every
+        # iteration.  Our plans carry explicit filters, so losing inferred
+        # constraints costs little.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         # deterministic timestamps regardless of host TZ
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

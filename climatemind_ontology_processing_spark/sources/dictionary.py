@@ -37,8 +37,10 @@ CONCEPT_SCHEMA = T.StructType([
                   T.MapType(T.StringType(), T.ArrayType(T.StringType())), False),
     T.StructField("properties",
                   T.MapType(T.StringType(), T.ArrayType(T.StringType())), False),
-    # non-null data-property values only; all declared keys in data_property_keys
-    T.StructField("data_properties", T.MapType(T.StringType(), T.LongType()), False),
+    # non-null data-property values only; all declared keys in data_property_keys.
+    # double: most values are {0,1,-1} flags but magnitudes like CO2_eq_reduced
+    # are fractional (the reference stores raw OWL literal values)
+    T.StructField("data_properties", T.MapType(T.StringType(), T.DoubleType()), False),
     T.StructField("data_property_keys", T.ArrayType(T.StringType()), False),
 ])
 
@@ -94,7 +96,7 @@ def concepts_df(spark: SparkSession, path: str | None = None,
             c.get("all_classes", []),
             c.get("super_class_membership", {}),
             c.get("properties", {}),
-            {k: int(v) for k, v in dp.items() if v is not None},
+            {k: float(v) for k, v in dp.items() if v is not None},
             sorted(dp.keys()),
         ))
     return spark.createDataFrame(rows, CONCEPT_SCHEMA)

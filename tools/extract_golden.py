@@ -38,9 +38,13 @@ def main() -> None:
         graphs = pickle.load(f)
 
     # ---- union base graph ----------------------------------------------------
+    # ONLY the 4 named subgraphs: the per-personal-value subgraphs are cut from
+    # the solutions-REVERSED graph (process_visualization.py:120-127), so their
+    # edge lists contain flipped copies that must not leak into the base edge set
     nodes: dict[str, dict] = {}
     edges: dict[tuple[str, str], dict] = {}
-    for key, sg in graphs.items():
+    for key in BASE_KEYS:
+        sg = graphs[key]
         for n, attrs in sg.nodes(data=True):
             if n not in nodes:
                 nodes[n] = attrs
