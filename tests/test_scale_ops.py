@@ -1,0 +1,133 @@
+"""Textstats, similarity search, multimodal plumbing, lineage/resume,
+incremental ingestion."""
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from climatemind_ontology_processing_spark.operators.multimodal import (
+    decode_image, extract_features, frame_sample_plan)
+from climatemind_ontology_processing_spark.operators.similarity import (
+    brute_force_topk, ivf_assign, lsh_topk)
+from climatemind_ontology_processing_spark.operators.textstats import with_textstats
+from climatemind_ontology_processing_spark.plans.lineage import (
+    completed_buckets, run_bucketed, with_bucket)
+from climatemind_ontology_processing_spark.sources.pages import pages_df
+from climatemind_ontology_processing_spark.streaming.incremental import (
+    incremental_triples)
+
+
+def test_textstats(spark):
+    docs = spark.createDataFrame([
+        (0, "the quick brown fox is in the house and it is warm for now"),
+        (1, "der hund ist nicht mit der katze und das ist gut zu sehen"),
+        (2, "xyzzy"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in with_textstats(docs).collect()}
+    assert got[0].lang_detected == "en"
+    assert got[1].lang_detected == "de"
+    assert got[2].lang_detected == "und"
+    assert got[0].n_tokens_ws == 14
+    assert got[0].q_score > got[2].q_score
+    assert isinstance(got[0].fingerprint, int)
+    # fingerprint is whitespace-normalization stable
+    docs2 = spark.createDataFrame([(0, "THE  quick   brown fox is in the house and it is warm for now ")],
+                                  "doc_id long, text string")
+    assert with_textstats(docs2).first().fingerprint == got[0].fingerprint
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # vec 100 = exact copy of vec 0 (cosine 1.0 neighbor)
+    rows.append((100, list(rows[0][1])))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    got = brute_force_topk(vectors, queries, k=5).collect()
+    assert len(got) == 5
+    assert got[0].vec_id == 100 and got[0].cos_sim == pytest.approx(1.0)
+    sims = [r.cos_sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_finds_identical(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    got = lsh_topk(vectors, queries, dim=16, k=5, bits=16, bands=8).collect()
+    assert any(r.vec_id == 100 for r in got), "identical vector must share buckets"
+
+
+def test_ivf_assign_deterministic(spark, vectors):
+    a = {r.vec_id: r.cell for r in ivf_assign(vectors, dim=16).collect()}
+    b = {r.vec_id: r.cell for r in ivf_assign(vectors, dim=16).collect()}
+    assert a == b
+    assert a[0] == a[100]  # identical vectors -> same cell
+
+
+def test_multimodal_stub_and_plumbing(spark):
+    media = spark.createDataFrame([
+        ("m1", "image", bytearray(b"\x00\x10\xff\x80abc"), ("image/png", 2, 2, None)),
+        ("m2", "audio", bytearray(b"\x01\x02\x03\x04" * 10), ("audio/wav", None, None, 1000)),
+        ("m3", "video", bytearray(b"\x00"), ("video/mp4", None, None, 3500)),
+    ], "media_id string, kind string, payload binary, "
+       "meta struct<mime:string,width:int,height:int,duration_ms:int>")
+    feats = {r.media_id: r for r in extract_features(media, fake=True).collect()}
+    assert len(feats["m1"].feature) == 8
+    assert feats["m2"].n_bytes == 40
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x", fake=False)
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_lineage_resume(spark, tmp_path):
+    """Kill-after-stage-N simulation: first run completes buckets 0..1 of 4,
+    second run must skip them and produce identical final output."""
+    pages = pages_df(spark, 120, seed=42, partitions=4)
+    out_a = str(tmp_path / "a")
+    lin_a = str(tmp_path / "lin_a")
+    # full run (oracle)
+    rep = run_bucketed(pages, out_a, lin_a, run_id="r1", n_buckets=4)
+    assert sorted(rep.processed) == [0, 1, 2, 3] and rep.skipped == []
+    full = {tuple(r) for r in spark.read.parquet(out_a).select("subj", "pred", "obj").collect()}
+
+    # interrupted run: only buckets 0-1 "completed" before the crash
+    out_b = str(tmp_path / "b")
+    lin_b = str(tmp_path / "lin_b")
+    from climatemind_ontology_processing_spark.plans.lineage import append_lineage
+    bucketed = with_bucket(pages, 4)
+    for b in (0, 1):
+        part = bucketed.filter(F.col("bucket") == b).drop("bucket")
+        from climatemind_ontology_processing_spark.plans.pipeline import triples_from_pages
+        triples_from_pages(part).write.mode("overwrite").parquet(os.path.join(out_b, f"bucket={b}"))
+        append_lineage(lin_b, "r2", "triples", b, 0, 0)
+
+    rep2 = run_bucketed(pages, out_b, lin_b, run_id="r2", n_buckets=4)
+    assert rep2.skipped == [0, 1] and sorted(rep2.processed) == [2, 3]
+    resumed = {tuple(r) for r in spark.read.parquet(out_b).select("subj", "pred", "obj").collect()}
+    assert resumed == full
+
+
+def test_incremental_antijoin(spark, tmp_path):
+    p1 = pages_df(spark, 60, seed=42)
+    path = str(tmp_path / "triples")
+    inc1 = incremental_triples(p1, path)
+    inc1.write.mode("overwrite").parquet(path)
+    n1 = spark.read.parquet(path).count()
+    # second batch: same 60 pages + 30 new -> only the 30 new produce increments
+    p2 = pages_df(spark, 90, seed=42)
+    inc2 = incremental_triples(p2, path)
+    urls = {r.url for r in inc2.select("url").distinct().collect()}
+    old_urls = {r.url for r in p1.select("url").collect()}
+    assert not (urls & old_urls), "already-processed pages must be skipped"
