@@ -1,20 +1,32 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` — flagship KG-construction query on /root/testdata/sf0.001:
-mention detection over the ``documents`` table against a broadcast term
-dictionary, then co-occurrence triple construction + dedup + ranking — the
-engine's core loop (SURVEY §2 G1-analog + A1 + O1) on driver-provided data.
+``entry(spark)`` — flagship KG-construction query on /root/testdata/sf0.001.
 
-``queries()`` / ``oracle_sql()`` — per-operator DataFrame builders with DuckDB
-oracle SQL (SURVEY §2 ids cited on each).
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2, exercised on the driver-provided tables with a DuckDB
+oracle each (rows-only for the two hash-specific near-dup ops).  SURVEY ids
+cited per query.  All float outputs rounded identically on both sides; no
+array-valued output columns (stringified via '|' joins) so the driver's
+value-hash comparison is representation-stable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from climatemind_ontology_processing_spark.operators.canonicalize import (
+    connected_components)
+from climatemind_ontology_processing_spark.operators.dedup import (
+    dedup_exact, jaccard_pairs, minhash_lsh_pairs, simhash_near_pairs)
+from climatemind_ontology_processing_spark.operators.similarity import (
+    brute_force_topk)
+from climatemind_ontology_processing_spark.operators.textstats import (
+    language_id, quality_features, token_count)
+from climatemind_ontology_processing_spark.operators.traversal import (
+    bfs_reachable, induced_edges, transitive_closure)
 
 # dictionary of "concepts" for the driver's documents table (its vocabulary is
 # engine words); deterministic + tiny -> broadcast
@@ -24,9 +36,43 @@ TERMS = [
     "customer", "order", "part", "line", "key", "value", "data", "row",
 ]
 
+_LANGS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "une", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "por", "una", "con", "para"],
+}
+
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived graph: nation X's customers buy from nation Y's suppliers.
+    Exercises the multi-join scan pipeline (J1-shape) and feeds the traversal
+    queries (G2/G5/G11)."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    l = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(l, l.l_orderkey == o.o_orderkey)
+            .join(s, l.l_suppkey == s.s_suppkey)
+            .select(c.c_nationkey.cast("int").alias("src"),
+                    s.s_nationkey.cast("int").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+_TRADE_SQL = """
+  SELECT DISTINCT c.c_nationkey::INT AS src, s.s_nationkey::INT AS dst
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -34,11 +80,12 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Co-occurrence KG from documents: tokenize, keep dictionary terms,
-    emit per-doc (subj < obj) pairs, count edge weight, rank."""
+    emit per-doc (subj < obj) pairs, count edge weight, rank (G1-analog +
+    J1 broadcast mention join + A1 dedup + O1 ordering)."""
     return _q_cooccurrence_edges(spark, "/root/testdata/sf0.001")
 
 
-def _q_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_cooccurrence_edges(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     terms = spark.createDataFrame([(t,) for t in TERMS], "term string")
     tokens = docs.select(
@@ -57,16 +104,290 @@ def _q_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# queries + oracles
+# dedup family
+# ---------------------------------------------------------------------------
+def _q_dedup_exact(spark, sf_dir):
+    """Exact document dedup — lowest doc_id survives per identical text."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_exact(docs).select("doc_id").orderBy("doc_id")
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (threshold 0.5) over documents."""
+    docs = _read(spark, sf_dir, "documents")
+    return (jaccard_pairs(docs, n=3, threshold=0.5)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("a", "b"))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs — hash-specific, rows-only check."""
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs).orderBy("a", "b")
+
+
+def _q_simhash(spark, sf_dir):
+    """SimHash near-dup pairs — hash-specific, rows-only check."""
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# text analysis family
+# ---------------------------------------------------------------------------
+def _q_lang_stats(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+            .orderBy("lang"))
+
+
+def _q_token_counts(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
+def _q_language_id(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.select("doc_id", language_id(F.col("text")).alias("lang_detected"))
+            .orderBy("doc_id"))
+
+
+def _q_quality(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return (quality_features(docs)
+            .select("doc_id", "q_n_tokens", "q_mean_word_len",
+                    "q_stopword_ratio", "q_score")
+            .orderBy("doc_id"))
+
+
+def _q_fingerprint_dups(spark, sf_dir):
+    """Per-document fingerprint of whitespace-normalized lowercase text
+    (md5 here so the oracle can recompute it; the engine's internal key is
+    xxhash64 — same normalization, operators/textstats.py)."""
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# relational operator family (J/A/O/U ids)
+# ---------------------------------------------------------------------------
+def _q_broadcast_lookup(spark, sf_dir):
+    """J1 — broadcast dictionary join: customers per nation name."""
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"))
+            .orderBy("nation"))
+
+
+def _q_part_sets(spark, sf_dir):
+    """A4/A5 — per-customer flatten + dedup of part keys across orders,
+    stringified (no array output columns)."""
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    return (o.join(l, l.l_orderkey == o.o_orderkey)
+            .filter(F.col("o_custkey") < 50)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.concat_ws("|", F.array_sort(F.collect_set("l_partkey")))
+                 .alias("parts"),
+                 F.size(F.collect_set("l_partkey")).alias("n_parts"))
+            .orderBy("custkey"))
+
+
+def _q_set_ops(spark, sf_dir):
+    """U1/U3 — array intersect/except between the nation sets of two market
+    segments (sizes only; arrays are per-row set ops like the reference's
+    per-edge property intersections)."""
+    c = _read(spark, sf_dir, "customer")
+    seg = (c.groupBy("c_mktsegment")
+           .agg(F.array_sort(F.collect_set("c_nationkey")).alias("nations")))
+    a = seg.alias("a")
+    b = seg.alias("b")
+    return (a.join(b, F.col("a.c_mktsegment") < F.col("b.c_mktsegment"))
+            .select(F.col("a.c_mktsegment").alias("seg_a"),
+                    F.col("b.c_mktsegment").alias("seg_b"),
+                    F.size(F.array_intersect(F.col("a.nations"),
+                                             F.col("b.nations"))).alias("n_common"),
+                    F.size(F.array_except(F.col("a.nations"),
+                                          F.col("b.nations"))).alias("n_only_a"))
+            .orderBy("seg_a", "seg_b"))
+
+
+def _q_rank_nulls_last(spark, sf_dir):
+    """O1 — truthy-desc ranking with NULLS/zeros-last tail, deterministic
+    tiebreak (mirrors the CO2 mitigation ranking semantics)."""
+    s = _read(spark, sf_dir, "supplier")
+    key = F.when(F.col("s_acctbal").isNotNull() & (F.col("s_acctbal") != 0),
+                 F.col("s_acctbal"))
+    w = Window.orderBy(key.isNull().asc(), key.desc(), F.col("s_suppkey").asc())
+    return (s.select("s_suppkey", "s_acctbal")
+            .withColumn("rank", F.row_number().over(w))
+            .orderBy("rank"))
+
+
+def _q_first_event_per_user(spark, sf_dir):
+    """A2 — order-preserving dedup via row_number (first occurrence wins)."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type")
+            .orderBy("user_id"))
+
+
+def _q_value_collapse(spark, sf_dir):
+    """A3 — personal-value-style collapse per user: purchase=1, error=-1,
+    else 0; all-null -> null; 1&-1 conflict -> flagged."""
+    e = _read(spark, sf_dir, "events")
+    sign = (F.when(F.col("event_type") == "purchase", F.lit(1))
+            .when(F.col("event_type") == "error", F.lit(-1))
+            .otherwise(F.lit(0)))
+    per_user = e.groupBy("user_id").agg(
+        F.max(sign == 1).alias("has_one"),
+        F.max(sign == -1).alias("has_neg"))
+    # string-typed result: a nullable-int column round-trips differently
+    # through pandas (NaN) vs Spark rows (None) in hash comparisons
+    collapsed = (F.when(F.col("has_one") & F.col("has_neg"), F.lit("conflict"))
+                 .when(F.col("has_neg"), F.lit("-1"))
+                 .when(F.col("has_one"), F.lit("1"))
+                 .otherwise(F.lit("0")))
+    return (per_user.select(
+        "user_id", collapsed.alias("value"),
+        (F.col("has_one") & F.col("has_neg")).alias("conflict"))
+        .orderBy("user_id"))
+
+
+def _q_event_sessions(spark, sf_dir):
+    """Windowed aggregation: hourly tumbling event counts by type (§2.9 —
+    window functionality the engine adds beyond the batch reference)."""
+    e = _read(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                      "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .orderBy("hour", "event_type"))
+
+
+# ---------------------------------------------------------------------------
+# graph family (G ids) over the derived trade graph
+# ---------------------------------------------------------------------------
+def _q_trade_edges(spark, sf_dir):
+    """The derived edge table itself (multi-join scan pipeline)."""
+    return _trade_edges(spark, sf_dir).orderBy("src", "dst")
+
+
+def _q_bfs_reachable(spark, sf_dir):
+    """G2 — BFS frontier expansion from nation 0 over trade edges."""
+    edges = _trade_edges(spark, sf_dir).withColumn("type", F.lit("trade"))
+    seeds = spark.createDataFrame([(0,)], "id int")
+    return bfs_reachable(edges, seeds, "forward", None) \
+        .select(F.col("id").cast("int").alias("id")).orderBy("id")
+
+
+def _q_closure_counts(spark, sf_dir):
+    """G5 — reflexive-transitive closure: reachable-node count per source."""
+    edges = _trade_edges(spark, sf_dir).withColumn("type", F.lit("trade"))
+    return (transitive_closure(edges)
+            .groupBy(F.col("src").cast("int").alias("src"))
+            .agg(F.count("*").alias("n_reachable"))
+            .orderBy("src"))
+
+
+def _q_induced_subgraph(spark, sf_dir):
+    """J5 — edges induced on the odd-numbered nations."""
+    edges = _trade_edges(spark, sf_dir)
+    n = _read(spark, sf_dir, "nation")
+    odd = n.filter(F.col("n_nationkey") % 2 == 1) \
+           .select(F.col("n_nationkey").cast("int").alias("id"))
+    return induced_edges(edges.withColumn("type", F.lit("t")), odd) \
+        .select("src", "dst").orderBy("src", "dst")
+
+
+def _q_acyclic_cut(spark, sf_dir):
+    """G6-shape — rule-based edge removal: drop trade edges whose src is in
+    region 0 and dst in region 1 (class-predicate cut + anti-join)."""
+    edges = _trade_edges(spark, sf_dir)
+    n = _read(spark, sf_dir, "nation")
+    r0 = n.filter(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").cast("int").alias("src"))
+    r1 = n.filter(F.col("n_regionkey") == 1).select(
+        F.col("n_nationkey").cast("int").alias("dst"))
+    cut = (edges.join(F.broadcast(r0), "src", "left_semi")
+           .join(F.broadcast(r1), "dst", "left_semi"))
+    return edges.join(cut, ["src", "dst"], "left_anti").orderBy("src", "dst")
+
+
+def _q_connected_components(spark, sf_dir):
+    """G11 — connected components of a deterministic sparse subset of the
+    (undirected) trade graph, so multiple components exist."""
+    edges = (_trade_edges(spark, sf_dir)
+             .filter((F.col("src") * 31 + F.col("dst")) % 11 == 0)
+             .select(F.col("src").cast("string").alias("src"),
+                     F.col("dst").cast("string").alias("dst")))
+    return (connected_components(edges)
+            .select(F.col("id").cast("int").alias("id"),
+                    F.col("component").cast("int").alias("component"))
+            .orderBy("id"))
+
+
+# ---------------------------------------------------------------------------
+# similarity family
+# ---------------------------------------------------------------------------
+def _q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors 0-4 (double math, round 6)."""
+    emb = _read(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.transform("embedding",
+                                      lambda x: x.cast("double")).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    return (brute_force_topk(emb, queries, k=5)
+            .select("qid", "vec_id", "cos_sim", "rank")
+            .orderBy("qid", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# registry
 # ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cooccurrence_edges": _q_cooccurrence_edges,
+        "dedup_exact": _q_dedup_exact,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_lsh_pairs": _q_minhash_lsh,       # rows-only (hash-specific)
+        "simhash_pairs": _q_simhash,               # rows-only (hash-specific)
+        "lang_stats": _q_lang_stats,
+        "token_counts": _q_token_counts,
+        "language_id": _q_language_id,
+        "quality_features": _q_quality,
+        "fingerprint_dups": _q_fingerprint_dups,
+        "broadcast_lookup": _q_broadcast_lookup,
+        "part_sets": _q_part_sets,
+        "set_ops": _q_set_ops,
+        "rank_nulls_last": _q_rank_nulls_last,
+        "first_event_per_user": _q_first_event_per_user,
+        "value_collapse": _q_value_collapse,
+        "event_sessions": _q_event_sessions,
+        "trade_edges": _q_trade_edges,
+        "bfs_reachable": _q_bfs_reachable,
+        "closure_counts": _q_closure_counts,
+        "induced_subgraph": _q_induced_subgraph,
+        "acyclic_cut": _q_acyclic_cut,
+        "connected_components": _q_connected_components,
+        "cosine_topk": _q_cosine_topk,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in TERMS)
+    en_words = ", ".join(f"'{w}'" for w in _LANGS["en"])
     return {
         "cooccurrence_edges": f"""
             WITH terms(term) AS (VALUES {terms_values}),
@@ -82,5 +403,253 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id = b.doc_id AND a.term < b.term
             GROUP BY 1, 2, 3
             ORDER BY weight DESC, subj ASC, obj ASC
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            ORDER BY doc_id
+        """,
+        "jaccard_pairs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(t) - 2, 1)),
+                         i -> array_to_string(t[i : i + 2], ' '))) AS s
+                FROM toks
+              )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+              FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+            ORDER BY a, b
+        """,
+        "lang_stats": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                     AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "language_id": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+') AS t
+              FROM documents
+            ),
+            scores AS (
+              {" UNION ALL ".join(
+                  "SELECT doc_id, '" + lang + "' AS lang, "
+                  "len(list_filter(t, x -> x IN ("
+                  + ", ".join("'" + w + "'" for w in words)
+                  + "))) AS score FROM toks"
+                  for lang, words in sorted(_LANGS.items()))}
+            ),
+            best AS (
+              SELECT doc_id, lang, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang DESC) AS rn
+              FROM scores
+            )
+            SELECT doc_id,
+                   CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_detected
+            FROM best WHERE rn = 1 ORDER BY doc_id
+        """,
+        "quality_features": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     list_filter(regexp_split_to_array(lower(text),
+                                 '[^\\p{{L}}\\p{{N}}]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                     len(list_filter(toks, x -> x IN ({en_words}))) AS stop_hits
+              FROM base
+            )
+            SELECT doc_id,
+                   n_tokens AS q_n_tokens,
+                   round(CASE WHEN n_tokens > 0
+                              THEN n_chars * 1.0 / n_tokens ELSE 0 END, 6)
+                     AS q_mean_word_len,
+                   round(CASE WHEN n_tokens > 0
+                              THEN stop_hits * 1.0 / n_tokens ELSE 0 END, 6)
+                     AS q_stopword_ratio,
+                   round(
+                     (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0 END)
+                     + (CASE WHEN n_tokens > 0
+                             AND n_chars * 1.0 / n_tokens BETWEEN 3 AND 12
+                             THEN 0.3 ELSE 0 END)
+                     + (CASE WHEN n_tokens > 0
+                             AND stop_hits * 1.0 / n_tokens >= 0.05
+                             THEN 0.3 ELSE 0 END), 6) AS q_score
+            FROM m ORDER BY doc_id
+        """,
+        "fingerprint_dups": """
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                     AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "broadcast_lookup": """
+            SELECT n.n_name AS nation, count(*) AS n_customers,
+                   round(avg(c.c_acctbal), 6) AS avg_acctbal
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1 ORDER BY nation
+        """,
+        "part_sets": """
+            SELECT o.o_custkey AS custkey,
+                   array_to_string(list_sort(list(DISTINCT l.l_partkey)), '|')
+                     AS parts,
+                   count(DISTINCT l.l_partkey) AS n_parts
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_custkey < 50
+            GROUP BY 1 ORDER BY custkey
+        """,
+        "set_ops": """
+            WITH seg AS (
+              SELECT c_mktsegment, list_sort(list(DISTINCT c_nationkey)) AS nations
+              FROM customer GROUP BY 1
+            )
+            SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+                   len(list_intersect(a.nations, b.nations)) AS n_common,
+                   len(list_filter(a.nations,
+                                   x -> NOT list_contains(b.nations, x))) AS n_only_a
+            FROM seg a JOIN seg b ON a.c_mktsegment < b.c_mktsegment
+            ORDER BY seg_a, seg_b
+        """,
+        "rank_nulls_last": """
+            SELECT s_suppkey, s_acctbal,
+                   row_number() OVER (
+                     ORDER BY (CASE WHEN s_acctbal IS NULL OR s_acctbal = 0
+                                    THEN 1 ELSE 0 END) ASC,
+                              (CASE WHEN s_acctbal IS NULL OR s_acctbal = 0
+                                    THEN NULL ELSE s_acctbal END) DESC,
+                              s_suppkey ASC) AS rank
+            FROM supplier ORDER BY rank
+        """,
+        "first_event_per_user": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "value_collapse": """
+            WITH per_user AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+                       AS has_one,
+                     max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1
+                       AS has_neg
+              FROM events GROUP BY 1
+            )
+            SELECT user_id,
+                   CASE WHEN has_one AND has_neg THEN 'conflict'
+                        WHEN has_neg THEN '-1'
+                        WHEN has_one THEN '1'
+                        ELSE '0' END AS value,
+                   (has_one AND has_neg) AS conflict
+            FROM per_user ORDER BY user_id
+        """,
+        "event_sessions": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "trade_edges": f"""
+            {_TRADE_SQL} ORDER BY src, dst
+        """,
+        "bfs_reachable": f"""
+            WITH RECURSIVE edges AS ({_TRADE_SQL}),
+            reach(id) AS (
+              SELECT 0
+              UNION
+              SELECT e.dst FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id FROM reach ORDER BY id
+        """,
+        "closure_counts": f"""
+            WITH RECURSIVE edges AS ({_TRADE_SQL}),
+            nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+            reach(src, dst) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+            )
+            SELECT src, count(*) AS n_reachable FROM reach
+            GROUP BY src ORDER BY src
+        """,
+        "induced_subgraph": f"""
+            WITH edges AS ({_TRADE_SQL}),
+            odd AS (SELECT n_nationkey::INT AS id FROM nation
+                    WHERE n_nationkey % 2 = 1)
+            SELECT src, dst FROM edges
+            WHERE src IN (SELECT id FROM odd) AND dst IN (SELECT id FROM odd)
+            ORDER BY src, dst
+        """,
+        "acyclic_cut": f"""
+            WITH edges AS ({_TRADE_SQL})
+            SELECT src, dst FROM edges
+            WHERE NOT (src IN (SELECT n_nationkey::INT FROM nation
+                               WHERE n_regionkey = 0)
+                   AND dst IN (SELECT n_nationkey::INT FROM nation
+                               WHERE n_regionkey = 1))
+            ORDER BY src, dst
+        """,
+        "connected_components": f"""
+            WITH RECURSIVE all_edges AS ({_TRADE_SQL}),
+            base AS (
+              SELECT src, dst FROM all_edges WHERE (src * 31 + dst) % 11 = 0
+            ),
+            -- component = MIN over STRING ordering of reachable labels
+            -- (the engine's connected_components orders node ids as strings)
+            sym AS (
+              SELECT src::VARCHAR AS a, dst::VARCHAR AS b FROM base
+              UNION SELECT dst::VARCHAR, src::VARCHAR FROM base
+            ),
+            reach(id, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT re.id, s.b FROM reach re JOIN sym s ON s.a = re.r
+            )
+            SELECT id::INT AS id, min(r)::INT AS component
+            FROM reach GROUP BY id ORDER BY id
+        """,
+        "cosine_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                     round(list_dot_product(e.v, q.qv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+              FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+            ),
+            ranked AS (
+              SELECT qid, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos_sim DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT qid, vec_id, cos_sim, rank FROM ranked
+            WHERE rank <= 5 ORDER BY qid, rank
         """,
     }

@@ -1,0 +1,106 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the engine's headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32):
+
+* ``triples_pipeline`` — the core KG-construction path: deterministic
+  synthetic pages (scaled to sf) -> html->text extraction -> mention/cue
+  triple extraction -> dedup -> count.  Reports triples/sec and pages/sec.
+* ``graph_build`` — full annotation pipeline on the golden-derived triples
+  (fixed size; measures the iterative-join machinery).
+* driver-table queries — co-occurrence KG, dedup suite, traversals,
+  similarity top-k on the sf dir tables.
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "triples_per_sec": ...,
+         "pages_per_sec": ..., "cpus": ...}
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from climatemind_ontology_processing_spark.session import get_spark
+
+    spark = get_spark(app_name="cmkg-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from climatemind_ontology_processing_spark.plans.pipeline import triples_from_pages
+    from climatemind_ontology_processing_spark.sources.pages import pages_df
+
+    timings: dict[str, float] = {}
+
+    # --- core pipeline: pages -> triples ------------------------------------
+    n_pages = max(int(500_000 * sf), 1000)
+    pages = pages_df(spark, n_pages, seed=42, partitions=cpus * 2)
+    t0 = time.time()
+    n_triples = triples_from_pages(pages).count()
+    dt = time.time() - t0
+    timings["triples_pipeline"] = round(dt, 3)
+    triples_per_sec = round(n_triples / dt, 1)
+    pages_per_sec = round(n_pages / dt, 1)
+
+    # --- graph annotation pipeline (fixed-size golden fixture) --------------
+    import json as _json
+    from importlib import resources
+
+    from climatemind_ontology_processing_spark.operators.graph_pipeline import build_graph
+    from climatemind_ontology_processing_spark.sources.dictionary import concepts_df
+
+    golden = _json.loads(
+        (resources.files("climatemind_ontology_processing_spark.data")
+         / "golden_graph.json").read_text())
+    triples_fixture = spark.createDataFrame(
+        [(e["src"], e["type"], e["dst"]) for e in golden["edges"]],
+        "subj string, pred string, obj string")
+    t0 = time.time()
+    bundle = build_graph(triples_fixture, concepts_df(spark))
+    bundle.subgraph_nodes.count()
+    bundle.nodes.count()
+    timings["graph_build"] = round(time.time() - t0, 3)
+
+    # --- driver-table headline queries ---------------------------------------
+    headline = [
+        "cooccurrence_edges", "dedup_exact", "jaccard_pairs",
+        "minhash_lsh_pairs", "trade_edges", "bfs_reachable",
+        "closure_counts", "connected_components", "cosine_topk",
+        "quality_features", "language_id",
+    ]
+    qs = entrymod.queries()
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_pages": n_pages,
+        "n_triples": n_triples,
+        "triples_per_sec": triples_per_sec,
+        "pages_per_sec": pages_per_sec,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

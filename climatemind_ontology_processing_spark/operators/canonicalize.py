@@ -34,8 +34,33 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     Works on string node ids; comparisons use the label ordering itself
     (lexicographic), which is deterministic and stable across runs.
     """
+    from .traversal import _edge_count_small
+
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .filter(F.col("a") != F.col("b")).distinct())
+    if _edge_count_small(e):
+        # small-graph fast path: union-find on the collected edge list
+        # (identical output; see traversal.SMALL_GRAPH_THRESHOLD)
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in e.collect():
+            a, b = r.a, r.b
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = sorted((n, find(n)) for n in parent)
+        t = e.schema["a"].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            rows, f"id {t}, component {t}")
     # undirected
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
            .distinct().localCheckpoint(eager=True)

@@ -78,7 +78,7 @@ def build_graph(triples: DataFrame, concepts: DataFrame,
 
     # G3/G7/O1
     ups = upstream_nodes(edges_b, root).localCheckpoint(eager=True)
-    mit = mitigation_solutions(edges_b, root).localCheckpoint(eager=True)
+    mit = mitigation_solutions(edges_b, root, ups=ups).localCheckpoint(eager=True)
     mit_ranked = [r.id for r in rank_mitigations(mit, nodes).collect()]
 
     # G4/G5/G8 — inhibit neighbors from PRE-cut G, paths from B

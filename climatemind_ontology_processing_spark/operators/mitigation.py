@@ -39,10 +39,12 @@ def upstream_nodes(edges_b: DataFrame, root: str = GREENHOUSE_EFFECT) -> DataFra
             .distinct())
 
 
-def mitigation_solutions(edges_b: DataFrame,
-                         root: str = GREENHOUSE_EFFECT) -> DataFrame:
-    """G7 — DataFrame[id]: inhibit-edge targets of upstream nodes."""
-    ups = upstream_nodes(edges_b, root)
+def mitigation_solutions(edges_b: DataFrame, root: str = GREENHOUSE_EFFECT,
+                         ups: DataFrame | None = None) -> DataFrame:
+    """G7 — DataFrame[id]: inhibit-edge targets of upstream nodes.  Pass a
+    precomputed upstream set to avoid recomputing the BFS."""
+    if ups is None:
+        ups = upstream_nodes(edges_b, root)
     return (edges_b.filter(F.col("type") == INHIBITS)
             .join(ups.withColumnRenamed("id", "src"), "src", "left_semi")
             .select(F.col("dst").alias("id")).distinct())

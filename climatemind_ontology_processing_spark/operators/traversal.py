@@ -13,8 +13,18 @@ Edges schema throughout: (src string, dst string, type string, ...).
 """
 from __future__ import annotations
 
+import os
+from collections import defaultdict, deque
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Adaptive execution: below this edge count the traversal runs driver-side on
+# the collected edge list (identical semantics, zero per-iteration job
+# overhead); above it, the iterative-join path runs.  Mirrors Spark's own
+# size-based strategy choices (broadcast threshold); the 10^12-scale path is
+# the join loop, the curated-ontology path (hundreds of edges) is local.
+SMALL_GRAPH_THRESHOLD = int(os.environ.get("CMKG_SMALL_GRAPH_EDGES", "200000"))
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:
@@ -37,6 +47,45 @@ def _checkpoint(df: DataFrame) -> DataFrame:
             return df
 
 
+def _edge_count_small(edges: DataFrame) -> bool:
+    if SMALL_GRAPH_THRESHOLD <= 0:
+        return False
+    return edges.limit(SMALL_GRAPH_THRESHOLD + 1).count() <= SMALL_GRAPH_THRESHOLD
+
+
+def _collect_hops(edges: DataFrame, direction: str,
+                  edge_type: str | None) -> dict[str, list]:
+    e = edges
+    if edge_type is not None:
+        e = e.filter(F.col("type") == edge_type)
+    adj: dict = defaultdict(list)
+    for r in e.select("src", "dst").distinct().collect():
+        if direction in ("forward", "any"):
+            adj[r.src].append(r.dst)
+        if direction in ("reverse", "any"):
+            adj[r.dst].append(r.src)
+    return adj
+
+
+def _group_seeds(seeds: DataFrame) -> list[tuple[str, list]]:
+    grouped: dict = defaultdict(list)
+    for r in seeds.distinct().collect():
+        grouped[r[0]].append(r[1])
+    return sorted(grouped.items())
+
+
+def _bfs_local(adj: dict, seeds: list) -> set:
+    visited = set(seeds)
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in visited:
+                visited.add(v)
+                q.append(v)
+    return visited
+
+
 def bfs_reachable(edges: DataFrame, seeds: DataFrame, direction: str = "forward",
                   edge_type: str | None = None, max_iters: int = 200) -> DataFrame:
     """G2 — typed directional BFS (``custom_bfs``,
@@ -47,6 +96,15 @@ def bfs_reachable(edges: DataFrame, seeds: DataFrame, direction: str = "forward"
     The reference returns an *induced subgraph*; compose with
     :func:`induced_edges` for the edge set.
     """
+    spark = edges.sparkSession
+    seed_field = seeds.schema.fields[0]
+    if _edge_count_small(edges):
+        adj = _collect_hops(edges, direction, edge_type)
+        seed_vals = [r[0] for r in seeds.distinct().collect()]
+        reached = sorted(_bfs_local(adj, seed_vals))
+        return spark.createDataFrame(
+            [(v,) for v in reached],
+            f"id {seed_field.dataType.simpleString()}")
     e = edges
     if edge_type is not None:
         e = e.filter(F.col("type") == edge_type)
@@ -80,6 +138,16 @@ def bfs_reachable_tagged(edges: DataFrame, seeds: DataFrame,
     """G10 — multi-source tagged BFS: ``seeds`` is DataFrame[tag, id]; expands
     all tags in ONE iterative join (one Spark loop for ~20 seeds, not 20
     loops).  Returns DataFrame[tag, id]."""
+    spark = edges.sparkSession
+    if _edge_count_small(edges):
+        adj = _collect_hops(edges, direction, edge_type)
+        id_field = seeds.schema.fields[1]
+        rows = []
+        for tag, seed_vals in _group_seeds(seeds):
+            for v in sorted(_bfs_local(adj, seed_vals)):
+                rows.append((tag, v))
+        return spark.createDataFrame(
+            rows, f"tag string, id {id_field.dataType.simpleString()}")
     e = edges
     if edge_type is not None:
         e = e.filter(F.col("type") == edge_type)
@@ -127,6 +195,18 @@ def transitive_closure(edges: DataFrame, edge_type: str | None = None,
     by diameter.  Reflexive pairs (n, n) for every endpoint are included
     (``all_simple_paths(r, r)`` yields [[r]] in the reference's NetworkX).
     """
+    spark = edges.sparkSession
+    if _edge_count_small(edges):
+        fwd = _collect_hops(edges, "forward", edge_type)
+        nodes = set(fwd)
+        for vs in list(fwd.values()):
+            nodes.update(vs)
+        pairs = []
+        src_field = edges.schema["src"].dataType.simpleString()
+        for n in sorted(nodes):
+            for m in sorted(_bfs_local(fwd, [n])):
+                pairs.append((n, m))
+        return spark.createDataFrame(pairs, f"src {src_field}, dst {src_field}")
     e = edges
     if edge_type is not None:
         e = e.filter(F.col("type") == edge_type)

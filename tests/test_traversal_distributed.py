@@ -1,0 +1,64 @@
+"""The adaptive small-graph fast path and the iterative-join scale path must
+produce identical results (the scale path is what runs at 10^12 docs; the
+fast path is what runs on curated-ontology-sized graphs)."""
+from __future__ import annotations
+
+import pytest
+
+import climatemind_ontology_processing_spark.operators.traversal as trav
+from climatemind_ontology_processing_spark.config import CAUSES
+from climatemind_ontology_processing_spark.operators.canonicalize import (
+    connected_components)
+from climatemind_ontology_processing_spark.operators.traversal import (
+    bfs_reachable, bfs_reachable_tagged, transitive_closure)
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    rows = [
+        ("r", "a", CAUSES), ("a", "b", CAUSES), ("b", "c", CAUSES),
+        ("x", "a", "inhibits"), ("c", "d", "other"), ("e", "r", CAUSES),
+        ("q", "x", CAUSES), ("d", "q2", CAUSES),
+    ]
+    return spark.createDataFrame(rows, "src string, dst string, type string")
+
+
+@pytest.fixture()
+def force_distributed(monkeypatch):
+    monkeypatch.setattr(trav, "SMALL_GRAPH_THRESHOLD", 0)
+
+
+def test_bfs_paths_agree(spark, edges, force_distributed):
+    seeds = spark.createDataFrame([("r",)], "id string")
+    dist = {r.id for r in bfs_reachable(edges, seeds, "any", None).collect()}
+    trav.SMALL_GRAPH_THRESHOLD = 10_000
+    fast = {r.id for r in bfs_reachable(edges, seeds, "any", None).collect()}
+    assert dist == fast and "q2" in dist
+
+
+def test_tagged_bfs_paths_agree(spark, edges, force_distributed):
+    seeds = spark.createDataFrame([("t1", "c"), ("t2", "x")], "tag string, id string")
+    dist = {(r.tag, r.id)
+            for r in bfs_reachable_tagged(edges, seeds, "reverse", CAUSES).collect()}
+    trav.SMALL_GRAPH_THRESHOLD = 10_000
+    fast = {(r.tag, r.id)
+            for r in bfs_reachable_tagged(edges, seeds, "reverse", CAUSES).collect()}
+    assert dist == fast
+    assert ("t1", "r") in dist and ("t1", "e") in dist
+
+
+def test_closure_paths_agree(spark, edges, force_distributed):
+    dist = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    trav.SMALL_GRAPH_THRESHOLD = 10_000
+    fast = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    assert dist == fast and ("r", "q2") in dist
+
+
+def test_cc_paths_agree(spark, force_distributed):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "a")], "src string, dst string")
+    dist = {(r.id, r.component) for r in connected_components(e).collect()}
+    trav.SMALL_GRAPH_THRESHOLD = 10_000
+    fast = {(r.id, r.component) for r in connected_components(e).collect()}
+    assert dist == fast
+    assert dict(dist)["f"] == "a" and dict(dist)["e"] == "d"
