@@ -98,3 +98,33 @@ def extract_triples(pages: DataFrame, aliases: dict[str, str],
                                               "warc_ts", "score"])
 
     return cols.mapInPandas(run, TRIPLES_SCHEMA)
+
+
+def extract_triples_from_html(pages: DataFrame, aliases: dict[str, str],
+                              lang_filter: str | None = "en") -> DataFrame:
+    """FUSED hot path: html -> text -> triples in ONE mapInPandas stage.
+
+    Chaining the text UDF and the triple UDF separately costs two
+    JVM<->Python Arrow crossings per row batch (and two Python worker
+    processes per task); fusing them halves the crossings — this is the
+    10^12-document production path.  Byte-identity of the intermediate text is
+    guaranteed by calling the same ``html_to_text`` and is separately enforced
+    by ``functions.text.extraction_parity``.
+    """
+    from .text import html_to_text
+
+    if lang_filter is not None:
+        pages = pages.filter(F.col("lang") == lang_filter)
+    cols = pages.select("url", "warc_ts", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, ts, raw in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                text = html_to_text(bytes(raw))
+                for subj, pred, obj, score in extract_from_text(text, aliases):
+                    rows.append((subj, pred, obj, url, ts, score))
+            yield pd.DataFrame(rows, columns=["subj", "pred", "obj", "url",
+                                              "warc_ts", "score"])
+
+    return cols.mapInPandas(run, TRIPLES_SCHEMA)

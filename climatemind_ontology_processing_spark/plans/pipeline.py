@@ -11,8 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.text import with_extracted_text
-from ..functions.triples import extract_triples
+from ..functions.triples import extract_triples, extract_triples_from_html
 from ..operators.dedup import dedup_triples
 from ..sources.dictionary import alias_map
 
@@ -21,14 +20,16 @@ def triples_from_pages(pages: DataFrame, aliases: dict[str, str] | None = None,
                        reextract: bool = True) -> DataFrame:
     """EP2: pages(url, warc_ts, html, text, lang) -> deduped triples.
 
-    ``reextract=True`` derives text from html (the real path, proving the
-    byte-identical invariant); False trusts the stored text column.
+    ``reextract=True`` derives text from html in a single fused Arrow stage
+    (the real path — one JVM<->Python crossing); False trusts the stored text
+    column.
     """
     if aliases is None:
         aliases = alias_map()
     if reextract:
-        pages = with_extracted_text(pages)
-    raw = extract_triples(pages, aliases)
+        raw = extract_triples_from_html(pages, aliases)
+    else:
+        raw = extract_triples(pages, aliases)
     return dedup_triples(raw)
 
 
