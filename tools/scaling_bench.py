@@ -91,24 +91,63 @@ def run_once(cores: int, n_pages: int, path: str) -> dict:
     return json.loads(last)
 
 
+def hardware_ceiling(n_small: int, n_large: int) -> float:
+    """Measure what THIS HOST gives a perfectly parallel workload from
+    n_small -> n_large pinned cores (pure-CPU multiprocessing, no Spark).
+
+    Cloud VMs boost clocks when few cores are active, so even embarrassingly
+    parallel work shows < 1.0 'efficiency' at high core counts — the workload
+    efficiency must be read against this ceiling, not against 1.0.
+    """
+    import multiprocessing as mp
+    import time
+
+    def measure(procs: int) -> float:
+        code = ("import time\n"
+                "t=time.time()\n"
+                "x=1\n"
+                "for _ in range(12_000_000): x=(x*31+7)%1000003\n"
+                "print(time.time()-t)")
+        cmd = ["taskset", "-c", f"0-{procs - 1}"] if shutil.which("taskset") else []
+        t0 = time.time()
+        ps = [subprocess.Popen(cmd + [sys.executable, "-c", code],
+                               stdout=subprocess.DEVNULL) for _ in range(procs)]
+        for p in ps:
+            p.wait()
+        return procs / (time.time() - t0)  # aggregate units of work / sec
+
+    r_small = measure(n_small)
+    r_large = measure(n_large)
+    return round(r_large / (r_small * n_large / n_small), 3)
+
+
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    factor = n_large / n_small
     path = f"/tmp/cmkg_scale_pages_{n_pages}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         subprocess.run([sys.executable, "-c",
                         SETUP.format(repo=REPO, n_pages=n_pages, path=path)],
                        check=True, capture_output=True, text=True, timeout=500)
-    small = run_once(8, n_pages, path)
-    large = run_once(32, n_pages, path)
-    eff = round(large["triples_per_sec"] / (4 * small["triples_per_sec"]), 3)
+    ceiling = hardware_ceiling(n_small, n_large)
+    small = run_once(n_small, n_pages, path)
+    large = run_once(n_large, n_pages, path)
+    eff = round(large["triples_per_sec"] / (factor * small["triples_per_sec"]), 3)
     print(json.dumps({
         "metric": "scaling_efficiency_N_to_4N",
         "n_pages": n_pages,
         "cpu_pinned": shutil.which("taskset") is not None,
-        "local8": small,
-        "local32": large,
+        "cores_small": n_small,
+        "cores_large": n_large,
+        "small": small,
+        "large": large,
         "speedup": round(large["triples_per_sec"] / small["triples_per_sec"], 2),
         "scaling_efficiency": eff,
+        "hardware_ceiling_efficiency": ceiling,
+        "efficiency_vs_hardware_ceiling": round(min(eff / ceiling, 1.0), 3)
+        if ceiling else None,
         "target": 0.8,
         "pass": eff >= 0.8,
     }))
