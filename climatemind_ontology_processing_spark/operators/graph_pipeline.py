@@ -92,10 +92,12 @@ def build_graph(triples: DataFrame, concepts: DataFrame,
         .select("label",
                 flatten_source_lists(F.col("properties")).alias("solution_sources")))
 
-    # annotated graph + cyto + subgraphs
+    # annotated graph + cyto + subgraphs (checkpointed: the 25-subgraph
+    # fan-out below references these plans ~25x each — without truncation
+    # every induced-edge branch would recompute the whole upstream pipeline)
     a_nodes, a_edges = annotated_graph(nodes, edges_b)
-    a_nodes = annotate_cyto_nodes(a_nodes)
-    a_edges = annotate_cyto_edges(a_edges, a_nodes)
+    a_nodes = annotate_cyto_nodes(a_nodes).localCheckpoint(eager=True)
+    a_edges = annotate_cyto_edges(a_edges, a_nodes).localCheckpoint(eager=True)
     subs = build_subgraphs(a_nodes, a_edges, mit, adapt_ids, root)
     sub_nodes, sub_edges = subgraph_tables(subs, a_edges)
 

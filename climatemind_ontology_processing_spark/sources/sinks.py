@@ -1,0 +1,134 @@
+"""Graph sinks — parity-compatible output formats (SURVEY §2.1 S4/S5/S7).
+
+The reference's sinks are driver-side NetworkX serializers
+(``ontology_processing_utils.py:177-219``): a gpickle of the full graph (S4),
+a "jit" JSON of the filtered test-ontology graph (S5), and the
+visualization-subgraphs pickle (S7).  The engine's primary sinks are the
+nodes/edges/subgraph TABLES (parquet/Iceberg); these collectors exist so a
+consumer of the reference's artifacts can get byte-compatible-shaped files —
+they collect to the driver and are only for curated-ontology-sized graphs.
+"""
+from __future__ import annotations
+
+import json
+import pickle
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def _node_attrs(row: dict) -> dict[str, Any]:
+    """Engine node row -> reference-style attribute dict
+    (``make_graph_class.py:113-170``): map columns fold back into the
+    dynamic per-superclass keys, 'direct classes'/'all classes' spellings."""
+    out = {
+        "label": row.get("label"),
+        "iri": row.get("iri"),
+        "comment": row.get("comment"),
+        "direct classes": row.get("direct_classes") or [],
+        "all classes": row.get("all_classes") or [],
+        "properties": row.get("properties") or {},
+        "data_properties": {
+            k: (row.get("data_properties") or {}).get(k)
+            for k in (row.get("data_property_keys") or [])
+        },
+        "personal_values_10": row.get("personal_values_10"),
+        "personal_values_19": row.get("personal_values_19"),
+        "political_value": row.get("political_value"),
+    }
+    for k, v in (row.get("super_class_membership") or {}).items():
+        out[k] = v
+    if row.get("cyto_classes") is not None:
+        out["cyto_classes"] = row["cyto_classes"]
+    return out
+
+
+def to_networkx(nodes: DataFrame, edges: DataFrame):
+    """Collect tables into an ``nx.DiGraph`` shaped like the reference's
+    (S4 gpickle parity).  Gated import: networkx is optional."""
+    import networkx as nx
+
+    g = nx.DiGraph()
+    for r in nodes.collect():
+        d = r.asDict(recursive=True)
+        g.add_node(d["label"], **_node_attrs(d))
+    for r in edges.collect():
+        d = r.asDict(recursive=True)
+        attrs = {"type": d.get("type"), "properties": d.get("properties") or {}}
+        if d.get("cyto_classes") is not None:
+            attrs["cyto_classes"] = d["cyto_classes"]
+        g.add_edge(d["src"], d["dst"], **attrs)
+    return g
+
+
+def save_graph_pickle(nodes: DataFrame, edges: DataFrame, path: str) -> None:
+    """S4 — gpickle-equivalent sink (``save_graph_to_pickle``,
+    ontology_processing_utils.py:194-195; nx >=3 removed write_gpickle, the
+    reference's own call is a plain pickle of the graph object)."""
+    g = to_networkx(nodes, edges)
+    with open(path, "wb") as f:
+        pickle.dump(g, f)
+
+
+def jit_data(nodes: DataFrame, edges: DataFrame) -> list[dict]:
+    """S5 — the "jit" JSON structure (``json_graph.jit_data``): one record per
+    node with ``{id, name, data, adjacencies:[{nodeTo, data}]}``."""
+    adj: dict[str, list] = {}
+    for r in edges.collect():
+        d = r.asDict(recursive=True)
+        adj.setdefault(d["src"], []).append({
+            "nodeTo": d["dst"],
+            "data": {"type": d.get("type"),
+                     "properties": d.get("properties") or {}},
+        })
+    out = []
+    for r in nodes.collect():
+        d = r.asDict(recursive=True)
+        out.append({
+            "id": d["label"],
+            "name": d["label"],
+            "data": _node_attrs(d),
+            "adjacencies": adj.get(d["label"], []),
+        })
+    return out
+
+
+def save_graph_json(nodes: DataFrame, edges: DataFrame, path: str,
+                    indent: int = 4) -> None:
+    """S5 — JSON sink (``save_test_ontology_to_json``,
+    ontology_processing_utils.py:214-219)."""
+    with open(path, "w") as f:
+        json.dump(jit_data(nodes, edges), f, indent=indent, default=str)
+
+
+def save_subgraphs_pickle(bundle_nodes: DataFrame, bundle_edges: DataFrame,
+                          subgraph_nodes: DataFrame, subgraph_edges: DataFrame,
+                          path: str) -> None:
+    """S7 — visualization-subgraphs pickle
+    (``process_visualization.py:22-33``): dict of named NetworkX subgraphs of
+    the annotated graph."""
+    import networkx as nx
+
+    base = to_networkx(bundle_nodes, bundle_edges)
+    members: dict[str, set] = {}
+    for r in subgraph_nodes.collect():
+        members.setdefault(r["subgraph_name"], set()).add(r["node_id"])
+    sub_edges: dict[str, set] = {}
+    for r in subgraph_edges.collect():
+        sub_edges.setdefault(r["subgraph_name"], set()).add((r["src"], r["dst"]))
+
+    graphs = {}
+    for name, node_set in members.items():
+        g = nx.DiGraph()
+        for n in node_set:
+            if base.has_node(n):
+                g.add_node(n, **base.nodes[n])
+        for u, v in sub_edges.get(name, ()):
+            if base.has_edge(u, v):
+                g.add_edge(u, v, **base.edges[u, v])
+            else:  # per-pv reversed solution edge (G9)
+                attrs = base.edges[v, u] if base.has_edge(v, u) else {}
+                g.add_edge(u, v, **attrs)
+        graphs[name] = g
+    with open(path, "wb") as f:
+        pickle.dump(graphs, f)
