@@ -55,8 +55,16 @@ _CUE_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
 _TRAIL_PUNCT = re.compile(r"[\s.!?,;:]+$")
 
 
+def _link_score(surface: str, canonical: str) -> float:
+    """Entity-link score (north_star "entity-link scoring"): exact canonical
+    label -> 1.0, alias/morphological variant -> 0.9.  Deterministic; richer
+    scorers (edit distance, context) slot in here."""
+    return 1.0 if surface.strip().lower() == canonical.lower() else 0.9
+
+
 def extract_from_text(text: str, aliases: dict[str, str]) -> list[tuple[str, str, str, float]]:
-    """One document -> [(subj, pred, obj, score)].  Both slots must resolve."""
+    """One document -> [(subj, pred, obj, score)].  Both slots must resolve;
+    the triple score is the product of the two slot link scores."""
     out = []
     for sent in _SENT_SPLIT.split(text):
         sent = _TRAIL_PUNCT.sub("", sent.strip())
@@ -66,13 +74,15 @@ def extract_from_text(text: str, aliases: dict[str, str]) -> list[tuple[str, str
             m = pat.match(sent)
             if not m:
                 continue
-            s1 = aliases.get(m.group(1).strip().lower())
-            s2 = aliases.get(m.group(2).strip().lower())
+            surf1, surf2 = m.group(1).strip(), m.group(2).strip()
+            s1 = aliases.get(surf1.lower())
+            s2 = aliases.get(surf2.lower())
             if s1 is None or s2 is None:
                 continue
+            score = _link_score(surf1, s1) * _link_score(surf2, s2)
             if swap:
                 s1, s2 = s2, s1
-            out.append((s1, pred, s2, 1.0))
+            out.append((s1, pred, s2, round(score, 4)))
             break  # first matching cue wins per sentence
     return out
 

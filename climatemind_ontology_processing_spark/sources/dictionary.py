@@ -102,6 +102,22 @@ def concepts_df(spark: SparkSession, path: str | None = None,
     return spark.createDataFrame(rows, CONCEPT_SCHEMA)
 
 
+def class_edges(concepts: DataFrame) -> DataFrame:
+    """``is_a`` edges from the class hierarchy (G1's class-DFS analog,
+    ``network_class.py:65-81,84-119``): the reference emits
+    (class_label, individual_label, "is_a") for every class reachable above an
+    individual.  With the ancestor closure precomputed in ``all_classes``,
+    that set is exactly one explode — no traversal needed (SURVEY §2.7 G1).
+    """
+    from pyspark.sql import functions as F
+
+    return (concepts.select(
+        F.explode("all_classes").alias("subj"),
+        F.lit("is_a").alias("pred"),
+        F.col("label").alias("obj"))
+        .distinct())
+
+
 def alias_map(path: str | None = None, alias_fn=default_aliases) -> dict[str, str]:
     """alias (lowercased) -> canonical concept label.  Broadcast to executors
     for Aho-Corasick-style mention scanning (functions/mentions.py)."""
