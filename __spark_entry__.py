@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from climatemind_ontology_processing_spark.operators.canonicalize import (
     connected_components)
 from climatemind_ontology_processing_spark.operators.dedup import (
-    dedup_exact, jaccard_pairs, minhash_lsh_pairs, simhash_near_pairs)
+    dedup_exact, jaccard_pairs, minhash_lsh_pairs, near_dup_pairs,
+    simhash_near_pairs)
 from climatemind_ontology_processing_spark.operators.similarity import (
     brute_force_topk)
 from climatemind_ontology_processing_spark.operators.textstats import (
@@ -124,6 +125,16 @@ def _q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH candidate pairs — hash-specific, rows-only check."""
     docs = _read(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs).orderBy("a", "b")
+
+
+def _q_near_dup(spark, sf_dir):
+    """Production near-dup: LSH candidates -> exact Jaccard verify.
+    Rows-only (bucket collisions are hash-specific); the exact-Jaccard subset
+    relation vs `jaccard_pairs` is pinned in pytest."""
+    docs = _read(spark, sf_dir, "documents")
+    return (near_dup_pairs(docs, threshold=0.5)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("a", "b"))
 
 
 def _q_simhash(spark, sf_dir):
@@ -362,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh,       # rows-only (hash-specific)
+        "near_dup_pairs": _q_near_dup,             # rows-only (hash-specific)
         "simhash_pairs": _q_simhash,               # rows-only (hash-specific)
         "lang_stats": _q_lang_stats,
         "token_counts": _q_token_counts,

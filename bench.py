@@ -75,8 +75,8 @@ def main() -> None:
 
     # --- driver-table headline queries ---------------------------------------
     headline = [
-        "cooccurrence_edges", "dedup_exact", "jaccard_pairs",
-        "minhash_lsh_pairs", "trade_edges", "bfs_reachable",
+        "cooccurrence_edges", "dedup_exact", "near_dup_pairs",
+        "trade_edges", "bfs_reachable",
         "closure_counts", "connected_components", "cosine_topk",
         "quality_features", "language_id",
     ]

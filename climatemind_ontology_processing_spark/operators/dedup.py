@@ -150,6 +150,34 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("a", "b", "jaccard"))
 
 
+def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3,
+                   threshold: float = 0.5, num_hashes: int = 32,
+                   bands: int = 8) -> DataFrame:
+    """Production near-dup path: MinHash+LSH candidate generation, then EXACT
+    n-gram Jaccard verification on candidates only.
+
+    All-pairs Jaccard (``jaccard_pairs``) shuffles every (doc, shingle) pair
+    against itself — quadratic in docs-per-shingle; this composition touches
+    only LSH-bucket collisions, which is the 10^12-doc shape.  Recall bound
+    comes from the banding parameters (8 bands x 4 rows: >=97% recall at
+    jaccard 0.7, ~60% at 0.5 — raise ``bands`` for lower thresholds).
+    """
+    cand = minhash_lsh_pairs(docs, id_col, text_col, n, num_hashes, bands)
+    sh = with_shingles(docs, text_col, n).select(
+        F.col(id_col).alias("_id"), F.col("shingles"))
+    joined = (cand
+              .join(sh.withColumnRenamed("_id", "a")
+                      .withColumnRenamed("shingles", "_sa"), "a")
+              .join(sh.withColumnRenamed("_id", "b")
+                      .withColumnRenamed("shingles", "_sb"), "b"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return (joined.withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64,
             out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash over word tokens, fully JVM-side.

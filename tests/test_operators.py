@@ -186,3 +186,15 @@ def test_simhash_near_pairs(spark, docs):
     got = {(r.a, r.b) for r in simhash_near_pairs(docs, max_hamming=10).collect()}
     assert (0, 1) in got
     assert (0, 3) not in got
+
+
+def test_near_dup_pairs_subset_of_exact(spark, docs):
+    """LSH-verified near-dups are exact-jaccard-correct and a subset of the
+    all-pairs result (recall bounded by banding)."""
+    from climatemind_ontology_processing_spark.operators.dedup import near_dup_pairs
+    exact = {(r.a, r.b): r.jaccard for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    nd = {(r.a, r.b): r.jaccard for r in near_dup_pairs(docs, threshold=0.5).collect()}
+    assert set(nd) <= set(exact)
+    for k, v in nd.items():
+        assert abs(v - exact[k]) < 1e-9
+    assert (0, 1) in nd  # identical docs always collide in every band
