@@ -49,17 +49,33 @@ def dedup_exact(docs: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 # shingling helpers (shared by MinHash / Jaccard)
 # ---------------------------------------------------------------------------
+def let_bound(expr, fn):
+    """Let-binding for column expressions: evaluate ``expr`` ONCE and feed it
+    to ``fn`` as a lambda variable.
+
+    Catalyst does not do common-subexpression elimination inside higher-order
+    lambdas, so referencing an expensive expression (e.g. a regex split) from
+    a per-element lambda re-evaluates it per element — measured 90x slowdown
+    on shingling.  Wrapping the expression in a one-element array and
+    transforming it binds it to a lambda variable, which IS evaluated once.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
                   out_col: str = "shingles") -> DataFrame:
     """Word n-gram shingle set as an array<long> of xxhash64 values.
 
-    Built entirely from JVM-side higher-order functions: tokenize, slide an
-    n-window via transform over indices, hash each shingle.
+    Built entirely from JVM-side higher-order functions: tokenize ONCE
+    (let-bound), slide an n-window via transform over indices, hash each
+    shingle.
     """
     tokens = F.split(F.lower(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
-    shingle = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i + 1, n))))
+    shingle = let_bound(
+        tokens,
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, n)))))
     return docs.withColumn(out_col, F.array_distinct(shingle))
 
 
@@ -82,8 +98,12 @@ def minhash_signature(shingles_col, num_hashes: int = 32):
         # binding (lambda x, a=a: ...) would mis-register as a 3-arg lambda
         return lambda x: (F.pmod(x, F.lit(p)) * F.lit(a) + F.lit(b)) % F.lit(p)
 
-    mins = [F.array_min(F.transform(shingles_col, perm(a, b))) for a, b in coeffs]
-    return F.array(*mins)
+    # let-bind the shingle array: 32 references would otherwise re-evaluate
+    # the (projection-collapsed) shingle expression 32x per row
+    return let_bound(
+        shingles_col,
+        lambda s: F.array(*[F.array_min(F.transform(s, perm(a, b)))
+                            for a, b in coeffs]))
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -110,7 +130,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                 F.xxhash64(F.concat_ws(
                     ",", F.slice(F.col("sig"), b * rows + 1, rows))).alias("bh"),
             ))).alias("bucket"))
-    buckets = banded.select("doc", "bucket.band", "bucket.bh")
+    # materialize: the self-join below would otherwise compute the shingle +
+    # signature pipeline twice (once per alias)
+    buckets = banded.select("doc", "bucket.band", "bucket.bh") \
+        .localCheckpoint(eager=True)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (left.join(right,
@@ -165,7 +188,8 @@ def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     cand = minhash_lsh_pairs(docs, id_col, text_col, n, num_hashes, bands)
     sh = with_shingles(docs, text_col, n).select(
-        F.col(id_col).alias("_id"), F.col("shingles"))
+        F.col(id_col).alias("_id"), F.col("shingles")) \
+        .localCheckpoint(eager=True)  # referenced twice (a- and b-side)
     joined = (cand
               .join(sh.withColumnRenamed("_id", "a")
                       .withColumnRenamed("shingles", "_sa"), "a")
@@ -193,13 +217,18 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64,
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
             F.lit(1)).otherwise(F.lit(-1))
 
-    acc = None
-    for i in range(bits):
-        bit = F.aggregate(tokens, F.lit(0), bit_sum(i))
-        contrib = F.when(bit > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(contrib, i)
-        acc = term if acc is None else acc.bitwiseOR(term)
-    return docs.withColumn(out_col, acc)
+    def assemble(toks):
+        acc = None
+        for i in range(bits):
+            bit = F.aggregate(toks, F.lit(0), bit_sum(i))
+            contrib = F.when(bit > 0, F.lit(1).cast("long")) \
+                       .otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(contrib, i)
+            acc = term if acc is None else acc.bitwiseOR(term)
+        return acc
+
+    # let-bind: 64 aggregate calls over `tokens` would re-split the text 64x
+    return docs.withColumn(out_col, let_bound(tokens, assemble))
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
