@@ -182,6 +182,17 @@ def induced_edges(edges: DataFrame, nodeset: DataFrame) -> DataFrame:
                  .join(ns.withColumnRenamed("id", "dst"), "dst", "left_semi"))
 
 
+def union_subgraph(nodesets: list[DataFrame], edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """U4 — ``union_subgraph`` (``ontology_processing_utils.py:44-59``): union
+    the node sets, then re-induce edges from the BASE graph so cross-subgraph
+    edges are kept (unlike ``nx.union``).  Returns (nodes, induced_edges)."""
+    out = nodesets[0].select(F.col(nodesets[0].columns[0]).alias("id"))
+    for ns in nodesets[1:]:
+        out = out.unionByName(ns.select(F.col(ns.columns[0]).alias("id")))
+    out = out.distinct()
+    return out, induced_edges(edges, out)
+
+
 def transitive_closure(edges: DataFrame, edge_type: str | None = None,
                        max_iters: int = 200) -> DataFrame:
     """Reflexive-transitive closure pairs (src, dst): src reaches dst.

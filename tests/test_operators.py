@@ -198,3 +198,15 @@ def test_near_dup_pairs_subset_of_exact(spark, docs):
     for k, v in nd.items():
         assert abs(v - exact[k]) < 1e-9
     assert (0, 1) in nd  # identical docs always collide in every band
+
+
+def test_union_subgraph(spark, tiny_edges):
+    """U4 — cross-subgraph edges are kept when re-inducing from the base."""
+    from climatemind_ontology_processing_spark.operators.traversal import union_subgraph
+    ns1 = spark.createDataFrame([("r",), ("a",)], "id string")
+    ns2 = spark.createDataFrame([("b",), ("c",)], "id string")
+    nodes, edges = union_subgraph([ns1, ns2], tiny_edges)
+    assert {r.id for r in nodes.collect()} == {"r", "a", "b", "c"}
+    got = {(r.src, r.dst) for r in edges.collect()}
+    # ('a','b') crosses the two subgraphs and must be present (unlike nx.union)
+    assert got == {("r", "a"), ("a", "b"), ("b", "c")}
