@@ -44,6 +44,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # warm-up: fork python workers / heat codegen so the first timed query
+    # doesn't absorb session startup
+    triples_from_pages(pages_df(spark, 1000, seed=1, partitions=cpus)).count()
+
     # --- core pipeline: pages -> triples ------------------------------------
     n_pages = max(int(500_000 * sf), 1000)
     pages = pages_df(spark, n_pages, seed=42, partitions=cpus * 2)
