@@ -364,6 +364,24 @@ def _q_cosine_topk(spark, sf_dir):
             .orderBy("qid", "rank"))
 
 
+def _q_cosine_histogram(spark, sf_dir):
+    """All-pairs cosine similarity histogram (0.1 buckets) over the first 200
+    vectors — the exact-verification kernel of embedding near-dup detection
+    (operators/similarity.py embedding_near_dups), aggregate-checkable."""
+    from climatemind_ontology_processing_spark.operators.similarity import cosine
+    emb = (_read(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 200)
+           .select("vec_id", F.transform(
+               "embedding", lambda x: x.cast("double")).alias("v")))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(cosine(F.col("a.v"), F.col("b.v")).alias("c")))
+    return (pairs.groupBy(F.floor(F.col("c") * 10).cast("int").alias("bucket"))
+            .agg(F.count("*").alias("n_pairs"))
+            .orderBy("bucket"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -394,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acyclic_cut": _q_acyclic_cut,
         "connected_components": _q_connected_components,
         "cosine_topk": _q_cosine_topk,
+        "cosine_histogram": _q_cosine_histogram,
     }
 
 
@@ -663,5 +682,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, vec_id, cos_sim, rank FROM ranked
             WHERE rank <= 5 ORDER BY qid, rank
+        """,
+        "cosine_histogram": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                       WHERE vec_id < 200),
+            pairs AS (
+              SELECT list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))) AS c
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT floor(c * 10)::INT AS bucket, count(*) AS n_pairs
+            FROM pairs GROUP BY 1 ORDER BY bucket
         """,
     }

@@ -110,6 +110,43 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def embedding_near_dups(vectors: DataFrame, dim: int, threshold: float = 0.9,
+                        bits: int = 16, bands: int = 8,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (task brief: "embedding-cosine
+    near-dup"): random-hyperplane LSH bucketing -> exact cosine verification
+    on band collisions only.  Returns (a, b, cos_sim) with a < b.
+
+    High thresholds need few bits per band (here 2): vectors within angle
+    arccos(t) collide in a band with prob (1 - angle/pi)^rows.
+    """
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    v = vectors.select(F.col(id_col).alias("vid"),
+                       F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+    sig = lsh_signature(F.col("v"), dim, bits)
+    banded = v.select(
+        "vid", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(sig, b * rows).bitwiseAND(F.lit(mask)).alias("bh"))
+            for b in range(bands)
+        ])).alias("bk")).select("vid", "v", "bk.band", "bk.bh") \
+        .localCheckpoint(eager=True)
+    cand = (banded.alias("l").join(
+                banded.alias("r"),
+                (F.col("l.band") == F.col("r.band")) &
+                (F.col("l.bh") == F.col("r.bh")) &
+                (F.col("l.vid") < F.col("r.vid")))
+            .select(F.col("l.vid").alias("a"), F.col("r.vid").alias("b"),
+                    F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+            .dropDuplicates(["a", "b"]))
+    return (cand.withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("a", "b", "cos_sim"))
+
+
 def ivf_assign(vectors: DataFrame, dim: int, n_cells: int = 16, seed: int = 42,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Coarse IVF cell assignment: nearest of n_cells deterministic unit

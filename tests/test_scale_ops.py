@@ -131,3 +131,13 @@ def test_incremental_antijoin(spark, tmp_path):
     urls = {r.url for r in inc2.select("url").distinct().collect()}
     old_urls = {r.url for r in p1.select("url").collect()}
     assert not (urls & old_urls), "already-processed pages must be skipped"
+
+
+def test_embedding_near_dups(spark, vectors):
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        embedding_near_dups)
+    got = {(r.a, r.b): r.cos_sim
+           for r in embedding_near_dups(vectors, dim=16, threshold=0.99).collect()}
+    assert (0, 100) in got and got[(0, 100)] == 1.0
+    # unrelated gaussian vectors almost never reach cosine 0.99
+    assert all(k == (0, 100) for k in got)
