@@ -276,6 +276,25 @@ def _q_value_collapse(spark, sf_dir):
         .orderBy("user_id"))
 
 
+def _q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + running sum of
+    session-start flags, then per-session aggregates — the stateful-windowing
+    pattern the engine adds beyond the batch reference (§2.9)."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    epoch = F.unix_timestamp(F.col("ts"))  # NTZ interpreted in UTC session TZ
+    prev = e.withColumn("_prev_ts", F.lag(epoch).over(w))
+    gap = epoch - F.col("_prev_ts")
+    flagged = prev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(w))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 (F.max(epoch) - F.min(epoch)).alias("duration_sec"))
+            .orderBy("user_id", "session_id"))
+
+
 def _q_event_sessions(spark, sf_dir):
     """Windowed aggregation: hourly tumbling event counts by type (§2.9 —
     window functionality the engine adds beyond the batch reference)."""
@@ -405,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_event_per_user": _q_first_event_per_user,
         "value_collapse": _q_value_collapse,
         "event_sessions": _q_event_sessions,
+        "user_sessions": _q_user_sessions,
         "trade_edges": _q_trade_edges,
         "bfs_reachable": _q_bfs_reachable,
         "closure_counts": _q_closure_counts,
@@ -604,6 +624,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "user_sessions": """
+            WITH flagged AS (
+              -- floor(epoch) mirrors Spark's cast(ts as long) truncation
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ),
+            sess AS (
+              -- ::BIGINT: duckdb sum() yields HUGEINT, which stringifies
+              -- differently through pandas than Spark's long
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC)::BIGINT
+                       AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   (max(floor(epoch(ts))) - min(floor(epoch(ts))))::BIGINT
+                     AS duration_sec
+            FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id
         """,
         "trade_edges": f"""
             {_TRADE_SQL} ORDER BY src, dst
