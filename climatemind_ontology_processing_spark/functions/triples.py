@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..config import CAUSES, INHIBITS, MYTH_ABOUT
+from ..config import CAUSES, EXPOSURE, INHIBITS, MYTH_ABOUT, POPULATION
 
 TRIPLES_SCHEMA = T.StructType([
     T.StructField("subj", T.StringType(), False),
@@ -50,6 +50,10 @@ _CUE_PATTERNS: list[tuple[re.Pattern, str, bool]] = [
     (re.compile(r"^(.+?)\s+is inhibited by\s+(.+?)$", re.IGNORECASE), INHIBITS, False),
     (re.compile(r"^(.+?)\s+prevents\s+(.+?)$", re.IGNORECASE), INHIBITS, True),
     (re.compile(r"^(.+?)\s+is a myth about\s+(.+?)$", re.IGNORECASE), MYTH_ABOUT, False),
+    (re.compile(r"^(.+?)\s+has exposure dependency of\s+(.+?)$", re.IGNORECASE),
+     EXPOSURE, False),
+    (re.compile(r"^(.+?)\s+affects the population of\s+(.+?)$", re.IGNORECASE),
+     POPULATION, False),
 ]
 
 _TRAIL_PUNCT = re.compile(r"[\s.!?,;:]+$")

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..config import CAUSES, INHIBITS, MYTH_ABOUT
+from ..config import CAUSES, EXPOSURE, INHIBITS, MYTH_ABOUT, POPULATION
 from .dictionary import default_aliases, load_concept_rows
 
 PAGES_SCHEMA = T.StructType([
@@ -144,6 +144,16 @@ def gen_row(seed: int, i: int) -> tuple[str, dt.datetime, bytes, str, str, list[
             m, b = rng.sample(labels, 2)
             sentences.append(f"{_surface(rng, m)} is a myth about {_surface(rng, b)}.")
             expected.append((m, MYTH_ABOUT, b))
+        elif kind < 0.78:
+            a, b = rng.sample(labels, 2)
+            sentences.append(
+                f"{_surface(rng, a)} has exposure dependency of {_surface(rng, b)}.")
+            expected.append((a, EXPOSURE, b))
+        elif kind < 0.81:
+            a, b = rng.sample(labels, 2)
+            sentences.append(
+                f"{_surface(rng, a)} affects the population of {_surface(rng, b)}.")
+            expected.append((a, POPULATION, b))
         elif kind < 0.90:
             # distractor with cue verb but non-dictionary entities (precision)
             e1, e2 = rng.sample(_DISTRACTOR_ENTITIES, 2)
