@@ -28,22 +28,28 @@ MENTIONS_SCHEMA = T.StructType([
     T.StructField("pos", T.IntegerType(), False),
 ])
 
-# per-process regex cache: key -> (compiled_pattern, alias_lookup)
-_REGEX_CACHE: dict[int, tuple[re.Pattern, dict[str, str]]] = {}
+# per-process single-entry compile cache.  Long-lived Python workers
+# deserialize a FRESH alias dict per task, so an id()-keyed cache would grow
+# one (regex + dict) entry per task forever; keying on a content hash and
+# keeping only the latest entry bounds memory to one compiled dictionary.
+_REGEX_CACHE: list = [None, None, None]  # [content_key, pattern, aliases]
+
+
+def _alias_key(aliases: dict[str, str]) -> int:
+    return hash(frozenset(aliases.items()))
 
 
 def _compiled(aliases: dict[str, str]) -> tuple[re.Pattern, dict[str, str]]:
     """Longest-first alternation over all alias surface forms, word-bounded."""
-    key = id(aliases)
-    hit = _REGEX_CACHE.get(key)
-    if hit is not None:
-        return hit
+    key = _alias_key(aliases)
+    if _REGEX_CACHE[0] == key:
+        return _REGEX_CACHE[1], _REGEX_CACHE[2]
     ordered = sorted(aliases, key=len, reverse=True)
     pat = re.compile(
         r"(?<![A-Za-z0-9])(" + "|".join(re.escape(a) for a in ordered) + r")(?![A-Za-z0-9])",
         re.IGNORECASE,
     )
-    _REGEX_CACHE[key] = (pat, aliases)
+    _REGEX_CACHE[0], _REGEX_CACHE[1], _REGEX_CACHE[2] = key, pat, aliases
     return pat, aliases
 
 

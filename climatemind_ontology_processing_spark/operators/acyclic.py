@@ -38,3 +38,25 @@ def make_acyclic(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """Edges of graph B = edges minus the feedback-loop cut set."""
     cut = feedback_edges(edges, nodes).withColumn("type", F.lit(CAUSES))
     return edges.join(F.broadcast(cut), ["src", "dst", "type"], "left_anti")
+
+
+def residual_cycle_pairs(edges_b: DataFrame) -> DataFrame:
+    """Nodes still on a directed cycle after the rule-based cut.
+
+    The G5 reachability-product rewrite (operators/adaptation.py) is
+    equivalent to ``nx.all_simple_paths`` ONLY on a DAG, and ``make_acyclic``
+    is a declarative rule, not a cycle detector — web-extracted triples can
+    contain residual cycles (A causes B, B causes A).  This validator makes
+    the DAG precondition checkable: returns (u, v) pairs with u < v where both
+    reach(u, v) and reach(v, u) hold, i.e. u and v share a cycle.  Empty ⇒ B
+    is a DAG and the G5 rewrite is exact.  Callers quarantine or fail when
+    non-empty (tests/test_graph_parity.py pins emptiness on the golden graph).
+    """
+    from .traversal import transitive_closure
+
+    closure = transitive_closure(edges_b)  # reflexive
+    fwd = closure.filter(F.col("src") < F.col("dst"))
+    rev = closure.filter(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.join(rev, ["src", "dst"], "left_semi") \
+              .select(F.col("src").alias("u"), F.col("dst").alias("v"))

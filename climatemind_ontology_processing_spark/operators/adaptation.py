@@ -10,7 +10,11 @@ Reproduces ``make_graph_class.process_node_identity`` (:515-559):
   acyclic graph B this set is exactly {n : reach(root, n) ∧ reach(n, e)}
   (reflexive closure — ``all_simple_paths(r, r)`` yields [[r]]), so we compute
   ONE transitive closure restricted to the downstream component and take the
-  reachability product (SURVEY §4 "transitive closure").
+  reachability product (SURVEY §4 "transitive closure").  This equivalence
+  REQUIRES B acyclic — a validated invariant, not an assumption: the rule cut
+  does not guarantee it on web triples, so ``acyclic.residual_cycle_pairs``
+  must be empty before trusting G5 output (pinned on the golden graph in
+  tests/test_graph_parity.py; production runs quarantine non-empty results).
 * G8: per effect node e, adaptation solutions = inhibit-type out-neighbors
   (queried on the PRE-cut graph G, :533-540 — the G/B split) of e's
   intermediate nodes, deduped.

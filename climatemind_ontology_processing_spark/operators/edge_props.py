@@ -87,11 +87,13 @@ def remove_edge_properties_from_nodes(nodes: DataFrame,
                .agg(F.map_from_entries(
                    F.collect_list(F.struct("prop", "removed"))).alias("_removed")))
     joined = nodes.join(F.broadcast(removal), "label", "left")
+    # element_at (not getItem/[]): a lambda-variable key is a Column, and
+    # Column-key getItem is deprecated (FutureWarning, removal announced)
     cleaned = F.transform_values(
         F.col("properties"),
         lambda k, v: F.when(
-            F.col("_removed").isNotNull() & F.col("_removed").getItem(k).isNotNull(),
-            F.sort_array(F.array_except(v, F.col("_removed")[k]))
+            F.col("_removed").isNotNull() & F.element_at(F.col("_removed"), k).isNotNull(),
+            F.sort_array(F.array_except(v, F.element_at(F.col("_removed"), k)))
         ).otherwise(F.sort_array(v)))
     return (joined
             .withColumn("properties",

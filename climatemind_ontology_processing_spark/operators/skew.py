@@ -93,7 +93,15 @@ def salted_join_small(big: DataFrame, small: DataFrame, key: str,
 
     Use when the small side is too big to broadcast outright but small enough
     to replicate ``buckets`` times across the shuffle.
+
+    Only inner/left are correct: the small side is cross-joined with every
+    salt value before the join, so right/outer would emit each unmatched
+    small-side row once PER SALT REPLICA (``buckets`` duplicates).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join_small supports how='inner'|'left', got {how!r}: "
+            "replicated small-side rows would duplicate under outer semantics")
     big_s = with_salt(big, key, buckets)
     salts = big.sparkSession.range(buckets).select(
         F.col("id").cast("int").alias("_salt"))

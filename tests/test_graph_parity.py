@@ -105,6 +105,27 @@ def test_acyclic_cut_idempotent(bundle):
     assert feedback_edges(bundle.edges, bundle.nodes).count() == 0
 
 
+def test_b_is_dag(bundle):
+    """G5 DAG precondition as a VALIDATED invariant: the reachability-product
+    rewrite of all_simple_paths is exact only when B is acyclic, and the rule
+    cut doesn't guarantee that — so pin it (operators/acyclic.py
+    residual_cycle_pairs docstring)."""
+    from climatemind_ontology_processing_spark.operators.acyclic import (
+        residual_cycle_pairs)
+    assert residual_cycle_pairs(bundle.edges_b).count() == 0
+
+
+def test_residual_cycle_detector_fires(spark):
+    """The validator actually detects cycles (A->B->A plus an acyclic tail)."""
+    from climatemind_ontology_processing_spark.operators.acyclic import (
+        residual_cycle_pairs)
+    edges = spark.createDataFrame(
+        [("a", "b", "t"), ("b", "a", "t"), ("b", "c", "t")],
+        "src string, dst string, type string")
+    pairs = {(r.u, r.v) for r in residual_cycle_pairs(edges).collect()}
+    assert pairs == {("a", "b")}
+
+
 def test_edge_cyto_parity(golden, bundle):
     got = {(r["src"], r["dst"]): sorted(r["cyto_classes"])
            for r in bundle.annotated_edges.collect()}
