@@ -85,12 +85,22 @@ def build_graph(triples: DataFrame, concepts: DataFrame,
     adapt = adaptation_solutions(edges, edges_b, root).localCheckpoint(eager=True)
     adapt_ids = total_adaptation_nodes(adapt)
 
-    # solution sources (A5) for mitigation + adaptation solution nodes
-    sol_ids = (mit.unionByName(adapt_ids)).distinct()
+    # solution sources (A5) for mitigation + adaptation solution nodes.
+    # Reference gating differs per pass: mitigation sets the attribute only
+    # when non-empty (make_graph_class.py:508 ``if sources:``), adaptation
+    # sets it unconditionally (:553-557) — so empty bags survive only for
+    # adaptation solutions.
+    sol_ids = (mit.withColumn("_always", F.lit(False))
+               .unionByName(adapt_ids.withColumn("_always", F.lit(True))))
+    sol_flags = sol_ids.groupBy("id").agg(F.max("_always").alias("_always"))
     solution_sources_df = (nodes
-        .join(sol_ids.withColumnRenamed("id", "label"), "label", "left_semi")
+        .join(sol_flags.withColumnRenamed("id", "label"), "label")
         .select("label",
-                flatten_source_lists(F.col("properties")).alias("solution_sources")))
+                F.when((F.size(flatten_source_lists(F.col("properties"))) > 0)
+                       | F.col("_always"),
+                       flatten_source_lists(F.col("properties")))
+                 .alias("solution_sources"))
+        .filter(F.col("solution_sources").isNotNull()))
 
     # annotated graph + cyto + subgraphs (checkpointed: the 25-subgraph
     # fan-out below references these plans ~25x each — without truncation
@@ -111,13 +121,26 @@ def build_graph(triples: DataFrame, concepts: DataFrame,
     # causal sources
     causal = causal_sources(edges)
 
-    # fold per-node annotation outputs back onto the node table
+    # fold per-node annotation outputs back onto the node table, including
+    # the two ROOT-node ranked lists the reference pins as attributes of
+    # "increase in greenhouse effect" (make_graph_class.py:499-503 mitigation
+    # solutions; process_myths.py:102-106 general myths) — the S4 gpickle
+    # feeds an app from these fields, so the node table must carry them
+    gen_myth_list = [r["myth"] for r in gen_myths.collect()]
+
+    def _root_list(values: list[str]):
+        arr = (F.array(*[F.lit(v) for v in values]) if values
+               else F.array().cast("array<string>"))
+        return F.when(F.col("label") == root, arr)
+
     nodes_final = (nodes
         .join(solution_sources_df, "label", "left")
         .join(adapt.withColumnRenamed("effect", "label"), "label", "left")
         .join(myth_cat.withColumnRenamed("target", "label"), "label", "left")
         .join(myth_src.withColumnRenamed("myth", "label"), "label", "left")
-        .join(causal, "label", "left"))
+        .join(causal, "label", "left")
+        .withColumn("mitigation_solutions", _root_list(mit_ranked))
+        .withColumn("general_myths", _root_list(gen_myth_list)))
 
     return GraphBundle(
         nodes=nodes_final,

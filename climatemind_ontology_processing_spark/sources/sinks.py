@@ -40,6 +40,24 @@ def _node_attrs(row: dict) -> dict[str, Any]:
         out[k] = v
     if row.get("cyto_classes") is not None:
         out["cyto_classes"] = row["cyto_classes"]
+    # annotation-pass attributes with the reference's exact spellings — the
+    # reference sets each only on qualifying nodes (null column -> no key):
+    # make_graph_class.py:499-513 (mitigation solutions / solution sources),
+    # :546-557 (adaptation solutions), process_myths.py:33-48 (solution/
+    # impact myths, set only when non-empty), :74-78 (myth sources),
+    # :102-106 (general myths), process_causal_sources.py:63-67
+    for col, key in (("mitigation_solutions", "mitigation solutions"),
+                     ("general_myths", "general myths"),
+                     ("solution_sources", "solution sources"),
+                     ("adaptation_solutions", "adaptation solutions"),
+                     ("myth_sources", "myth sources"),
+                     ("causal_sources", "causal sources")):
+        if row.get(col) is not None:
+            out[key] = row[col]
+    for col, key in (("solution_myths", "solution myths"),
+                     ("impact_myths", "impact myths")):
+        if row.get(col):  # reference never writes an empty myth list
+            out[key] = row[col]
     return out
 
 

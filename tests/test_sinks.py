@@ -103,3 +103,49 @@ def test_gpickle_loadable_networkx(artifacts):
         g = pickle.load(f)
     assert isinstance(g, nx.DiGraph)
     assert g.number_of_nodes() == 160 and g.number_of_edges() == 220
+
+
+def test_gpickle_annotation_attributes(artifacts):
+    """The S4 gpickle must carry the feed-driving annotation attributes the
+    reference sets before save_graph_to_pickle (make_graph.py:39-57):
+    ranked lists on the root, solution/adaptation/myth/causal fields on
+    qualifying nodes, with the reference's exact (space-separated) spellings.
+    """
+    with open(os.path.join(artifacts, "Climate_Mind_DiGraph.gpickle"), "rb") as f:
+        g = pickle.load(f)
+    root = "increase in greenhouse effect"
+    root_attrs = g.nodes[root]
+    # make_graph_class.py:499-503 / process_myths.py:102-106 — root lists
+    assert "mitigation solutions" in root_attrs
+    assert isinstance(root_attrs["mitigation solutions"], list)
+    assert root_attrs["mitigation solutions"], "golden graph has mitigations"
+    assert "general myths" in root_attrs
+
+    # every mitigation solution with sources carries 'solution sources'
+    # (make_graph_class.py:506-513)
+    with_sources = [n for n in root_attrs["mitigation solutions"]
+                    if g.nodes[n].get("properties")
+                    and any(g.nodes[n]["properties"].values())]
+    assert with_sources, "expect at least one sourced mitigation"
+    for n in with_sources:
+        assert "solution sources" in g.nodes[n], n
+
+    # downstream effect nodes carry 'adaptation solutions'
+    # (make_graph_class.py:546-548) — root itself is downstream
+    assert "adaptation solutions" in g.nodes[root]
+
+    # every myth node carries 'myth sources' (process_myths.py:74-78);
+    # the golden fixture happens to contain none, so this guards the rule
+    # without pinning a count
+    myth_nodes = [n for n, d in g.nodes(data=True) if "myth" in d]
+    for n in myth_nodes:
+        assert "myth sources" in g.nodes[n], n
+
+    # nodes with >=1 non-empty causes-edge property bag carry 'causal sources'
+    # (process_causal_sources.py:27-29)
+    causal_targets = {v for u, v, d in g.edges(data=True)
+                      if d.get("type") == "causes_or_promotes"
+                      and d.get("properties")}
+    assert causal_targets
+    for n in causal_targets:
+        assert "causal sources" in g.nodes[n], n
