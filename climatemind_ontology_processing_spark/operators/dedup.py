@@ -21,15 +21,24 @@ def dedup_triples(triples: DataFrame, keep_provenance: bool = True) -> DataFrame
     """Distinct (subj, pred, obj); when keeping provenance, retain the earliest
     (warc_ts, url) occurrence — deterministic regardless of partitioning.
 
-    One shuffle on the triple key; map-side partial aggregation applies.
+    One shuffle on the triple key via ``min_by`` hash aggregation — unlike a
+    row_number window, partial (map-side) aggregation applies, so each mapper
+    forwards at most one row per key and no partition-wide sort happens.
+    Nulls sort last (max-sentinel coalesce), matching the previous
+    asc_nulls_last window semantics.
     """
     if not keep_provenance:
         return triples.select("subj", "pred", "obj").dropDuplicates(
             ["subj", "pred", "obj"])
-    w = Window.partitionBy("subj", "pred", "obj").orderBy(
-        F.col("warc_ts").asc_nulls_last(), F.col("url").asc_nulls_last())
-    return (triples.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+    order_key = F.struct(
+        F.coalesce(F.col("warc_ts"),
+                   F.lit("9999-12-31 23:59:59").cast("timestamp")).alias("ts"),
+        F.coalesce(F.col("url"), F.lit("￿")).alias("u"))
+    row = F.struct(*[F.col(c) for c in triples.columns])
+    return (triples
+            .groupBy("subj", "pred", "obj")
+            .agg(F.min_by(row, order_key).alias("_row"))
+            .select("_row.*"))
 
 
 # ---------------------------------------------------------------------------
@@ -37,13 +46,32 @@ def dedup_triples(triples: DataFrame, keep_provenance: bool = True) -> DataFrame
 # ---------------------------------------------------------------------------
 def dedup_exact(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id row per exact text; single shuffle on a 64-bit
-    fingerprint (not the full text — cheap network, rare collisions resolved by
-    grouping on the text itself within the fingerprint group)."""
-    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)) \
-              .orderBy(F.col(id_col).asc())
-    return (docs.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+    """Keep the lowest-id row per exact text — with a KEYS-ONLY shuffle.
+
+    100 TB shape: the winner per text group is decided over a projection of
+    (id, fp128) where fp128 is a pair of independent 64-bit xxhash values
+    computed map-side — the document body never enters an exchange.  The
+    groupBy gets map-side partial aggregation (min).  Survivor rows are then
+    recovered with a left-semi join on the table's own key:
+
+    * at benchmark scale AQE turns it into a broadcast semi-join (zero
+      shuffle of the corpus);
+    * at cluster scale, keying the rejoin by ``id_col`` (the storage key)
+      instead of by text lets a bucketed/storage-partitioned layout satisfy
+      it without a corpus shuffle — impossible for the old
+      window-over-(hash, text) plan, whose exchange carried every body.
+
+    Two texts collide only if BOTH seeded xxhash64 values collide
+    (~2^-128 per pair — below any practical corpus's birthday bound; a
+    third seed column is a one-line change if that ever matters).
+    """
+    fp1 = F.xxhash64(F.col(text_col))
+    fp2 = F.xxhash64(F.lit("dedup-seed-2"), F.col(text_col))
+    keep = (docs.select(F.col(id_col), fp1.alias("_f1"), fp2.alias("_f2"))
+            .groupBy("_f1", "_f2")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return docs.join(keep, id_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------
