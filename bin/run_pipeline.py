@@ -38,8 +38,14 @@ def main() -> None:
     ap.add_argument("--pages", help="pages table path (parquet/iceberg dir)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of --pages")
+    ap.add_argument("--onto", help="process a NEW ontology .owl file end-to-end"
+                    " (the reference's processOntology entry point; ignores"
+                    " --pages/--synthetic)")
+    ap.add_argument("--dictionary", help="concepts.json path overriding the"
+                    " checked-in dictionary for the pages pipeline")
     ap.add_argument("--out", required=True, help="output warehouse dir")
-    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--run-id", default="owl",
+                    help="resume id (required for the pages pipeline)")
     ap.add_argument("--buckets", type=int, default=64,
                     help="url-hash resume buckets (cluster: 1000s)")
     ap.add_argument("--skip-graph", action="store_true",
@@ -59,6 +65,14 @@ def main() -> None:
     spark = SparkSession.builder.appName("cmkg-pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if args.onto:
+        from climatemind_ontology_processing_spark.plans.process_ontology import (
+            process_ontology_file)
+        bundle = process_ontology_file(args.onto, args.out, spark=spark)
+        print(f"ontology processed -> {args.out} "
+              f"({len(bundle.mitigation_ranked)} ranked mitigations)")
+        return
+
     if args.synthetic:
         pages = pages_df(spark, args.synthetic, seed=42)
     elif args.pages:
@@ -77,7 +91,7 @@ def main() -> None:
         return
 
     triples = spark.read.parquet(triples_path)
-    bundle = build_graph(triples, concepts_df(spark))
+    bundle = build_graph(triples, concepts_df(spark, path=args.dictionary))
     bundle.nodes.write.mode("overwrite").parquet(os.path.join(args.out, "nodes"))
     bundle.edges.write.mode("overwrite").parquet(os.path.join(args.out, "edges"))
     bundle.subgraph_nodes.write.mode("overwrite").partitionBy("subgraph_name") \

@@ -30,12 +30,14 @@ from .pipeline import triples_from_pages, write_triples
 
 def process_ontology(pages: DataFrame | None, output_dir: str,
                      triples: DataFrame | None = None,
-                     emit_parity_files: bool = True) -> GraphBundle:
+                     emit_parity_files: bool = True,
+                     concepts: DataFrame | None = None) -> GraphBundle:
     """Run the full EP1 pipeline; returns the GraphBundle.
 
     ``emit_parity_files`` additionally writes the reference-shaped
     pickle/JSON artifacts (driver-side collectors — curated-graph sizes only;
-    the tables are the scale outputs).
+    the tables are the scale outputs).  ``concepts`` overrides the checked-in
+    dictionary (e.g. one freshly built from an OWL file, S1).
     """
     spark = (pages or triples).sparkSession
     os.makedirs(output_dir, exist_ok=True)
@@ -50,7 +52,8 @@ def process_ontology(pages: DataFrame | None, output_dir: str,
                                  F.col("pred").alias("predicate")),
                   os.path.join(output_dir, "triples_csv"), fmt="csv")
 
-    bundle = build_graph(triples, concepts_df(spark))
+    bundle = build_graph(triples, concepts if concepts is not None
+                         else concepts_df(spark))
     bundle.nodes.write.mode("overwrite").parquet(os.path.join(output_dir, "nodes"))
     bundle.edges.write.mode("overwrite").parquet(os.path.join(output_dir, "edges"))
     bundle.subgraph_nodes.write.mode("overwrite").partitionBy("subgraph_name") \
@@ -70,3 +73,40 @@ def process_ontology(pages: DataFrame | None, output_dir: str,
                               os.path.join(output_dir,
                                            "graphs_for_visualization.pickle"))
     return bundle
+
+
+def process_ontology_file(onto_path: str, output_folder_path: str,
+                          spark=None, emit_parity_files: bool = True) -> GraphBundle:
+    """``processOntology(onto_path, output_folder_path)`` — the reference's
+    production entry point (``process_new_ontology_file.py:10-26``), taking a
+    NEW ``.owl`` file:
+
+    1. extract edge triples from the ontology (``make_network.outputEdges``
+       analog — sources/owl_reader.edge_triples) and write the CSV parity
+       artifact ``output.csv`` with the reference's header,
+    2. build the concept dictionary from the SAME file (S1 + the X1 subclass
+       closure, computed not copied),
+    3. run the full graph build + annotation passes + sinks.
+    """
+    from pyspark.sql import SparkSession
+
+    from ..sources.owl_reader import concepts_df_from_owl, triples_df_from_owl
+
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("no active SparkSession; pass spark=")
+    os.makedirs(output_folder_path, exist_ok=True)
+
+    triples = triples_df_from_owl(spark, onto_path)
+    # output.csv parity artifact (make_network.py:41-45 header + dedup)
+    (triples.select(F.col("subj").alias("subject"),
+                    F.col("obj").alias("object"),
+                    F.col("pred").alias("predicate"))
+     .dropDuplicates()
+     .toPandas().to_csv(os.path.join(output_folder_path, "output.csv"),
+                        index=False))
+    concepts = concepts_df_from_owl(spark, onto_path)
+    return process_ontology(None, output_folder_path, triples=triples,
+                            emit_parity_files=emit_parity_files,
+                            concepts=concepts)

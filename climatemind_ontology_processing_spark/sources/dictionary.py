@@ -79,12 +79,13 @@ def load_concept_rows(path: str | None = None) -> list[dict[str, Any]]:
     return json.loads(raw)
 
 
-def concepts_df(spark: SparkSession, path: str | None = None,
-                alias_fn=default_aliases) -> DataFrame:
-    """Build the concepts DataFrame.  Small (hundreds of rows) — callers wrap it
-    in ``F.broadcast`` at join sites."""
+def concepts_df_from_rows(spark: SparkSession, concept_rows: list[dict[str, Any]],
+                          alias_fn=default_aliases) -> DataFrame:
+    """concepts.json-shaped dicts -> concepts DataFrame.  Shared by the
+    checked-in-fixture path (``concepts_df``) and the S1 OWL reader
+    (``sources/owl_reader.concepts_df_from_owl``)."""
     rows = []
-    for c in load_concept_rows(path):
+    for c in concept_rows:
         dp = c.get("data_properties", {})
         rows.append((
             c["concept_id"],
@@ -100,6 +101,13 @@ def concepts_df(spark: SparkSession, path: str | None = None,
             sorted(dp.keys()),
         ))
     return spark.createDataFrame(rows, CONCEPT_SCHEMA)
+
+
+def concepts_df(spark: SparkSession, path: str | None = None,
+                alias_fn=default_aliases) -> DataFrame:
+    """Build the concepts DataFrame.  Small (hundreds of rows) — callers wrap it
+    in ``F.broadcast`` at join sites."""
+    return concepts_df_from_rows(spark, load_concept_rows(path), alias_fn)
 
 
 def class_edges(concepts: DataFrame) -> DataFrame:
