@@ -97,8 +97,15 @@ def test_lineage_resume(spark, tmp_path):
     pages = pages_df(spark, 120, seed=42, partitions=4)
     out_a = str(tmp_path / "a")
     lin_a = str(tmp_path / "lin_a")
-    # full run (oracle)
+    # full run (oracle) — job count must be CONSTANT in n_buckets (the
+    # single-pass rewrite: 3 actions, not ~3 per bucket; AQE may split an
+    # action into a few jobs, hence the slack)
+    sc = spark.sparkContext
+    sc.setJobGroup("lineage-full-run", "test")
     rep = run_bucketed(pages, out_a, lin_a, run_id="r1", n_buckets=4)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("lineage-full-run"))
+    sc.setJobGroup(None, None)
+    assert n_jobs <= 8, f"expected a constant handful of jobs, got {n_jobs}"
     assert sorted(rep.processed) == [0, 1, 2, 3] and rep.skipped == []
     full = {tuple(r) for r in spark.read.parquet(out_a).select("subj", "pred", "obj").collect()}
 
