@@ -383,6 +383,23 @@ def _q_cosine_topk(spark, sf_dir):
             .orderBy("qid", "rank"))
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF probe-path ANN: assign vectors to 8 seeded cells, probe each
+    query's 3 nearest cells, exact-cosine rerank (operators/similarity.py
+    ivf_topk).  The oracle recomputes the identical probed-cell search with
+    the same inlined centroid literals."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        ivf_topk)
+    emb = _read(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.transform("embedding",
+                                      lambda x: x.cast("double")).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    return (ivf_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=3)
+            .select("qid", "vec_id", "cos_sim", "rank")
+            .orderBy("qid", "rank"))
+
+
 def _q_cosine_histogram(spark, sf_dir):
     """All-pairs cosine similarity histogram (0.1 buckets) over the first 200
     vectors — the exact-verification kernel of embedding near-dup detection
@@ -399,6 +416,52 @@ def _q_cosine_histogram(spark, sf_dir):
     return (pairs.groupBy(F.floor(F.col("c") * 10).cast("int").alias("bucket"))
             .agg(F.count("*").alias("n_pairs"))
             .orderBy("bucket"))
+
+
+def _ivf_topk_sql() -> str:
+    """Oracle for _q_ivf_topk: identical seeded centroids inlined as literals,
+    identical rounded-argmax assignment (ties -> highest cell), identical
+    probe set, exact cosine rerank within probed cells only."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        pseudo_centroids)
+    cents = pseudo_centroids(dim=64, n_cells=8, seed=42)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents(cell, c) AS (VALUES {values}),
+        assign AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, ct.cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round(list_dot_product(e.v, ct.c), 6) DESC,
+                              ct.cell DESC) AS rn
+            FROM e CROSS JOIN cents ct) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        probe AS (
+          SELECT qid, qv, cell FROM (
+            SELECT q.qid, q.qv, ct.cell,
+                   row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY round(list_dot_product(q.qv, ct.c), 6) DESC,
+                              ct.cell DESC) AS rn
+            FROM q CROSS JOIN cents ct) WHERE rn <= 3),
+        cand AS (
+          SELECT p.qid, a.vec_id,
+                 round(list_dot_product(a.v, p.qv)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos_sim
+          FROM assign a JOIN probe p ON a.cell = p.cell AND a.vec_id <> p.qid),
+        ranked AS (
+          SELECT qid, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos_sim DESC, vec_id ASC) AS rank
+          FROM cand)
+        SELECT qid, vec_id, cos_sim, rank FROM ranked
+        WHERE rank <= 5 ORDER BY qid, rank
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -432,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acyclic_cut": _q_acyclic_cut,
         "connected_components": _q_connected_components,
         "cosine_topk": _q_cosine_topk,
+        "ivf_topk": _q_ivf_topk,
         "cosine_histogram": _q_cosine_histogram,
     }
 
@@ -727,6 +791,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, vec_id, cos_sim, rank FROM ranked
             WHERE rank <= 5 ORDER BY qid, rank
         """,
+        "ivf_topk": _ivf_topk_sql(),
         "cosine_histogram": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                        WHERE vec_id < 200),

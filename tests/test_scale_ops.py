@@ -75,6 +75,80 @@ def test_ivf_assign_deterministic(spark, vectors):
     assert a[0] == a[100]  # identical vectors -> same cell
 
 
+def test_lsh_signature_paths_identical(spark, vectors):
+    """The Arrow/numpy matmul path must produce bit-identical signatures to
+    the literal JVM path (same seed, same planes)."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        lsh_signature)
+    v = vectors.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    lit = {r.vec_id: r.s for r in v.select(
+        "vec_id", lsh_signature(F.col("v"), dim=16, bits=16,
+                                force="literal").alias("s")).collect()}
+    pnd = {r.vec_id: r.s for r in v.select(
+        "vec_id", lsh_signature(F.col("v"), dim=16, bits=16,
+                                force="pandas").alias("s")).collect()}
+    assert lit == pnd
+
+
+def test_lsh_signature_real_dims_no_literal_blowup(spark):
+    """dim 768 x 64 bits must route to the vectorized path: the plan carries
+    an ArrowEvalPython stage instead of ~49k literal expressions."""
+    import random
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(768)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        lsh_signature)
+    out = df.select("vec_id", lsh_signature(F.col("v"), dim=768, bits=64).alias("s"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    sigs = out.collect()
+    assert len({r.s for r in sigs}) > 100, "signatures must discriminate"
+
+
+def test_kmeans_fit_improves_and_is_deterministic(spark, vectors):
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        kmeans_fit, pseudo_centroids)
+    import math
+
+    def objective(cents):
+        """mean max-cosine-direction to assigned centroid (spherical k-means
+        maximizes this)."""
+        rows = vectors.collect()
+        tot = 0.0
+        for r in rows:
+            v = list(r.embedding)
+            nv = math.sqrt(sum(x * x for x in v)) or 1.0
+            tot += max(sum(a * b for a, b in zip(v, c)) / nv for c in cents)
+        return tot / len(rows)
+
+    init = pseudo_centroids(dim=16, n_cells=4, seed=42)
+    fit1 = kmeans_fit(vectors, dim=16, n_cells=4, iters=2, seed=42)
+    fit2 = kmeans_fit(vectors, dim=16, n_cells=4, iters=2, seed=42)
+    assert fit1 == fit2, "seeded fit must be reproducible"
+    assert objective(fit1) > objective(init), "Lloyd steps must not regress"
+    for c in fit1:  # spherical: centroids stay unit-norm
+        assert math.sqrt(sum(x * x for x in c)) == pytest.approx(1.0)
+
+
+def test_ivf_topk_probe_recall(spark, vectors):
+    """ivf_topk with trained centroids must return the planted identical
+    vector as rank-1, and every result must come from probed cells only
+    (subset of brute force)."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        ivf_topk, kmeans_fit)
+    cents = kmeans_fit(vectors, dim=16, n_cells=4, iters=1, seed=42)
+    queries = vectors.filter(F.col("vec_id") == 0) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    got = ivf_topk(vectors, queries, dim=16, k=5, n_cells=4, n_probe=2,
+                   centroids=cents).collect()
+    assert got, "probe must find candidates"
+    assert got[0].vec_id == 100 and got[0].cos_sim == pytest.approx(1.0)
+    brute = {r.vec_id for r in brute_force_topk(vectors, queries, k=50).collect()}
+    assert {r.vec_id for r in got} <= brute
+
+
 def test_multimodal_stub_and_plumbing(spark):
     media = spark.createDataFrame([
         ("m1", "image", bytearray(b"\x00\x10\xff\x80abc"), ("image/png", 2, 2, None)),
