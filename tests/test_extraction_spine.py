@@ -60,6 +60,47 @@ def test_mentions_found(spark):
     assert set(m.columns) == {"url", "warc_ts", "concept", "surface", "pos"}
 
 
+def test_mention_matcher_paths_equivalent(spark):
+    """The large-dictionary token scanner must reproduce the regex path
+    exactly — (concept, surface, pos) triples on real extracted text."""
+    from climatemind_ontology_processing_spark.functions.mentions import scan_text
+    from climatemind_ontology_processing_spark.functions.text import (
+        with_extracted_text)
+    aliases = alias_map()
+    texts = [r.text for r in
+             with_extracted_text(pages_df(spark, 40, SEED)).select("text").collect()]
+    # synthetic edge cases: boundaries, case, double spaces (must NOT match),
+    # hyphens, overlapping candidates
+    texts += [
+        "Global warming causes flooding. global WARMING!",
+        "warming (global warming) xglobal warming global warmingx",
+        "global  warming has two spaces; global warming has one.",
+        "",
+    ]
+    assert any(texts), "need non-empty corpus"
+    for t in texts:
+        assert scan_text(t, aliases, force="regex") == \
+            scan_text(t, aliases, force="tokens"), t[:80]
+
+
+def test_mention_scan_large_dictionary():
+    """10^5-alias dictionary: the token path must stay fast (cost independent
+    of alias count) and find the planted phrases."""
+    import time
+    from climatemind_ontology_processing_spark.functions.mentions import scan_text
+    big = {f"synthetic alias {i} phrase": f"concept_{i}" for i in range(100_000)}
+    big["global warming"] = "global warming"
+    text = ("filler words " * 200 + "global warming " +
+            "synthetic alias 77 phrase ends here. ") * 20
+    t0 = time.time()
+    hits = scan_text(text, big, force="tokens")
+    dt = time.time() - t0
+    concepts = {h[0] for h in hits}
+    assert {"global warming", "concept_77"} <= concepts
+    assert len(hits) == 40
+    assert dt < 2.0, f"token scan degraded: {dt:.2f}s"
+
+
 def test_triples_precision_recall(spark):
     pages = pages_df(spark, N, SEED, partitions=6)
     got = {(r.subj, r.pred, r.obj)
