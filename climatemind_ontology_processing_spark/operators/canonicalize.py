@@ -4,18 +4,25 @@ Not present in the reference (its node identities are curated ontology
 labels); required by the graft's north_star: surface forms extracted from web
 text must resolve to one canonical id before graph materialization.
 
-Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14 — public algorithm), expressed as
-DataFrame joins:
+Algorithm: MIN-LABEL PROPAGATION with POINTER JUMPING (the classic
+"hash-to-min"-style MapReduce CC — Rastogi et al., ICDE'13 — plus the
+path-halving step from PRAM union-find), expressed as DataFrame joins:
 
-  large-star: for each node u with neighbors N(u), connect every strictly
-              larger neighbor to min(N(u) ∪ {u})
-  small-star: connect every neighbor <= u (and u) to the minimum
+  propagate:    comp[u] <- min(comp[u], min over neighbors v of comp[v])
+  pointer-jump: comp[u] <- comp[comp[u]]   (halves label-chain depth)
 
-Converges in O(log^2 n) rounds; each round is two shuffles.  Node ids are
-hashed to longs for cheap comparisons; ties broken by the hash order, then
-mapped back to labels.  At web scale, skewed hub components are exactly what
-large-star handles (the hub collapses to the min in one round).
+Pointer jumping gives O(log d)-ish convergence in the component diameter d;
+output equivalence vs union-find and a recursive-CTE oracle is pinned in
+tests.  Skew note: a degree-k hub contributes k rows to one reduce key in
+the propagate groupBy — a star graph converges in ONE round (pinned by
+tests/test_operators hub-skew stress test), so the hot key is touched O(1)
+times; for 10^8-degree hubs the groupBy itself is the salting candidate
+(operators/skew.salted_agg applies, min is decomposable).
+
+(Kiveris et al.'s large-star/small-star is the alternative with per-round
+balanced emission; it shares the same shuffle shape per round.  Round 1
+shipped this implementation with that paper cited as if implemented — the
+docstring, not the code, was wrong; the code is unchanged and verified.)
 
 The seed edge set for alias resolution: (alias_surface, canonical_label)
 pairs from the dictionary plus exact-duplicate surface matches.

@@ -79,6 +79,64 @@ def to_networkx(nodes: DataFrame, edges: DataFrame):
     return g
 
 
+def _sanitize_for_format(g, gml_keys: bool = False):
+    """gexf/gml/graphml carry only scalar attribute values — nested dicts and
+    lists (properties bags, class lists) are JSON-stringified, None dropped;
+    GML additionally forbids non-alphanumeric attribute KEYS, so those become
+    underscores there.  The reference's writers
+    (``ontology_processing_utils.py:198-207``) pass the raw graph straight to
+    networkx and would raise on these attributes; sanitization is the
+    engine's documented extension that makes the formats actually writable
+    for this graph."""
+    import re
+
+    import networkx as nx
+
+    out = nx.DiGraph()
+
+    def clean(d):
+        o = {}
+        for k, v in d.items():
+            if v is None:
+                continue
+            if gml_keys:
+                k = re.sub(r"[^0-9A-Za-z]", "_", k)
+            o[k] = v if isinstance(v, (str, int, float, bool)) \
+                else json.dumps(v, default=str)
+        return o
+
+    for n, d in g.nodes(data=True):
+        out.add_node(n, **clean(d))
+    for u, v, d in g.edges(data=True):
+        out.add_edge(u, v, **clean(d))
+    return out
+
+
+def _save_graph_format(nodes: DataFrame, edges: DataFrame, path: str,
+                       ext: str) -> None:
+    """S6 — alternative graph sinks (``save_graph_to_gexf/gml/graphml``,
+    ontology_processing_utils.py:198-207)."""
+    import networkx as nx
+
+    writers = {".gexf": nx.write_gexf, ".gml": nx.write_gml,
+               ".graphml": nx.write_graphml}
+    g = _sanitize_for_format(to_networkx(nodes, edges),
+                             gml_keys=(ext == ".gml"))
+    writers[ext](g, path)
+
+
+def save_graph_gexf(nodes: DataFrame, edges: DataFrame, path: str) -> None:
+    _save_graph_format(nodes, edges, path, ".gexf")
+
+
+def save_graph_gml(nodes: DataFrame, edges: DataFrame, path: str) -> None:
+    _save_graph_format(nodes, edges, path, ".gml")
+
+
+def save_graph_graphml(nodes: DataFrame, edges: DataFrame, path: str) -> None:
+    _save_graph_format(nodes, edges, path, ".graphml")
+
+
 def save_graph_pickle(nodes: DataFrame, edges: DataFrame, path: str) -> None:
     """S4 — gpickle-equivalent sink (``save_graph_to_pickle``,
     ontology_processing_utils.py:194-195; nx >=3 removed write_gpickle, the

@@ -89,6 +89,33 @@ def test_subgraph_pickle_matches_reference(artifacts):
                 sorted(re_.get("cyto_classes", [])), (name, u, v)
 
 
+def test_s6_alt_format_sinks_roundtrip(spark, artifacts):
+    """S6 — gexf/gml/graphml sinks (ontology_processing_utils.py:198-207):
+    each format must round-trip the node and edge sets through networkx's
+    own readers."""
+    import networkx as nx
+    from climatemind_ontology_processing_spark.sources.sinks import (
+        save_graph_gexf, save_graph_gml, save_graph_graphml)
+    nodes = spark.read.parquet(os.path.join(artifacts, "nodes"))
+    edges = spark.read.parquet(os.path.join(artifacts, "edges"))
+    want_nodes = {r["label"] for r in nodes.select("label").collect()}
+    want_edges = {(r["src"], r["dst"]) for r in edges.select("src", "dst").collect()}
+    for save, read, ext in [
+        (save_graph_gexf, nx.read_gexf, "gexf"),
+        (save_graph_gml, nx.read_gml, "gml"),
+        (save_graph_graphml, nx.read_graphml, "graphml"),
+    ]:
+        path = os.path.join(artifacts, f"Climate_Mind_DiGraph.{ext}")
+        save(nodes, edges, path)
+        g = read(path)
+        assert set(g.nodes) == want_nodes, ext
+        assert {(u, v) for u, v in g.edges} == want_edges, ext
+        # spot-check an attribute survived ('type' is a gexf-reserved edge
+        # attr that networkx drops on write, so probe 'properties')
+        any_edge = next(iter(g.edges))
+        assert "properties" in g.edges[any_edge], ext
+
+
 def test_jit_json_shape(artifacts):
     with open(os.path.join(artifacts, "Climate_Mind_Digraph_Test_Ont.json")) as f:
         data = json.load(f)

@@ -54,6 +54,32 @@ def test_closure_paths_agree(spark, edges, force_distributed):
     assert dist == fast and ("r", "q2") in dist
 
 
+def test_cc_hub_skew_star_converges_fast(spark, force_distributed):
+    """Hub-skew stress (round-1 verdict #3 follow-up): a star with 10^4
+    leaves must converge within TWO propagate+jump rounds on the distributed
+    path — max_rounds=2 caps the loop, so a slow-converging implementation
+    would return wrong labels.  The hub's reduce key is touched O(1) times,
+    which is the scale property that matters at web-hub degree."""
+    leaves = 10_000
+    rows = [(f"leaf_{i:05d}", "hub") for i in range(leaves)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    got = dict((r.id, r.component)
+               for r in connected_components(e, max_rounds=2).collect())
+    assert len(got) == leaves + 1
+    assert set(got.values()) == {"hub"}  # 'hub' < 'leaf_*' lexicographically
+
+
+def test_cc_chain_pointer_jumping_log_rounds(spark, force_distributed):
+    """A 64-node path graph needs O(log n) rounds with pointer jumping
+    (~6 + slack), far below the O(n) a plain propagation would need."""
+    n = 64
+    rows = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    got = dict((r.id, r.component)
+               for r in connected_components(e, max_rounds=8).collect())
+    assert set(got.values()) == {"n000"}
+
+
 def test_cc_paths_agree(spark, force_distributed):
     e = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("d", "e"), ("f", "a")], "src string, dst string")
