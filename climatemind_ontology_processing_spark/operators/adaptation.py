@@ -34,9 +34,7 @@ from .traversal import bfs_reachable, transitive_closure
 
 def downstream_nodes(edges_b: DataFrame, root: str = GREENHOUSE_EFFECT) -> DataFrame:
     """G4 — DataFrame[id] forward-reachable from root over any edge type."""
-    spark = edges_b.sparkSession
-    seeds = spark.createDataFrame([(root,)], "id string")
-    return bfs_reachable(edges_b, seeds, direction="forward", edge_type=None)
+    return bfs_reachable(edges_b, [root], direction="forward", edge_type=None)
 
 
 def intermediate_pairs(edges_b: DataFrame,

@@ -29,9 +29,7 @@ from .traversal import bfs_reachable
 
 def upstream_nodes(edges_b: DataFrame, root: str = GREENHOUSE_EFFECT) -> DataFrame:
     """G3 — DataFrame[id] of nodes on causes-edges upstream of ``root``."""
-    spark = edges_b.sparkSession
-    seeds = spark.createDataFrame([(root,)], "id string")
-    reached = bfs_reachable(edges_b, seeds, direction="reverse", edge_type=None)
+    reached = bfs_reachable(edges_b, [root], direction="reverse", edge_type=None)
     causes = edges_b.filter(F.col("type") == CAUSES) \
         .join(reached.withColumnRenamed("id", "dst"), "dst", "left_semi")
     return (causes.select(F.col("src").alias("id"))

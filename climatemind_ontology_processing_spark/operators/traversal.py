@@ -14,10 +14,18 @@ Edges schema throughout: (src string, dst string, type string, ...).
 from __future__ import annotations
 
 import os
+import weakref
 from collections import defaultdict, deque
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Per-DataFrame memo for the small-graph path: the graph pipeline runs 5+
+# traversals over the SAME (checkpointed, immutable) edge DataFrame object;
+# collecting its adjacency once instead of per call removes two Spark
+# actions per repeat traversal.  Weak keys: entries die with the DataFrame.
+_SMALL_GRAPH_MEMO: "weakref.WeakKeyDictionary[DataFrame, dict]" = \
+    weakref.WeakKeyDictionary()
 
 # Adaptive execution: below this edge count the traversal runs driver-side on
 # the collected edge list (identical semantics, zero per-iteration job
@@ -50,21 +58,63 @@ def _checkpoint(df: DataFrame) -> DataFrame:
 def _edge_count_small(edges: DataFrame) -> bool:
     if SMALL_GRAPH_THRESHOLD <= 0:
         return False
-    return edges.limit(SMALL_GRAPH_THRESHOLD + 1).count() <= SMALL_GRAPH_THRESHOLD
+    memo = _SMALL_GRAPH_MEMO.setdefault(edges, {})
+    # keyed on the live threshold so tests that flip it mid-session re-probe
+    key = ("small", SMALL_GRAPH_THRESHOLD)
+    if key not in memo:
+        memo[key] = (edges.limit(SMALL_GRAPH_THRESHOLD + 1).count()
+                     <= SMALL_GRAPH_THRESHOLD)
+    return memo[key]
+
+
+def _collect_edge_rows(edges: DataFrame) -> list[tuple]:
+    """One collect of (src, dst, type) per DataFrame object; every
+    (direction, edge_type) adjacency derives from it driver-side, so N
+    traversals over the same graph cost ONE Spark action total."""
+    memo = _SMALL_GRAPH_MEMO.setdefault(edges, {})
+    if "rows" not in memo:
+        has_type = "type" in edges.columns
+        cols = ["src", "dst", "type"] if has_type else ["src", "dst"]
+        rows = edges.select(*cols).distinct().collect()
+        memo["rows"] = [(r[0], r[1], r[2] if has_type else None) for r in rows]
+    return memo["rows"]
 
 
 def _collect_hops(edges: DataFrame, direction: str,
                   edge_type: str | None) -> dict[str, list]:
-    e = edges
-    if edge_type is not None:
-        e = e.filter(F.col("type") == edge_type)
+    memo = _SMALL_GRAPH_MEMO.setdefault(edges, {})
+    key = ("adj", direction, edge_type)
+    if key in memo:
+        return memo[key]
     adj: dict = defaultdict(list)
-    for r in e.select("src", "dst").distinct().collect():
+    seen = set()
+    for s, d, t in _collect_edge_rows(edges):
+        if edge_type is not None and t != edge_type:
+            continue
+        if (s, d) in seen:          # distinct over (src, dst) like before
+            continue
+        seen.add((s, d))
         if direction in ("forward", "any"):
-            adj[r.src].append(r.dst)
+            adj[s].append(d)
         if direction in ("reverse", "any"):
-            adj[r.dst].append(r.src)
+            adj[d].append(s)
+    memo[key] = adj
     return adj
+
+
+def _seed_values(seeds: DataFrame | list) -> list:
+    """Seeds may be a DataFrame[id] or a plain driver-side list (saves a
+    Spark action when the caller already knows the seed labels)."""
+    if isinstance(seeds, list):
+        return sorted(set(seeds))
+    return sorted({r[0] for r in seeds.distinct().collect()})
+
+
+def _seed_df(spark, seeds: DataFrame | list) -> DataFrame:
+    if isinstance(seeds, list):
+        return spark.createDataFrame([(s,) for s in sorted(set(seeds))],
+                                     "id string")
+    return seeds
 
 
 def _group_seeds(seeds: DataFrame) -> list[tuple[str, list]]:
@@ -86,25 +136,26 @@ def _bfs_local(adj: dict, seeds: list) -> set:
     return visited
 
 
-def bfs_reachable(edges: DataFrame, seeds: DataFrame, direction: str = "forward",
+def bfs_reachable(edges: DataFrame, seeds: DataFrame | list,
+                  direction: str = "forward",
                   edge_type: str | None = None, max_iters: int = 200) -> DataFrame:
     """G2 — typed directional BFS (``custom_bfs``,
     ``ontology_processing_utils.py:7-41``): node set reachable from ``seeds``
     along edges of ``edge_type`` (None = "any") in ``direction`` (forward /
-    reverse / any).  Returns DataFrame[id] including the seeds.
+    reverse / any).  ``seeds`` is a DataFrame[id] or a driver-side list of
+    string ids.  Returns DataFrame[id] including the seeds.
 
     The reference returns an *induced subgraph*; compose with
     :func:`induced_edges` for the edge set.
     """
     spark = edges.sparkSession
-    seed_field = seeds.schema.fields[0]
     if _edge_count_small(edges):
         adj = _collect_hops(edges, direction, edge_type)
-        seed_vals = [r[0] for r in seeds.distinct().collect()]
-        reached = sorted(_bfs_local(adj, seed_vals))
-        return spark.createDataFrame(
-            [(v,) for v in reached],
-            f"id {seed_field.dataType.simpleString()}")
+        reached = sorted(_bfs_local(adj, _seed_values(seeds)))
+        seed_type = ("string" if isinstance(seeds, list)
+                     else seeds.schema.fields[0].dataType.simpleString())
+        return spark.createDataFrame([(v,) for v in reached], f"id {seed_type}")
+    seeds = _seed_df(spark, seeds)
     e = edges
     if edge_type is not None:
         e = e.filter(F.col("type") == edge_type)

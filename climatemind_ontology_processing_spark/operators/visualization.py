@@ -97,12 +97,9 @@ def build_subgraphs(nodes: DataFrame, edges_annot: DataFrame,
                     root: str = GREENHOUSE_EFFECT) -> dict[str, DataFrame]:
     """All named subgraph node sets.  Returns {name: DataFrame[id]}; pv
     subgraphs are returned together under key "__pv__" as DataFrame[tag, id]."""
-    spark = nodes.sparkSession
-    seeds = spark.createDataFrame([(root,)], "id string")
-
-    upstream = bfs_reachable(edges_annot, seeds, "reverse", CAUSES)
-    downstream_adapt = bfs_reachable(edges_annot, seeds, "forward", None)
-    downstream = bfs_reachable(edges_annot, seeds, "forward", CAUSES)
+    upstream = bfs_reachable(edges_annot, [root], "reverse", CAUSES)
+    downstream_adapt = bfs_reachable(edges_annot, [root], "forward", None)
+    downstream = bfs_reachable(edges_annot, [root], "forward", CAUSES)
     upstream_mit = (upstream.unionByName(
         mitigation_ids.select(F.col(mitigation_ids.columns[0]).alias("id")))
         .distinct())
