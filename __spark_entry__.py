@@ -174,6 +174,17 @@ def _q_quality(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprints (k=5 grams, window 4) — rolling-hash
+    document fingerprinting for partial-overlap detection
+    (operators/textstats.py winnowing_fingerprints)."""
+    from climatemind_ontology_processing_spark.operators.textstats import (
+        winnowing_fingerprints)
+    docs = _read(spark, sf_dir, "documents")
+    return (winnowing_fingerprints(docs).distinct()
+            .orderBy("doc_id", "fingerprint"))
+
+
 def _q_fingerprint_dups(spark, sf_dir):
     """Per-document fingerprint of whitespace-normalized lowercase text
     (md5 here so the oracle can recompute it; the engine's internal key is
@@ -480,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "quality_features": _q_quality,
         "fingerprint_dups": _q_fingerprint_dups,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "broadcast_lookup": _q_broadcast_lookup,
         "part_sets": _q_part_sets,
         "set_ops": _q_set_ops,
@@ -621,6 +633,27 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
                      AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "winnow_fingerprints": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest(len(t) - 4, 1)),
+                       i -> ('0x' || substring(
+                              md5(array_to_string(t[i : i + 4], ' ')), 1, 15)
+                            )::BIGINT) AS h
+              FROM toks
+            )
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(h) - 3, 1)),
+                     j -> list_min(h[j : j + 3]))) AS fingerprint
+            FROM grams
+            ORDER BY doc_id, fingerprint
         """,
         "broadcast_lookup": """
             SELECT n.n_name AS nation, count(*) AS n_customers,

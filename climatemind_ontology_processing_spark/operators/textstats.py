@@ -92,6 +92,63 @@ def fingerprint(text_col: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 5,
+                           window: int = 4) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer et al., "Winnowing:
+    Local Algorithms for Document Fingerprinting", SIGMOD'03 — public
+    algorithm): positional k-gram hashes, then the minimum of every
+    ``window`` consecutive hashes, deduped per document.
+
+    Guarantee: any shared token run of length >= k + window - 1 between two
+    documents shares at least one selected fingerprint — the basis for
+    partial-overlap/plagiarism-style candidate detection (exact dedup
+    catches only whole-document copies; MinHash needs global similarity).
+
+    All JVM-side array expressions, one narrow pass + explode — no shuffle.
+    The hash is the md5-hex-prefix long (60 bits) so a SQL oracle can
+    recompute it exactly (xxhash64 is Spark-private).
+
+    Returns DataFrame[id_col, fingerprint long].
+    """
+    from .dedup import let_bound
+
+    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+
+    def gram_hashes(t):
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0))),
+            lambda i: F.conv(F.substring(
+                F.md5(F.concat_ws(" ", F.slice(t, i + 1, k))), 1, 15),
+                16, 10).cast("long"))
+
+    def select_mins(h):
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(h) - window, F.lit(0))),
+            lambda j: F.array_min(F.slice(h, j + 1, window))))
+
+    fps = let_bound(let_bound(tokens, gram_hashes), select_mins)
+    return docs.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+
+
+def winnowing_candidates(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 5,
+                         window: int = 4, min_shared: int = 2) -> DataFrame:
+    """Partial-overlap candidate pairs: documents sharing >= ``min_shared``
+    winnowing fingerprints.  The only shuffle is the fingerprint-key
+    self-join (bucketed by construction, like the MinHash band join).
+    Returns (a, b, n_shared) with a < b."""
+    fp = winnowing_fingerprints(docs, text_col, id_col, k, window) \
+        .select(F.col(id_col).alias("doc"), "fingerprint")
+    return (fp.alias("l").join(
+                fp.alias("r"),
+                (F.col("l.fingerprint") == F.col("r.fingerprint")) &
+                (F.col("l.doc") < F.col("r.doc")))
+            .groupBy(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def with_textstats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return (quality_features(docs, text_col)
             .withColumn("lang_detected", language_id(F.col(text_col)))

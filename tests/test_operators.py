@@ -210,3 +210,26 @@ def test_union_subgraph(spark, tiny_edges):
     got = {(r.src, r.dst) for r in edges.collect()}
     # ('a','b') crosses the two subgraphs and must be present (unlike nx.union)
     assert got == {("r", "a"), ("a", "b"), ("b", "c")}
+
+
+def test_winnowing_guarantee_and_candidates(spark):
+    """MOSS winnowing invariant: two documents sharing a token run of length
+    >= k + window - 1 share at least one selected fingerprint; disjoint
+    documents share none."""
+    from climatemind_ontology_processing_spark.operators.textstats import (
+        winnowing_candidates, winnowing_fingerprints)
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 >= 5+4-1
+    docs = spark.createDataFrame([
+        (1, "intro words here " + shared + " tail one"),
+        (2, "completely different opening " + shared + " other ending"),
+        (3, "no overlap with anything else at all in this document text"),
+    ], "doc_id long, text string")
+    fps = winnowing_fingerprints(docs, k=5, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    cands = {(r.a, r.b): r.n_shared
+             for r in winnowing_candidates(docs, min_shared=1).collect()}
+    assert set(cands) == {(1, 2)}

@@ -52,3 +52,46 @@ def test_streaming_triples(spark, tmp_path):
     q2 = streaming_triples(spark, src, alias_map(), ckpt, out)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == got.count()
+
+
+def test_stateful_sessionization_stream(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: sessions closed by an
+    observed gap are emitted exactly once and match the batch lag-window
+    oracle; the trailing open session per user stays in state (not emitted
+    in the same batch — streaming semantics, closed later by timeout)."""
+    import datetime as dt
+
+    from climatemind_ontology_processing_spark.streaming.sessions import (
+        sessionize_stream)
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 10, minute)
+
+    rows = [
+        # user 1: session A (3 events), 40-min gap, session B (1 event)
+        (1, t(0)), (1, t(5)), (1, t(10)), (1, t(50)),
+        # user 2: session A (2 events), 35-min gap, session B (2 events)
+        (2, t(0)), (2, t(2)), (2, t(37)), (2, t(39)),
+        # user 3: single open session — nothing emitted this batch
+        (3, t(0)), (3, t(1)),
+    ]
+    src = str(tmp_path / "sess_in")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    spark.createDataFrame(rows, "user_id long, ts timestamp") \
+        .write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (sessionize_stream(stream, gap_sec=1800).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.closed_by)
+           for r in spark.read.parquet(out).collect()}
+    e = lambda m: int(t(m).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == {
+        (1, e(0), e(10), 3, "gap"),
+        (2, e(0), e(2), 2, "gap"),
+    }
