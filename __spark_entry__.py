@@ -411,6 +411,51 @@ def _q_ivf_topk(spark, sf_dir):
             .orderBy("qid", "rank"))
 
 
+def _q_embedding_lsh_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH bucketing +
+    exact cosine verify on band collisions only (operators/similarity.py
+    embedding_near_dups).  Hash-free math (seeded plane literals + sign
+    bits), so the DuckDB oracle replays the IDENTICAL bucketing."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        embedding_near_dups)
+    emb = _read(spark, sf_dir, "embeddings")
+    return (embedding_near_dups(emb, dim=64, threshold=0.3, bits=16, bands=8)
+            .orderBy("a", "b"))
+
+
+def _embedding_lsh_sql() -> str:
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        _hyperplanes)
+    planes = _hyperplanes(dim=64, bits=16, seed=42)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        planes(bit, p) AS (VALUES {values}),
+        sig AS (
+          SELECT e.vec_id,
+                 sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                          THEN (1::BIGINT << pl.bit) ELSE 0 END)::BIGINT AS s
+          FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+        bands(band) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+        banded AS (
+          SELECT vec_id, band, (s >> (band * 2)) & 3 AS bh
+          FROM sig CROSS JOIN bands),
+        cand AS (
+          SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bh = r.bh AND l.vec_id < r.vec_id),
+        scored AS (
+          SELECT c.a, c.b,
+                 round(list_dot_product(ea.v, eb.v)
+                       / (sqrt(list_dot_product(ea.v, ea.v))
+                          * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+          FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b)
+        SELECT a, b, cos_sim FROM scored WHERE cos_sim >= 0.3 ORDER BY a, b
+    """
+
+
 def _q_cosine_histogram(spark, sf_dir):
     """All-pairs cosine similarity histogram (0.1 buckets) over the first 200
     vectors — the exact-verification kernel of embedding near-dup detection
@@ -508,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
+        "embedding_lsh_pairs": _q_embedding_lsh_pairs,
         "cosine_histogram": _q_cosine_histogram,
     }
 
@@ -825,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5 ORDER BY qid, rank
         """,
         "ivf_topk": _ivf_topk_sql(),
+        "embedding_lsh_pairs": _embedding_lsh_sql(),
         "cosine_histogram": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                        WHERE vec_id < 200),
