@@ -306,6 +306,33 @@ def _q_user_sessions(spark, sf_dir):
             .orderBy("user_id", "session_id"))
 
 
+def _q_rolling_user_value(spark, sf_dir):
+    """Range-frame window: per event, the user's value sum over the
+    preceding hour (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) — the
+    time-decayed-feature shape a training pipeline computes per example."""
+    e = _read(spark, sf_dir, "events")
+    epoch = F.unix_timestamp(F.col("ts"))
+    w = (Window.partitionBy("user_id").orderBy(epoch)
+         .rangeBetween(-3600, 0))
+    return (e.filter(F.col("user_id") < 100)
+            .select("user_id", "event_id",
+                    F.round(F.sum("value").over(w), 6).alias("rolling_value"))
+            .orderBy("user_id", "event_id"))
+
+
+def _q_lang_source_rollup(spark, sf_dir):
+    """ROLLUP aggregation over (lang, source) with counts and mean length —
+    the reporting-cube shape (subtotals + grand total in one pass)."""
+    d = _read(spark, sf_dir, "documents")
+    return (d.rollup("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+            .select(F.coalesce("lang", F.lit("<all>")).alias("lang"),
+                    F.coalesce("source", F.lit("<all>")).alias("source"),
+                    "n_docs", "avg_chars")
+            .orderBy("lang", "source"))
+
+
 def _q_event_sessions(spark, sf_dir):
     """Windowed aggregation: hourly tumbling event counts by type (§2.9 —
     window functionality the engine adds beyond the batch reference)."""
@@ -545,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_collapse": _q_value_collapse,
         "event_sessions": _q_event_sessions,
         "user_sessions": _q_user_sessions,
+        "rolling_user_value": _q_rolling_user_value,
+        "lang_source_rollup": _q_lang_source_rollup,
         "trade_edges": _q_trade_edges,
         "bfs_reachable": _q_bfs_reachable,
         "closure_counts": _q_closure_counts,
@@ -762,6 +791,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '0' END AS value,
                    (has_one AND has_neg) AS conflict
             FROM per_user ORDER BY user_id
+        """,
+        "rolling_user_value": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (
+                     PARTITION BY user_id ORDER BY floor(epoch(ts))
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6)
+                     AS rolling_value
+            FROM events WHERE user_id < 100
+            ORDER BY user_id, event_id
+        """,
+        "lang_source_rollup": """
+            SELECT coalesce(lang, '<all>') AS lang,
+                   coalesce(source, '<all>') AS source,
+                   count(*) AS n_docs,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents
+            GROUP BY ROLLUP (lang, source)
+            ORDER BY lang, source
         """,
         "event_sessions": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
