@@ -79,6 +79,87 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURES_SCHEMA)
 
 
+def resize_image(payload: bytes, width: int, height: int,
+                 out_w: int, out_h: int, fake: bool = False) -> bytes:
+    """STUB: real impl would decode, resample (e.g. pillow LANCZOS), and
+    re-encode.  ``fake=True`` treats the payload as a row-major byte grid of
+    (height, width) and nearest-neighbor samples it to (out_h, out_w) —
+    deterministic, so the distributed resize pipeline is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image resizing requires codec libraries not present in this "
+            "environment; pass fake=True for the deterministic stand-in")
+    if width <= 0 or height <= 0 or len(payload) < width * height:
+        return b""
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * height // out_h
+        for x in range(out_w):
+            sx = x * width // out_w
+            out.append(payload[sy * width + sx])
+    return bytes(out)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int,
+                  fake: bool = True) -> DataFrame:
+    """Distributed resize: one Arrow batch of binary payloads per task.
+    Returns (media_id, payload binary) with the resampled bytes."""
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, w, h in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["width"], pdf["height"]):
+                rows.append((mid, resize_image(bytes(payload), int(w or 0),
+                                               int(h or 0), out_w, out_h,
+                                               fake=fake)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    cols = media.filter(F.col("kind") == "image").select(
+        "media_id", "payload",
+        F.col("meta.width").alias("width"), F.col("meta.height").alias("height"))
+    return cols.mapInPandas(run, schema)
+
+
+def embed_media(media: DataFrame, dim: int = 16, seed: int = 42,
+                fake: bool = True) -> DataFrame:
+    """Media -> fixed-dim embedding column (``array<float>``), the bridge
+    into the similarity-search operators: the decode/feature step is the
+    (stubbed) codec path; the projection to ``dim`` dims is a seeded
+    deterministic random matrix applied batch-wise with numpy — the exact
+    shape a real encoder output would take.  Output feeds
+    ``operators/similarity`` unchanged (see test_multimodal_ann_end_to_end).
+    """
+    import numpy as np
+
+    feats = extract_features(media, fake=fake)
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rng = np.random.default_rng(seed)
+        proj = rng.standard_normal((8, dim))
+        for pdf in batches:
+            mat = np.array(pdf["feature"].tolist(), dtype=np.float64)
+            if len(mat) == 0:
+                yield pd.DataFrame(columns=["media_id", "embedding"])
+                continue
+            emb = mat @ proj
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.where(norms == 0, 1.0, norms)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "embedding": [row.astype(np.float32).tolist()
+                                              for row in emb]})
+
+    return feats.mapInPandas(run, schema)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: expands (media_id, duration_ms) into
     (media_id, frame_ts_ms) rows via ``sequence`` — pure JVM; the decode of

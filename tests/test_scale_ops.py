@@ -222,3 +222,54 @@ def test_embedding_near_dups(spark, vectors):
     assert (0, 100) in got and got[(0, 100)] == 1.0
     # unrelated gaussian vectors almost never reach cosine 0.99
     assert all(k == (0, 100) for k in got)
+
+
+def test_multimodal_resize_and_embed(spark):
+    """Fake-decoder resize is deterministic and shape-correct; identical
+    payloads embed identically."""
+    from climatemind_ontology_processing_spark.operators.multimodal import (
+        embed_media, resize_image, resize_images)
+    import pytest as _pytest
+    grid = bytes(range(16))  # 4x4 "image"
+    small = resize_image(grid, 4, 4, 2, 2, fake=True)
+    assert small == bytes([grid[0], grid[2], grid[8], grid[10]])
+    with _pytest.raises(NotImplementedError):
+        resize_image(grid, 4, 4, 2, 2, fake=False)
+
+    media = spark.createDataFrame([
+        ("m1", "image", bytearray(grid), ("image/raw", 4, 4, None)),
+        ("m2", "image", bytearray(grid), ("image/raw", 4, 4, None)),
+        ("m3", "image", bytearray(reversed(grid)), ("image/raw", 4, 4, None)),
+    ], "media_id string, kind string, payload binary, "
+       "meta struct<mime:string,width:int,height:int,duration_ms:int>")
+    resized = {r.media_id: bytes(r.payload)
+               for r in resize_images(media, 2, 2).collect()}
+    assert resized["m1"] == small and resized["m2"] == small
+    emb = {r.media_id: r.embedding for r in embed_media(media, dim=16).collect()}
+    assert emb["m1"] == emb["m2"]
+    assert len(emb["m1"]) == 16
+
+
+def test_multimodal_ann_end_to_end(spark):
+    """media -> embed_media -> brute_force_topk: the duplicate payload must
+    come back as the top neighbor with cosine ~1.0 — the full multimodal ->
+    similarity-search integration."""
+    import random
+    from climatemind_ontology_processing_spark.operators.multimodal import (
+        embed_media)
+    rng = random.Random(5)
+    rows = []
+    for i in range(20):
+        payload = bytes(rng.randrange(256) for _ in range(64))
+        rows.append((f"m{i:02d}", "image", bytearray(payload),
+                     ("image/raw", 8, 8, None)))
+    rows.append(("dup", "image", rows[0][2], ("image/raw", 8, 8, None)))
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary, "
+              "meta struct<mime:string,width:int,height:int,duration_ms:int>")
+    emb = embed_media(media, dim=16).withColumnRenamed("media_id", "vec_id")
+    queries = emb.filter(F.col("vec_id") == "m00") \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    got = brute_force_topk(emb, queries, k=3).collect()
+    assert got[0].vec_id == "dup"
+    assert got[0].cos_sim == pytest.approx(1.0)
