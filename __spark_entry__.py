@@ -174,6 +174,39 @@ def _q_quality(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_salted_source_counts(spark, sf_dir):
+    """Skew-safe two-phase aggregation (operators/skew.py salted_agg): counts
+    and value sums per document source through the (key, salt) partial +
+    final merge — must be EXACTLY equal to a plain GROUP BY, which is what
+    the oracle computes."""
+    from climatemind_ontology_processing_spark.operators.skew import salted_agg
+    docs = _read(spark, sf_dir, "documents")
+    out = salted_agg(docs, "source",
+                     {"n_docs": ("*", "count"),
+                      "sum_chars": ("n_chars", "sum"),
+                      "max_chars": ("n_chars", "max")})
+    return out.orderBy("source")
+
+
+def _q_clean_corpus(spark, sf_dir):
+    """The composed training-data cleaning pipeline: language filter (en) ->
+    quality gate (q_score >= 0.7) -> exact dedup (lowest doc_id per text) ->
+    per-source survivor stats.  One declarative plan; every stage is an
+    operator from the engine (textstats.quality_features + dedup_exact)."""
+    from climatemind_ontology_processing_spark.operators.dedup import dedup_exact
+    from climatemind_ontology_processing_spark.operators.textstats import (
+        language_id, quality_features)
+    docs = _read(spark, sf_dir, "documents")
+    en = docs.filter(language_id(F.col("text")) == "en")
+    good = quality_features(en).filter(F.col("q_score") >= 0.7) \
+        .select("doc_id", "text", "source", "n_chars")
+    surv = dedup_exact(good)
+    return (surv.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+            .orderBy("source"))
+
+
 def _q_winnow_fingerprints(spark, sf_dir):
     """MOSS winnowing fingerprints (k=5 grams, window 4) — rolling-hash
     document fingerprinting for partial-overlap detection
@@ -564,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": _q_quality,
         "fingerprint_dups": _q_fingerprint_dups,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "salted_source_counts": _q_salted_source_counts,
+        "clean_corpus": _q_clean_corpus,
         "broadcast_lookup": _q_broadcast_lookup,
         "part_sets": _q_part_sets,
         "set_ops": _q_set_ops,
@@ -708,6 +743,63 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
                      AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "salted_source_counts": """
+            -- oracle: plain GROUP BY; salted two-phase agg must equal it
+            -- ::BIGINT: duckdb sum() yields HUGEINT (stringifies as float
+            -- through pandas)
+            SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "clean_corpus": f"""
+            WITH toks AS (
+              SELECT doc_id, text, source, n_chars,
+                     regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+') AS t
+              FROM documents
+            ),
+            scores AS (
+              {" UNION ALL ".join(
+                  "SELECT doc_id, '" + lang + "' AS lang, "
+                  "len(list_filter(t, x -> x IN ("
+                  + ", ".join("'" + w + "'" for w in words)
+                  + "))) AS score FROM toks"
+                  for lang, words in sorted(_LANGS.items()))}
+            ),
+            best AS (
+              SELECT doc_id, lang, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang DESC) AS rn
+              FROM scores
+            ),
+            en AS (SELECT doc_id FROM best
+                   WHERE rn = 1 AND score > 0 AND lang = 'en'),
+            q AS (
+              SELECT tk.doc_id, tk.text, tk.source, tk.n_chars,
+                     length(tk.text) AS chars,
+                     len(list_filter(tk.t, x -> x <> '')) AS n_tokens,
+                     len(list_filter(tk.t, x -> x IN ({", ".join(
+                         "'" + w + "'" for w in _LANGS["en"])}))) AS stop_hits
+              FROM toks tk JOIN en USING (doc_id)
+            ),
+            scored AS (
+              SELECT *, round(
+                (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0 END)
+                + (CASE WHEN n_tokens > 0
+                        AND chars * 1.0 / n_tokens BETWEEN 3 AND 12
+                        THEN 0.3 ELSE 0 END)
+                + (CASE WHEN n_tokens > 0
+                        AND stop_hits * 1.0 / n_tokens >= 0.05
+                        THEN 0.3 ELSE 0 END), 6) AS q_score
+              FROM q
+            ),
+            good AS (SELECT doc_id, text, source, n_chars FROM scored
+                     WHERE q_score >= 0.7),
+            keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text)
+            SELECT g.source, count(*) AS n_docs,
+                   round(avg(g.n_chars), 6) AS avg_chars
+            FROM good g JOIN keep USING (doc_id)
+            GROUP BY g.source ORDER BY g.source
         """,
         "winnow_fingerprints": """
             WITH toks AS (
