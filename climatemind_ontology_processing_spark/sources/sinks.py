@@ -146,6 +146,105 @@ def save_graph_pickle(nodes: DataFrame, edges: DataFrame, path: str) -> None:
         pickle.dump(g, f)
 
 
+# fixed reference attribute keys; anything else on a node is a dynamic
+# per-superclass membership key (make_graph_class.py:147-158)
+_FIXED_NODE_KEYS = {
+    "label", "iri", "comment", "direct classes", "all classes", "properties",
+    "data_properties", "personal_values_10", "personal_values_19",
+    "political_value", "cyto_classes", "mitigation solutions", "general myths",
+    "solution sources", "adaptation solutions", "solution myths",
+    "impact myths", "myth sources", "causal sources",
+}
+
+_ANNOTATION_KEY_TO_COL = {
+    "mitigation solutions": "mitigation_solutions",
+    "general myths": "general_myths",
+    "solution sources": "solution_sources",
+    "adaptation solutions": "adaptation_solutions",
+    "solution myths": "solution_myths",
+    "impact myths": "impact_myths",
+    "myth sources": "myth_sources",
+    "causal sources": "causal_sources",
+}
+
+
+def load_graph_pickle(spark, path: str):
+    """S8 — gpickle scan (``visualize.py:275`` ``nx.read_gpickle``): load a
+    reference-shaped pickled DiGraph back into engine (nodes, edges)
+    DataFrames — the exact inverse of ``_node_attrs``/``save_graph_pickle``,
+    so ``save -> load -> save`` is a fixed point (pinned in test_sinks)."""
+    with open(path, "rb") as f:
+        g = pickle.load(f)
+
+    node_rows = []
+    for n, d in g.nodes(data=True):
+        dp = d.get("data_properties") or {}
+        row = {
+            "label": d.get("label", n),
+            "iri": d.get("iri"),
+            "comment": d.get("comment"),
+            "direct_classes": d.get("direct classes") or [],
+            "all_classes": d.get("all classes") or [],
+            "super_class_membership": {k: v for k, v in d.items()
+                                       if k not in _FIXED_NODE_KEYS},
+            "properties": d.get("properties") or {},
+            "data_properties": {k: float(v) for k, v in dp.items()
+                                if v is not None},
+            "data_property_keys": sorted(dp.keys()),
+            "personal_values_10": d.get("personal_values_10"),
+            "personal_values_19": d.get("personal_values_19"),
+            "political_value": d.get("political_value"),
+            "cyto_classes": d.get("cyto_classes"),
+        }
+        for key, col in _ANNOTATION_KEY_TO_COL.items():
+            row[col] = d.get(key)
+        node_rows.append(row)
+    edge_rows = [
+        {"src": u, "dst": v,
+         "type": d.get("type"),
+         "properties": d.get("properties") or {},
+         "cyto_classes": d.get("cyto_classes")}
+        for u, v, d in g.edges(data=True)
+    ]
+    from pyspark.sql import types as T
+    node_schema = T.StructType([
+        T.StructField("label", T.StringType(), False),
+        T.StructField("iri", T.StringType(), True),
+        T.StructField("comment", T.StringType(), True),
+        T.StructField("direct_classes", T.ArrayType(T.StringType()), True),
+        T.StructField("all_classes", T.ArrayType(T.StringType()), True),
+        T.StructField("super_class_membership",
+                      T.MapType(T.StringType(), T.ArrayType(T.StringType())), True),
+        T.StructField("properties",
+                      T.MapType(T.StringType(), T.ArrayType(T.StringType())), True),
+        T.StructField("data_properties",
+                      T.MapType(T.StringType(), T.DoubleType()), True),
+        T.StructField("data_property_keys", T.ArrayType(T.StringType()), True),
+        T.StructField("personal_values_10", T.ArrayType(T.IntegerType()), True),
+        T.StructField("personal_values_19", T.ArrayType(T.IntegerType()), True),
+        T.StructField("political_value", T.ArrayType(T.IntegerType()), True),
+        T.StructField("cyto_classes", T.ArrayType(T.StringType()), True),
+        T.StructField("mitigation_solutions", T.ArrayType(T.StringType()), True),
+        T.StructField("general_myths", T.ArrayType(T.StringType()), True),
+        T.StructField("solution_sources", T.ArrayType(T.StringType()), True),
+        T.StructField("adaptation_solutions", T.ArrayType(T.StringType()), True),
+        T.StructField("solution_myths", T.ArrayType(T.StringType()), True),
+        T.StructField("impact_myths", T.ArrayType(T.StringType()), True),
+        T.StructField("myth_sources", T.ArrayType(T.StringType()), True),
+        T.StructField("causal_sources", T.ArrayType(T.StringType()), True),
+    ])
+    edge_schema = T.StructType([
+        T.StructField("src", T.StringType(), False),
+        T.StructField("dst", T.StringType(), False),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("properties",
+                      T.MapType(T.StringType(), T.ArrayType(T.StringType())), True),
+        T.StructField("cyto_classes", T.ArrayType(T.StringType()), True),
+    ])
+    return (spark.createDataFrame(node_rows, node_schema),
+            spark.createDataFrame(edge_rows, edge_schema))
+
+
 def jit_data(nodes: DataFrame, edges: DataFrame) -> list[dict]:
     """S5 — the "jit" JSON structure (``json_graph.jit_data``): one record per
     node with ``{id, name, data, adjacencies:[{nodeTo, data}]}``."""

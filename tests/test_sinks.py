@@ -176,3 +176,41 @@ def test_gpickle_annotation_attributes(artifacts):
     assert causal_targets
     for n in causal_targets:
         assert "causal sources" in g.nodes[n], n
+
+
+def test_s8_gpickle_scan_fixed_point(spark, artifacts):
+    """S8 — load_graph_pickle inverts save_graph_pickle: save -> load ->
+    save reproduces identical node/edge attribute dicts."""
+    import networkx as nx
+    from climatemind_ontology_processing_spark.sources.sinks import (
+        load_graph_pickle, save_graph_pickle)
+    p1 = os.path.join(artifacts, "Climate_Mind_DiGraph.gpickle")
+    nodes2, edges2 = load_graph_pickle(spark, p1)
+    p2 = os.path.join(artifacts, "roundtrip.gpickle")
+    save_graph_pickle(nodes2, edges2, p2)
+    with open(p1, "rb") as f:
+        g1 = pickle.load(f)
+    with open(p2, "rb") as f:
+        g2 = pickle.load(f)
+    assert set(g1.nodes) == set(g2.nodes)
+    assert set(g1.edges) == set(g2.edges)
+    for n in g1.nodes:
+        assert normalize(g1.nodes[n]) == normalize(g2.nodes[n]), n
+    for e in g1.edges:
+        assert normalize(g1.edges[e]) == normalize(g2.edges[e]), e
+
+
+def test_p7_edge_type_display_filter(spark, artifacts):
+    """P7 — get_filtered_data semantics (visualize.py:248-264)."""
+    from climatemind_ontology_processing_spark.operators.visualization import (
+        filter_by_edge_type)
+    nodes = spark.read.parquet(os.path.join(artifacts, "nodes"))
+    edges = spark.read.parquet(os.path.join(artifacts, "edges"))
+    n2, e2 = filter_by_edge_type(nodes, edges, "causes_or_promotes")
+    kept_edges = e2.collect()
+    assert kept_edges and all(r.type == "causes_or_promotes" for r in kept_edges)
+    want_nodes = {r.src for r in kept_edges} | {r.dst for r in kept_edges}
+    assert {r.label for r in n2.select("label").collect()} == want_nodes
+    # None = display everything
+    n3, e3 = filter_by_edge_type(nodes, edges, None)
+    assert n3 is nodes and e3 is edges
