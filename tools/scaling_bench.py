@@ -86,7 +86,9 @@ def run_once(cores: int, n_pages: int, path: str) -> dict:
                                                n_pages=n_pages, path=path)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=500)
+    # 5 passes (probe + warm-up + 3 reps); budget scales with input size
+    budget = max(500, int(n_pages / 1500))
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=budget)
     last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(last)
 
