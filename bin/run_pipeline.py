@@ -44,8 +44,9 @@ def main() -> None:
     ap.add_argument("--dictionary", help="concepts.json path overriding the"
                     " checked-in dictionary for the pages pipeline")
     ap.add_argument("--out", required=True, help="output warehouse dir")
-    ap.add_argument("--run-id", default="owl",
-                    help="resume id (required for the pages pipeline)")
+    ap.add_argument("--run-id", default=None,
+                    help="resume id (required for the pages pipeline; the"
+                    " --onto path doesn't use lineage)")
     ap.add_argument("--buckets", type=int, default=64,
                     help="url-hash resume buckets (cluster: 1000s)")
     ap.add_argument("--skip-graph", action="store_true",
@@ -73,6 +74,10 @@ def main() -> None:
               f"({len(bundle.mitigation_ranked)} ranked mitigations)")
         return
 
+    if not args.run_id:
+        # a defaulted id would silently share lineage between unrelated runs
+        # and resume-skip buckets that belong to a different input
+        ap.error("--run-id is required for the pages pipeline")
     if args.synthetic:
         pages = pages_df(spark, args.synthetic, seed=42)
     elif args.pages:

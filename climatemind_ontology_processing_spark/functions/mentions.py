@@ -54,8 +54,9 @@ _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 # deserialize a FRESH alias dict per task when it rides in the closure, so an
 # id()-keyed cache would grow one (matcher + dict) entry per task forever;
 # keying on a content hash and keeping only the latest entry bounds memory to
-# one compiled dictionary.  (With the broadcast path the same dict OBJECT is
-# reused per executor, so the hash is computed once per process in practice.)
+# one compiled dictionary.  The content hash costs O(|dictionary|), so
+# callers resolve the matcher once per TASK (detect_mentions) — never per
+# row.
 _MATCHER_CACHE: list = [None, None]          # [content_key, matcher]
 
 
@@ -177,11 +178,13 @@ def detect_mentions(pages: DataFrame, aliases: dict[str, str],
     bc = pages.sparkSession.sparkContext.broadcast(aliases)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        lookup = bc.value
+        # resolve the matcher ONCE per task — the cache key is a content
+        # hash (O(|dictionary|) to compute), which must not run per row
+        matcher = _matcher(bc.value)
         for pdf in batches:
             rows = []
             for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf[text_col]):
-                for concept, surface, pos in scan_text(text or "", lookup):
+                for concept, surface, pos in matcher.scan(text or ""):
                     rows.append((url, ts, concept, surface, pos))
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "concept",
                                               "surface", "pos"])

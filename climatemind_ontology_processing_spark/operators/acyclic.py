@@ -51,12 +51,19 @@ def residual_cycle_pairs(edges_b: DataFrame) -> DataFrame:
     reach(u, v) and reach(v, u) hold, i.e. u and v share a cycle.  Empty ⇒ B
     is a DAG and the G5 rewrite is exact.  Callers quarantine or fail when
     non-empty (tests/test_graph_parity.py pins emptiness on the golden graph).
+
+    Self-loops are cycles too and are reported as (u, u) — the reflexive
+    closure can't distinguish them, so they come straight from the edge list.
     """
     from .traversal import transitive_closure
 
+    self_loops = (edges_b.filter(F.col("src") == F.col("dst"))
+                  .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+                  .distinct())
     closure = transitive_closure(edges_b)  # reflexive
     fwd = closure.filter(F.col("src") < F.col("dst"))
     rev = closure.filter(F.col("src") > F.col("dst")).select(
         F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return fwd.join(rev, ["src", "dst"], "left_semi") \
-              .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    two_cycles = fwd.join(rev, ["src", "dst"], "left_semi") \
+                    .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    return two_cycles.unionByName(self_loops)

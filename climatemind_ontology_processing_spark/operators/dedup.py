@@ -64,6 +64,11 @@ def dedup_exact(docs: DataFrame, text_col: str = "text",
     Two texts collide only if BOTH seeded xxhash64 values collide
     (~2^-128 per pair — below any practical corpus's birthday bound; a
     third seed column is a one-line change if that ever matters).
+
+    PRECONDITION: ``id_col`` is the table's unique key.  The semi-join keeps
+    every row carrying a winning id, so duplicated ids would survive as
+    duplicated rows (the previous window implementation kept exactly one row
+    per text group regardless — if ids can repeat, dedupe them first).
     """
     fp1 = F.xxhash64(F.col(text_col))
     fp2 = F.xxhash64(F.lit("dedup-seed-2"), F.col(text_col))

@@ -114,9 +114,12 @@ def resize_images(media: DataFrame, out_w: int, out_h: int,
             rows = []
             for mid, payload, w, h in zip(pdf["media_id"], pdf["payload"],
                                           pdf["width"], pdf["height"]):
-                rows.append((mid, resize_image(bytes(payload), int(w or 0),
-                                               int(h or 0), out_w, out_h,
-                                               fake=fake)))
+                # nullable int columns arrive as float NaN through pandas
+                # (NaN is truthy, so `w or 0` would NOT guard it)
+                w = 0 if pd.isna(w) else int(w)
+                h = 0 if pd.isna(h) else int(h)
+                rows.append((mid, resize_image(bytes(payload), w, h,
+                                               out_w, out_h, fake=fake)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     cols = media.filter(F.col("kind") == "image").select(

@@ -92,14 +92,18 @@ def _lsh_signature_pandas(vec_col, dim: int, bits: int, seed: int):
     dim*bits literals through the plan)."""
     from pyspark.sql.functions import pandas_udf
 
+    # built OUTSIDE the udf body: rides the serialized closure (once per
+    # task), not regenerated per Arrow batch — dim 768 x 64 is ~49k Python
+    # rng calls we don't want in the per-batch hot loop
+    planes = np.array(_hyperplanes(dim, bits, seed), dtype=np.float64)
+    weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+
     @pandas_udf("long")
     def _sig(v: pd.Series) -> pd.Series:
-        planes = np.array(_hyperplanes(dim, bits, seed), dtype=np.float64)
         mat = np.array(v.tolist(), dtype=np.float64)          # batch x dim
         proj = mat @ planes.T                                  # batch x bits
-        packed = ((proj > 0).astype(np.uint64)
-                  * (np.uint64(1) << np.arange(bits, dtype=np.uint64))).sum(
-                      axis=1, dtype=np.uint64)
+        packed = ((proj > 0).astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64)
         return pd.Series(packed.view(np.int64))
 
     return _sig(vec_col)

@@ -101,8 +101,12 @@ def parse_owl(path: str) -> OwlOntology:
     if base is None:
         base = (root.get("{http://www.w3.org/XML/1998/namespace}base")
                 or "ontology")
-    # owlready2 names the ontology by the final path segment of its base IRI
-    name = base.split("//", 1)[-1].rstrip("/#")
+    # owlready2 names the ontology by the FINAL path segment of its base IRI
+    # (host-only IRIs have a single segment: the host itself)
+    tail = base.split("//", 1)[-1].rstrip("/#")
+    name = tail.rsplit("/", 1)[-1]
+    if name.endswith(".owl"):
+        name = name[:-4]          # owlready2 strips the .owl extension too
 
     onto = OwlOntology(name=name, class_label={}, class_parents={},
                        object_props={}, annot_props={}, data_props={})
@@ -199,6 +203,11 @@ def concept_rows(onto: OwlOntology) -> list[dict]:
 
     rows = []
     for ind in onto.individuals:
+        if ind["label"] is None:
+            # the reference keys everything by label[0]; an unlabeled
+            # individual would crash it (make_graph_class.py:125) — we skip
+            # and leave it out of the dictionary rather than emit null keys
+            continue
         direct = [onto.class_label[t] for t in ind["types"]
                   if t in onto.class_label]
         all_classes: set[str] = set()
@@ -245,10 +254,13 @@ def edge_triples(onto: OwlOntology) -> list[tuple[str, str, str]]:
     labeled-edge DFS (``network_class.py:121-156`` + A1 dedup at
     ``make_network.py:44``): every object-property link between labeled
     individuals, predicate spelled through ``give_alias``."""
-    ind_label = {i["iri"]: i["label"] for i in onto.individuals}
+    ind_label = {i["iri"]: i["label"] for i in onto.individuals
+                 if i["label"] is not None}
     seen = set()
     out = []
     for ind in onto.individuals:
+        if ind["label"] is None:      # unlabeled: no triple can name it
+            continue
         for prop_iri, tgt in ind["links"]:
             if tgt not in ind_label:
                 continue

@@ -180,3 +180,13 @@ def test_mitigation_list_nonempty_and_ordered(bundle, nodes_by_label):
             seen_falsy = True
         else:
             assert not seen_falsy, "ranked CO2 value after the falsy tail"
+
+
+def test_residual_cycle_detector_self_loop(spark):
+    """A self-loop is a cycle: the validator must report (u, u)."""
+    from climatemind_ontology_processing_spark.operators.acyclic import (
+        residual_cycle_pairs)
+    edges = spark.createDataFrame(
+        [("a", "a", "t"), ("a", "b", "t")], "src string, dst string, type string")
+    pairs = {(r.u, r.v) for r in residual_cycle_pairs(edges).collect()}
+    assert pairs == {("a", "a")}

@@ -273,3 +273,57 @@ def test_multimodal_ann_end_to_end(spark):
     got = brute_force_topk(emb, queries, k=3).collect()
     assert got[0].vec_id == "dup"
     assert got[0].cos_sim == pytest.approx(1.0)
+
+
+def test_lineage_stale_bucket_cleared(spark, tmp_path):
+    """A pending bucket whose fresh output is EMPTY must not keep a previous
+    run's rows (dynamic overwrite alone would): pending partition dirs are
+    cleared before the write."""
+    out = str(tmp_path / "stale_out")
+    lin = str(tmp_path / "stale_lin")
+    # seed bucket=0 with foreign rows from "a previous run"
+    spark.createDataFrame([("s", "p", "o", "u", None, 1.0)],
+                          "subj string, pred string, obj string, url string, "
+                          "warc_ts timestamp, score double") \
+        .write.mode("overwrite").parquet(os.path.join(out, "bucket=0"))
+    # run with an EMPTY pages table: every bucket's fresh output is empty
+    pages = pages_df(spark, 10, seed=42).filter("1=0")
+    rep = run_bucketed(pages, out, lin, run_id="rX", n_buckets=2)
+    assert sorted(rep.processed) == [0, 1]
+    assert not os.path.isdir(os.path.join(out, "bucket=0")) or not any(
+        f.endswith(".parquet")
+        for f in os.listdir(os.path.join(out, "bucket=0"))), \
+        "stale rows must be cleared"
+
+
+def test_lineage_wave_granularity(spark, tmp_path):
+    """wave_size commits lineage per wave: output and lineage equal the
+    single-pass run."""
+    pages = pages_df(spark, 120, seed=42, partitions=4)
+    out = str(tmp_path / "wave_out")
+    lin = str(tmp_path / "wave_lin")
+    rep = run_bucketed(pages, out, lin, run_id="rw", n_buckets=4, wave_size=2)
+    assert sorted(rep.processed) == [0, 1, 2, 3]
+    assert completed_buckets(spark, lin, "rw", "triples") == {0, 1, 2, 3}
+    full_out = str(tmp_path / "full_out")
+    full_lin = str(tmp_path / "full_lin")
+    run_bucketed(pages, full_out, full_lin, run_id="rf", n_buckets=4)
+    a = {tuple(r) for r in spark.read.parquet(out)
+         .select("subj", "pred", "obj").collect()}
+    b = {tuple(r) for r in spark.read.parquet(full_out)
+         .select("subj", "pred", "obj").collect()}
+    assert a == b
+
+
+def test_resize_null_dimensions(spark):
+    """Null width/height arrive as pandas NaN — must degrade to empty
+    payload, not crash the task."""
+    from climatemind_ontology_processing_spark.operators.multimodal import (
+        resize_images)
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(b"\x01\x02\x03\x04"),
+          ("image/raw", None, None, None))],
+        "media_id string, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>")
+    got = resize_images(media, 2, 2).collect()
+    assert bytes(got[0].payload) == b""
