@@ -339,6 +339,55 @@ def _q_user_sessions(spark, sf_dir):
             .orderBy("user_id", "session_id"))
 
 
+def _q_asof_purchase_click(spark, sf_dir):
+    """As-of join (operators/temporal.py): each purchase matched to the
+    user's latest click at-or-before it — the point-in-time feature join.
+    Microsecond-exact epoch doubles on both sides (no ties in the data,
+    verified), LEFT semantics (purchase with no prior click keeps nulls)."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        asof_join)
+    e = _read(spark, sf_dir, "events")
+    # NTZ -> LTZ cast interprets in the UTC session tz, exactly like
+    # DuckDB's epoch(); micros/1e6 is exact in double at this magnitude
+    ts_sec = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), ts_sec.alias("ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), ts_sec.alias("ts"))
+    out = asof_join(purchases, clicks, key="user_id",
+                    left_ts="ts", right_ts="ts")
+    # nullable outputs stringified with a sentinel: a nullable BIGINT
+    # becomes float NaN through the oracle's pandas path (CLAUDE.md quirk)
+    return (out.select(
+        "user_id", "purchase_id",
+        F.coalesce(F.col("asof_click_id").cast("string"), F.lit("-"))
+         .alias("asof_click_id"),
+        F.coalesce(F.col("asof_ts").cast("decimal(20,6)").cast("string"),
+                   F.lit("-")).alias("asof_ts"))
+        .orderBy("user_id", "purchase_id"))
+
+
+def _q_interval_event_counts(spark, sf_dir):
+    """Range/containment join (operators/temporal.py interval_join): 60
+    overlapping 16-hour intervals over January 2024; per-interval event
+    count + value sum.  Equi-join on time bins + exact BETWEEN filter —
+    never a nested-loop theta join."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        interval_join)
+    e = _read(spark, sf_dir, "events").select(
+        "event_id", "value", F.unix_timestamp("ts").alias("ts"))
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    intervals = spark.range(60).select(
+        F.col("id").alias("interval_id"),
+        (F.lit(base) + F.col("id") * 43200).alias("start"),
+        (F.lit(base) + F.col("id") * 43200 + 57600).alias("end"))
+    joined = interval_join(e, intervals, ts_col="ts", bin_width=3600)
+    return (joined.groupBy("interval_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .orderBy("interval_id"))
+
+
 def _q_rolling_user_value(spark, sf_dir):
     """Range-frame window: per event, the user's value sum over the
     preceding hour (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) — the
@@ -609,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _q_user_sessions,
         "rolling_user_value": _q_rolling_user_value,
         "lang_source_rollup": _q_lang_source_rollup,
+        "asof_purchase_click": _q_asof_purchase_click,
+        "interval_event_counts": _q_interval_event_counts,
         "trade_edges": _q_trade_edges,
         "bfs_reachable": _q_bfs_reachable,
         "closure_counts": _q_closure_counts,
@@ -883,6 +934,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '0' END AS value,
                    (has_one AND has_neg) AS conflict
             FROM per_user ORDER BY user_id
+        """,
+        "asof_purchase_click": """
+            WITH p AS (SELECT user_id, event_id AS purchase_id, epoch(ts) AS ts
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, event_id AS click_id, epoch(ts) AS ts
+                       FROM events WHERE event_type = 'click')
+            SELECT p.user_id, p.purchase_id,
+                   coalesce(c.click_id::VARCHAR, '-') AS asof_click_id,
+                   coalesce(c.ts::DECIMAL(20,6)::VARCHAR, '-') AS asof_ts
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.user_id, p.purchase_id
+        """,
+        "interval_event_counts": """
+            WITH iv AS (
+              SELECT i AS interval_id,
+                     1704067200 + i * 43200 AS start,
+                     1704067200 + i * 43200 + 57600 AS "end"
+              FROM (SELECT unnest(generate_series(0, 59)) AS i)
+            ),
+            e AS (SELECT event_id, value, floor(epoch(ts))::BIGINT AS ts
+                  FROM events)
+            SELECT iv.interval_id, count(*) AS n_events,
+                   round(sum(e.value), 6) AS sum_value
+            FROM e JOIN iv ON e.ts BETWEEN iv.start AND iv."end"
+            GROUP BY 1 ORDER BY interval_id
         """,
         "rolling_user_value": """
             SELECT user_id, event_id,

@@ -1,0 +1,92 @@
+"""Temporal joins Spark lacks as built-ins (task brief: "as-of join, range
+join" as custom-operator examples) — composed from existing DataFrame ops,
+no Pandas fallback needed.
+
+* ``asof_join`` — for each left row, the LATEST right row with
+  ``right_ts <= left_ts`` per key (the time-series point-in-time join,
+  e.g. "the user's most recent click before each purchase").  Implemented
+  with the union-tag trick: interleave both sides sorted by (key, ts, side)
+  and carry the last right payload forward with ``F.last(ignorenulls)``.
+  ONE shuffle on the key, a per-key sort, no join at all — the shape that
+  survives 100x scale because it never builds candidate pairs.  Skewed keys
+  are bounded by per-key row counts, same as any windowed computation.
+
+* ``interval_join`` — event ⨝ interval containment
+  (``start <= ts <= end``).  A naive ``BETWEEN`` theta-join is a broadcast
+  nested loop (quadratic work at scale); the scale path BINS time into
+  fixed-width buckets: intervals explode into the buckets they overlap,
+  events map to their bucket, the join becomes an EQUI-join on (bucket) —
+  Catalyst gets a hash join — and the exact BETWEEN predicate filters
+  within buckets.  Work is O(events + intervals·span/bin + matches).
+  Pick ``bin_width`` near the typical interval length so each interval
+  lands in O(1) buckets.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: list[str] | None = None,
+              prefix: str = "asof_") -> DataFrame:
+    """Point-in-time join: every ``left`` row gains the latest ``right``
+    row's columns (prefixed) with ``right_ts <= left_ts``, matched per
+    ``key``; no match -> nulls (LEFT semantics).  Ties on the timestamp
+    match (<=, not <), like SQL ASOF JOIN.
+    """
+    rcols = right_cols or [c for c in right.columns
+                           if c not in (key, right_ts)]
+    l = left.select(
+        F.col(key).alias("_k"), F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c).alias(c) for c in rcols] +
+                                  [F.col(right_ts).alias("_rts")]).alias("s"))
+            .schema["s"].dataType.simpleString()).alias("_rrow"))
+    r = right.select(
+        F.col(key).alias("_k"), F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("s"))
+            .schema["s"].dataType.simpleString()).alias("_lrow"),
+        F.struct(*[F.col(c).alias(c) for c in rcols] +
+                 [F.col(right_ts).alias("_rts")]).alias("_rrow"))
+    u = l.unionByName(r)
+    # right rows sort BEFORE left rows at equal ts, so <= matches
+    w = (Window.partitionBy("_k")
+         .orderBy(F.col("_t").asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).select(
+        "_lrow.*",
+        *[F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in rcols],
+        F.col("_match._rts").alias(f"{prefix}{right_ts}"))
+    return out
+
+
+def interval_join(events: DataFrame, intervals: DataFrame,
+                  ts_col: str = "ts", start_col: str = "start",
+                  end_col: str = "end", bin_width: int = 3600,
+                  how: str = "inner") -> DataFrame:
+    """Containment join: event rows matched to every interval with
+    ``start <= ts <= end`` (timestamps as epoch-second longs).  Equi-join on
+    time bins + exact filter — never a nested-loop theta join.
+    """
+    if how != "inner":
+        raise ValueError("interval_join supports how='inner'")
+    ev = events.withColumn(
+        "_bin", (F.col(ts_col) / bin_width).cast("long"))
+    iv = intervals.withColumn(
+        "_bin", F.explode(F.sequence(
+            (F.col(start_col) / bin_width).cast("long"),
+            (F.col(end_col) / bin_width).cast("long"))))
+    joined = ev.join(iv, "_bin").filter(
+        (F.col(ts_col) >= F.col(start_col)) &
+        (F.col(ts_col) <= F.col(end_col)))
+    # an interval spanning k bins can meet the same event only in the
+    # event's own bin, so no dedup is needed: (event_bin == interval_bin)
+    # pairs are unique by construction
+    return joined.drop("_bin")

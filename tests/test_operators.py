@@ -233,3 +233,41 @@ def test_winnowing_guarantee_and_candidates(spark):
     cands = {(r.a, r.b): r.n_shared
              for r in winnowing_candidates(docs, min_shared=1).collect()}
     assert set(cands) == {(1, 2)}
+
+
+def test_asof_join_semantics(spark):
+    """Point-in-time join: latest right row with ts <= left ts per key;
+    equal timestamps match; no prior row -> nulls (LEFT semantics)."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        asof_join)
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (1, 5, "p0"), (2, 50, "p3")],
+        "k long, ts long, pid string")
+    right = spark.createDataFrame(
+        [(1, 10, "c_at_10"), (1, 15, "c_at_15"), (3, 1, "other_key")],
+        "k long, ts long, cid string")
+    got = {r.pid: (r.asof_cid, r.asof_ts)
+           for r in asof_join(left, right, key="k").collect()}
+    assert got["p0"] == (None, None)          # nothing at or before ts 5
+    assert got["p1"] == ("c_at_10", 10)       # equal ts matches (<=)
+    assert got["p2"] == ("c_at_15", 15)       # latest prior
+    assert got["p3"] == (None, None)          # key has no right rows
+
+
+def test_interval_join_binned(spark):
+    """Containment join via time-bin equi-join: intervals spanning many bins
+    match exactly once per contained event; overlapping intervals both
+    match; boundary timestamps included."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        interval_join)
+    events = spark.createDataFrame(
+        [(1, 0), (2, 3600), (3, 7200), (4, 10800), (5, 99999)],
+        "event_id long, ts long")
+    intervals = spark.createDataFrame(
+        [(10, 0, 7200),        # spans 3 bins at width 3600; events 1,2,3
+         (11, 3600, 10800)],   # overlaps: events 2,3,4
+        "interval_id long, start long, end long")
+    got = sorted((r.event_id, r.interval_id)
+                 for r in interval_join(events, intervals,
+                                        bin_width=3600).collect())
+    assert got == [(1, 10), (2, 10), (2, 11), (3, 10), (3, 11), (4, 11)]
