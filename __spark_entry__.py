@@ -218,6 +218,15 @@ def _q_winnow_fingerprints(spark, sf_dir):
             .orderBy("doc_id", "fingerprint"))
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filtering signals: duplicate-token ratio +
+    top-bigram share per document (operators/textstats.py)."""
+    from climatemind_ontology_processing_spark.operators.textstats import (
+        repetition_stats)
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
 def _q_fingerprint_dups(spark, sf_dir):
     """Per-document fingerprint of whitespace-normalized lowercase text
     (md5 here so the oracle can recompute it; the engine's internal key is
@@ -645,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "quality_features": _q_quality,
         "fingerprint_dups": _q_fingerprint_dups,
+        "repetition_stats": _q_repetition_stats,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "salted_source_counts": _q_salted_source_counts,
         "clean_corpus": _q_clean_corpus,
@@ -794,6 +804,40 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
                      AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, len(t) AS n_tokens,
+                     len(list_distinct(t)) AS n_distinct, t
+              FROM toks
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(t) >= 2 THEN list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> array_to_string(t[i : i + 1], ' '))
+                       ELSE [] END) AS g
+              FROM base
+            ),
+            counts AS (
+              SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+            ),
+            per_doc AS (
+              SELECT doc_id, max(c) AS max_c, sum(c) AS total_c
+              FROM counts GROUP BY 1
+            )
+            SELECT b.doc_id, b.n_tokens,
+                   round(CASE WHEN b.n_tokens > 0
+                              THEN 1.0 - b.n_distinct * 1.0 / b.n_tokens
+                              ELSE 0 END, 6) AS dup_token_ratio,
+                   round(coalesce(p.max_c * 1.0 / p.total_c, 0), 6)
+                     AS top_bigram_share
+            FROM base b LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY b.doc_id
         """,
         "salted_source_counts": """
             -- oracle: plain GROUP BY; salted two-phase agg must equal it

@@ -92,6 +92,46 @@ def fingerprint(text_col: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 quality rules,
+    simplified): duplicate-token ratio and the share of the most frequent
+    bigram — high values flag boilerplate/spam for corpus filtering.
+
+    Shape: bigrams explode -> (doc, bigram) count -> per-doc max/sum — the
+    shuffles carry only (id, hash, count) keys, never text bodies.
+    Returns (id, n_tokens, dup_token_ratio, top_bigram_share), ratios
+    rounded to 6 (docs with <2 tokens score 0.0).
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        toks.alias("_t"))
+    bigrams = base.select(
+        id_col, "n_tokens", "n_distinct",
+        F.explode(F.when(
+            F.size("_t") >= 2,
+            F.transform(F.sequence(F.lit(0), F.size("_t") - 2),
+                        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_t"), i + 1, 2)))))
+            .otherwise(F.array().cast("array<long>"))).alias("bg"))
+    counts = (bigrams.groupBy(id_col, "n_tokens", "n_distinct", "bg")
+              .agg(F.count("*").alias("c")))
+    per_doc = (counts.groupBy(id_col, "n_tokens", "n_distinct")
+               .agg(F.max("c").alias("max_c"), F.sum("c").alias("total_c")))
+    # docs with <2 tokens produce no bigrams; restore them with zero shares
+    all_docs = base.select(id_col, "n_tokens", "n_distinct")
+    out = all_docs.join(per_doc, [id_col, "n_tokens", "n_distinct"], "left")
+    return out.select(
+        id_col, "n_tokens",
+        F.round(F.when(F.col("n_tokens") > 0,
+                       1.0 - F.col("n_distinct") / F.col("n_tokens"))
+                .otherwise(F.lit(0.0)), 6).alias("dup_token_ratio"),
+        F.round(F.coalesce(F.col("max_c") / F.col("total_c"), F.lit(0.0)), 6)
+         .alias("top_bigram_share"))
+
+
 def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 5,
                            window: int = 4) -> DataFrame:
