@@ -10,6 +10,9 @@ arrays, hashing via ``F.xxhash64``/``F.hash``), no Python in the hot path.
 """
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -112,31 +115,74 @@ def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
     return docs.withColumn(out_col, F.array_distinct(shingle))
 
 
-def minhash_signature(shingles_col, num_hashes: int = 32):
+_MINHASH_P = (1 << 31) - 1   # Mersenne prime: a*x + b stays < 2^62 in long
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    import random
+    rng = random.Random(42)
+    p = _MINHASH_P
+    return [(rng.randrange(1, p), rng.randrange(0, p))
+            for _ in range(num_hashes)]
+
+
+# above this permutation count the JVM fold (one array traversal per
+# permutation, interpreted lambda per element) loses to one Arrow crossing
+# with a numpy broadcast; 32-perm signatures over 50k docs measured faster
+# vectorized
+MINHASH_LITERAL_MAX_PERMS = 16
+
+
+def _minhash_signature_pandas(shingles_col, num_hashes: int):
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = _minhash_coeffs(num_hashes)
+    a = np.array([c[0] for c in coeffs], dtype=np.int64)[:, None]
+    b = np.array([c[1] for c in coeffs], dtype=np.int64)[:, None]
+    p = np.int64(_MINHASH_P)
+
+    @pandas_udf("array<long>")
+    def _sig(s: pd.Series) -> pd.Series:
+        out = []
+        empty = [None] * num_hashes        # JVM array_min([]) -> null
+        for row in s:
+            if len(row) == 0:
+                out.append(empty)
+                continue
+            x = np.mod(np.asarray(row, dtype=np.int64), p)[None, :]
+            out.append(((x * a + b) % p).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return _sig(shingles_col)
+
+
+def minhash_signature(shingles_col, num_hashes: int = 32,
+                      force: str | None = None):
     """num_hashes permutation minima over the shingle hash set.
 
     Universal-hash family h_i(x) = (a_i * x + b_i) mod p over the xxhash64
     values; coefficients fixed (seeded) so signatures are deterministic.
-    Returns an array<long> column expression.
+    Returns an array<long> column expression.  Routes to an Arrow/numpy
+    broadcast above ``MINHASH_LITERAL_MAX_PERMS`` permutations (identical
+    values — np.mod and F.pmod agree on negative longs; equivalence pinned
+    in tests); ``force`` ∈ {'literal', 'pandas'} overrides.
     """
-    import random
-    rng = random.Random(42)
-    # Mersenne prime 2^31-1: inputs reduced mod p stay < 2^31, so a*x + b
-    # stays < 2^62 — no long overflow inside the JVM expression
-    p = (1 << 31) - 1
-    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+    if force == "pandas" or (force is None
+                             and num_hashes > MINHASH_LITERAL_MAX_PERMS):
+        return _minhash_signature_pandas(shingles_col, num_hashes)
+    p = _MINHASH_P
 
     def perm(a, b):
         # closure factory: PySpark introspects lambda arity, so default-arg
         # binding (lambda x, a=a: ...) would mis-register as a 3-arg lambda
         return lambda x: (F.pmod(x, F.lit(p)) * F.lit(a) + F.lit(b)) % F.lit(p)
 
-    # let-bind the shingle array: 32 references would otherwise re-evaluate
-    # the (projection-collapsed) shingle expression 32x per row
+    # let-bind the shingle array: N references would otherwise re-evaluate
+    # the (projection-collapsed) shingle expression N times per row
     return let_bound(
         shingles_col,
         lambda s: F.array(*[F.array_min(F.transform(s, perm(a, b)))
-                            for a, b in coeffs]))
+                            for a, b in _minhash_coeffs(num_hashes)]))
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -152,21 +198,31 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     Returns (a, b) with a < b, distinct.
     """
     rows = num_hashes // bands
-    sigs = with_shingles(docs, text_col, n).filter(F.size("shingles") > 0) \
-        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
-    banded = sigs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", F.slice(F.col("sig"), b * rows + 1, rows))).alias("bh"),
-            ))).alias("bucket"))
-    # materialize: the self-join below would otherwise compute the shingle +
-    # signature pipeline twice (once per alias)
-    buckets = banded.select("doc", "bucket.band", "bucket.bh") \
+    # two-step materialization: checkpoint the JVM-only shingles first, then
+    # compute signatures in a bare projection over the materialized child.
+    # Rationale: with the whole tree lazy, projection collapse can fuse the
+    # Arrow signature UDF into surrounding higher-order expressions, and
+    # localCheckpoint then evaluates it via an interpreted projection, which
+    # cannot evaluate PythonUDF expressions (observed Spark 4.1 behavior;
+    # the two-step shape keeps the UDF in a canonical Project-over-RDD the
+    # planner always extracts into an ArrowEvalPython stage).
+    shingled = with_shingles(docs, text_col, n) \
+        .filter(F.size("shingles") > 0) \
+        .select(F.col(id_col).alias("doc"), "shingles") \
         .localCheckpoint(eager=True)
+    sigs = shingled.select(
+        "doc", minhash_signature(F.col("shingles"), num_hashes).alias("sig")) \
+        .localCheckpoint(eager=True)
+    buckets = sigs.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.slice(F.col("sig"), b * rows + 1, rows))).alias("bh"))
+            for b in range(bands)
+        ])).alias("bucket")) \
+        .select("doc", "bucket.band", "bucket.bh")
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (left.join(right,

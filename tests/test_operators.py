@@ -271,3 +271,22 @@ def test_interval_join_binned(spark):
                  for r in interval_join(events, intervals,
                                         bin_width=3600).collect())
     assert got == [(1, 10), (2, 10), (2, 11), (3, 10), (3, 11), (4, 11)]
+
+
+def test_minhash_signature_paths_identical(spark, docs):
+    """Arrow/numpy minhash path must equal the JVM fold exactly (np.mod and
+    F.pmod agree on negative xxhash64 values)."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        minhash_signature, with_shingles)
+    # materialize shingles first: feeding a pandas UDF an argument that
+    # still contains higher-order lambdas plans unreliably (CLAUDE.md note;
+    # production code does the same two-step in minhash_lsh_pairs)
+    sh = with_shingles(docs).filter(F.size("shingles") > 0) \
+        .select("doc_id", "shingles").localCheckpoint(eager=True)
+    lit = {r.doc_id: r.s for r in sh.select("doc_id",
+           minhash_signature(F.col("shingles"), 32, force="literal")
+           .alias("s")).collect()}
+    pnd = {r.doc_id: r.s for r in sh.select("doc_id",
+           minhash_signature(F.col("shingles"), 32, force="pandas")
+           .alias("s")).collect()}
+    assert lit and lit == pnd
