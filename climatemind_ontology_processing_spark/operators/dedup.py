@@ -185,9 +185,21 @@ def minhash_signature(shingles_col, num_hashes: int = 32,
                             for a, b in _minhash_coeffs(num_hashes)]))
 
 
+def _shingled_checkpointed(docs: DataFrame, id_col: str, text_col: str,
+                           n: int) -> DataFrame:
+    """(doc, shingles) with non-empty shingle sets, eagerly materialized —
+    shared by candidate generation AND exact verification so the corpus is
+    shingled exactly once per near-dup run."""
+    return (with_shingles(docs, text_col, n)
+            .filter(F.size("shingles") > 0)
+            .select(F.col(id_col).alias("doc"), "shingles")
+            .localCheckpoint(eager=True))
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
-                      num_hashes: int = 32, bands: int = 8) -> DataFrame:
+                      num_hashes: int = 32, bands: int = 8,
+                      shingled: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Pipeline: shingle -> signature -> split into ``bands`` bands of
@@ -206,10 +218,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     # cannot evaluate PythonUDF expressions (observed Spark 4.1 behavior;
     # the two-step shape keeps the UDF in a canonical Project-over-RDD the
     # planner always extracts into an ArrowEvalPython stage).
-    shingled = with_shingles(docs, text_col, n) \
-        .filter(F.size("shingles") > 0) \
-        .select(F.col(id_col).alias("doc"), "shingles") \
-        .localCheckpoint(eager=True)
+    if shingled is None:
+        shingled = _shingled_checkpointed(docs, id_col, text_col, n)
     sigs = shingled.select(
         "doc", minhash_signature(F.col("shingles"), num_hashes).alias("sig")) \
         .localCheckpoint(eager=True)
@@ -275,14 +285,15 @@ def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     comes from the banding parameters (8 bands x 4 rows: >=97% recall at
     jaccard 0.7, ~60% at 0.5 — raise ``bands`` for lower thresholds).
     """
-    cand = minhash_lsh_pairs(docs, id_col, text_col, n, num_hashes, bands)
-    sh = with_shingles(docs, text_col, n).select(
-        F.col(id_col).alias("_id"), F.col("shingles")) \
-        .localCheckpoint(eager=True)  # referenced twice (a- and b-side)
+    # shingle ONCE: the same materialized (doc, shingles) feeds candidate
+    # generation and both sides of the exact verification join
+    sh = _shingled_checkpointed(docs, id_col, text_col, n)
+    cand = minhash_lsh_pairs(docs, id_col, text_col, n, num_hashes, bands,
+                             shingled=sh)
     joined = (cand
-              .join(sh.withColumnRenamed("_id", "a")
+              .join(sh.withColumnRenamed("doc", "a")
                       .withColumnRenamed("shingles", "_sa"), "a")
-              .join(sh.withColumnRenamed("_id", "b")
+              .join(sh.withColumnRenamed("doc", "b")
                       .withColumnRenamed("shingles", "_sb"), "b"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
