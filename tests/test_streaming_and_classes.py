@@ -95,3 +95,45 @@ def test_stateful_sessionization_stream(spark, tmp_path):
         (1, e(0), e(10), 3, "gap"),
         (2, e(0), e(2), 2, "gap"),
     }
+
+
+def test_stateful_sessionization_timeout_flush(spark, tmp_path):
+    """The event-time timeout branch: a second micro-batch with much later
+    events advances the watermark past last_ts + gap, flushing the open
+    session with closed_by='timeout'."""
+    import datetime as dt
+    import glob
+
+    from climatemind_ontology_processing_spark.streaming.sessions import (
+        sessionize_stream)
+
+    def t(hour, minute=0):
+        return dt.datetime(2026, 1, 1, hour, minute)
+
+    src = str(tmp_path / "sess2_in")
+    out = str(tmp_path / "sess2_out")
+    ckpt = str(tmp_path / "sess2_ckpt")
+
+    def run_batch():
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        q = (sessionize_stream(stream, gap_sec=1800).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: user 7 has an open session (2 events at 10:00, 10:05)
+    spark.createDataFrame([(7, t(10, 0)), (7, t(10, 5))],
+                          "user_id long, ts timestamp") \
+        .write.mode("append").parquet(src)
+    run_batch()
+    got1 = spark.read.parquet(out).collect()
+    assert got1 == [], "open session must not be emitted yet"
+
+    # batch 2: a different user far in the future advances the watermark
+    spark.createDataFrame([(8, t(20, 0))], "user_id long, ts timestamp") \
+        .write.mode("append").parquet(src)
+    run_batch()
+    got2 = {(r.user_id, r.n_events, r.closed_by)
+            for r in spark.read.parquet(out).collect()}
+    assert (7, 2, "timeout") in got2, got2
