@@ -34,24 +34,33 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     """Point-in-time join: every ``left`` row gains the latest ``right``
     row's columns (prefixed) with ``right_ts <= left_ts``, matched per
     ``key``; no match -> nulls (LEFT semantics).  Ties on the timestamp
-    match (<=, not <), like SQL ASOF JOIN.
+    match (<=, not <), like SQL ASOF JOIN.  If the RIGHT side has exact
+    (key, ts) duplicates, which of them wins is not deterministic — the
+    same caveat SQL ASOF carries; dedupe the right side or use a
+    finer-grained timestamp when that matters.
     """
+    from pyspark.sql import types as T
+
     rcols = right_cols or [c for c in right.columns
                            if c not in (key, right_ts)]
+    # NULL structs cast to a DataType OBJECT (no DDL string round-trip, and
+    # crucially a genuinely-null struct: a struct of null FIELDS would count
+    # as non-null for last(ignorenulls) and clobber the carried match)
+    rstruct = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in rcols]
+        + [T.StructField("_rts", right.schema[right_ts].dataType)])
+    lstruct = T.StructType(
+        [T.StructField(c, left.schema[c].dataType) for c in left.columns])
+
     l = left.select(
         F.col(key).alias("_k"), F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        F.lit(None).cast(
-            right.select(F.struct(*[F.col(c).alias(c) for c in rcols] +
-                                  [F.col(right_ts).alias("_rts")]).alias("s"))
-            .schema["s"].dataType.simpleString()).alias("_rrow"))
+        F.lit(None).cast(rstruct).alias("_rrow"))
     r = right.select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(
-            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("s"))
-            .schema["s"].dataType.simpleString()).alias("_lrow"),
+        F.lit(None).cast(lstruct).alias("_lrow"),
         F.struct(*[F.col(c).alias(c) for c in rcols] +
                  [F.col(right_ts).alias("_rts")]).alias("_rrow"))
     u = l.unionByName(r)

@@ -32,7 +32,10 @@ SESSION_STATE_SCHEMA = "session_start bigint, last_ts bigint, n_events bigint"
 
 
 def _epoch(series: pd.Series) -> pd.Series:
-    return (series.astype("int64") // 1_000_000_000).astype("int64")
+    # normalize to ns first: Arrow may deliver datetime64 at us resolution,
+    # where a raw int64 view would be off by 1000x
+    ns = pd.to_datetime(series).astype("datetime64[ns]").astype("int64")
+    return (ns // 1_000_000_000).astype("int64")
 
 
 def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
