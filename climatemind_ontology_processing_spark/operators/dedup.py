@@ -146,7 +146,9 @@ def _minhash_signature_pandas(shingles_col, num_hashes: int):
         out = []
         empty = [None] * num_hashes        # JVM array_min([]) -> null
         for row in s:
-            if len(row) == 0:
+            # null arrays arrive as None; match the literal path's
+            # null-filled signature instead of crashing on len(None)
+            if row is None or len(row) == 0:
                 out.append(empty)
                 continue
             x = np.mod(np.asarray(row, dtype=np.int64), p)[None, :]
@@ -166,7 +168,16 @@ def minhash_signature(shingles_col, num_hashes: int = 32,
     broadcast above ``MINHASH_LITERAL_MAX_PERMS`` permutations (identical
     values — np.mod and F.pmod agree on negative longs; equivalence pinned
     in tests); ``force`` ∈ {'literal', 'pandas'} overrides.
+
+    COMPOSITION PRECONDITION for the pandas path: the shingles argument must
+    be a MATERIALIZED column (checkpointed/scanned), not an expression still
+    containing higher-order lambdas — projection collapse can otherwise
+    leave the PythonUDF in an interpreted projection that cannot evaluate it
+    (session-state-dependent Spark 4.1 failure; CLAUDE.md, and see the
+    two-step shape in ``minhash_lsh_pairs``).
     """
+    if force not in (None, "literal", "pandas"):
+        raise ValueError(f"force must be None|'literal'|'pandas', got {force!r}")
     if force == "pandas" or (force is None
                              and num_hashes > MINHASH_LITERAL_MAX_PERMS):
         return _minhash_signature_pandas(shingles_col, num_hashes)

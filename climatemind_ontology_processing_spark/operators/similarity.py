@@ -118,6 +118,8 @@ def lsh_signature(vec_col, dim: int, bits: int = 16, seed: int = 42,
     Both paths produce IDENTICAL signatures for the same seed (pinned by
     tests/test_scale_ops.py equivalence test); ``force`` overrides for tests.
     """
+    if force not in (None, "literal", "pandas"):
+        raise ValueError(f"force must be None|'literal'|'pandas', got {force!r}")
     if force == "literal" or (force is None and dim * bits <= LSH_LITERAL_MAX_TERMS):
         return _lsh_signature_literal(vec_col, dim, bits, seed)
     return _lsh_signature_pandas(vec_col, dim, bits, seed)

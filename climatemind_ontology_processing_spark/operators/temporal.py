@@ -41,8 +41,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     """
     from pyspark.sql import types as T
 
-    rcols = right_cols or [c for c in right.columns
-                           if c not in (key, right_ts)]
+    reserved = {"_k", "_t", "_side", "_lrow", "_rrow", "_match"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join reserves internal columns {sorted(clash)}")
+    rcols = (right_cols if right_cols is not None     # [] means "ts only"
+             else [c for c in right.columns if c not in (key, right_ts)])
     # NULL structs cast to a DataType OBJECT (no DDL string round-trip, and
     # crucially a genuinely-null struct: a struct of null FIELDS would count
     # as non-null for last(ignorenulls) and clobber the carried match)
@@ -86,6 +90,8 @@ def interval_join(events: DataFrame, intervals: DataFrame,
     """
     if how != "inner":
         raise ValueError("interval_join supports how='inner'")
+    if "_bin" in events.columns or "_bin" in intervals.columns:
+        raise ValueError("interval_join reserves the internal column '_bin'")
     ev = events.withColumn(
         "_bin", (F.col(ts_col) / bin_width).cast("long"))
     iv = intervals.withColumn(
