@@ -497,6 +497,59 @@ def _q_connected_components(spark, sf_dir):
             .orderBy("id"))
 
 
+def _q_pagerank(spark, sf_dir):
+    """PageRank (10 power iterations, d=0.85) over the trade graph —
+    concept-importance ranking for entity-link scoring
+    (operators/pagerank.py).  The oracle replays the identical fixed
+    iteration count with unrolled CTEs."""
+    from climatemind_ontology_processing_spark.operators.pagerank import (
+        pagerank)
+    edges = _trade_edges(spark, sf_dir)
+    return (pagerank(edges, iters=10, damping=0.85)
+            .select(F.col("id").cast("int").alias("id"),
+                    F.round("rank", 6).alias("rank"))
+            .orderBy("id"))
+
+
+def _pagerank_sql(iters: int = 10, d: float = 0.85) -> str:
+    """Unrolled power-iteration oracle (recursive CTEs with aggregates over
+    the recursive table are non-standard, so each iteration is its own CTE
+    generated here)."""
+    steps = []
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        cur = f"pr{i}"
+        steps.append(f"""
+        {cur} AS MATERIALIZED (
+          SELECT n.id,
+                 (1 - {d}) / s.n
+                 + {d} * (SELECT coalesce(sum(p.rank), 0) FROM {prev} p
+                          WHERE p.id NOT IN (SELECT id FROM outdeg)) / s.n
+                 + {d} * coalesce(inf.flow, 0) AS rank
+          FROM nodes n CROSS JOIN sz s
+          LEFT JOIN (
+            SELECT e.dst AS id, sum(p.rank / od.deg) AS flow
+            FROM {prev} p
+            JOIN edges e ON e.src = p.id
+            JOIN outdeg od ON od.id = p.id
+            GROUP BY 1) inf ON inf.id = n.id
+        )""")
+        prev = cur
+    return f"""
+        WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+        edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM all_edges),
+        nodes AS MATERIALIZED (
+          SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        sz AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        outdeg AS MATERIALIZED (
+          SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+        pr0 AS MATERIALIZED (
+          SELECT id, 1.0 / s.n AS rank FROM nodes CROSS JOIN sz s),
+        {",".join(steps)}
+        SELECT id, round(rank, 6) AS rank FROM {prev} ORDER BY id
+    """
+
+
 # ---------------------------------------------------------------------------
 # similarity family
 # ---------------------------------------------------------------------------
@@ -676,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "induced_subgraph": _q_induced_subgraph,
         "acyclic_cut": _q_acyclic_cut,
         "connected_components": _q_connected_components,
+        "pagerank": _q_pagerank,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
         "embedding_lsh_pairs": _q_embedding_lsh_pairs,
@@ -1111,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id::INT AS id, min(r)::INT AS component
             FROM reach GROUP BY id ORDER BY id
         """,
+        "pagerank": _pagerank_sql(),
         "cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),

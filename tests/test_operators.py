@@ -290,3 +290,23 @@ def test_minhash_signature_paths_identical(spark, docs):
            minhash_signature(F.col("shingles"), 32, force="pandas")
            .alias("s")).collect()}
     assert lit and lit == pnd
+
+
+def test_pagerank_properties(spark):
+    """Power iteration invariants: ranks sum to 1 (dangling mass
+    redistributed), a sink-pointing hub graph ranks the sink highest, and
+    the uniform cycle gives uniform ranks."""
+    from climatemind_ontology_processing_spark.operators.pagerank import (
+        pagerank)
+    # 3-cycle: symmetric -> uniform 1/3
+    cyc = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")],
+                                "src string, dst string")
+    ranks = {r.id: r.rank for r in pagerank(cyc, iters=20).collect()}
+    for v in ranks.values():
+        assert v == pytest.approx(1 / 3, abs=1e-9)
+    # star into a sink (sink is dangling): sink ranks highest, sum == 1
+    star = spark.createDataFrame(
+        [("u1", "hub"), ("u2", "hub"), ("u3", "hub")], "src string, dst string")
+    ranks = {r.id: r.rank for r in pagerank(star, iters=15).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    assert ranks["hub"] > max(ranks[u] for u in ("u1", "u2", "u3"))
