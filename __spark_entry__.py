@@ -497,6 +497,39 @@ def _q_connected_components(spark, sf_dir):
             .orderBy("id"))
 
 
+def _q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts over the undirected sparse trade subgraph
+    (operators/graphstats.py) — the clustering-coefficient building block."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        triangle_counts)
+    edges = (_trade_edges(spark, sf_dir)
+             .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0))
+    return (triangle_counts(edges)
+            .select(F.col("id").cast("int").alias("id"), "n_triangles")
+            .orderBy("id"))
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (ties broken term-ascending) — the
+    keyword-extraction primitive of a text pipeline."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")) \
+        .filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = (tf.join(df_, "term")
+              .withColumn("tfidf",
+                          F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                             F.col("term").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "rnk", "term", "tfidf")
+            .orderBy("doc_id", "rnk"))
+
+
 def _q_pagerank(spark, sf_dir):
     """PageRank (10 power iterations, d=0.85) over the trade graph —
     concept-importance ranking for entity-link scoring
@@ -730,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acyclic_cut": _q_acyclic_cut,
         "connected_components": _q_connected_components,
         "pagerank": _q_pagerank,
+        "triangle_counts": _q_triangle_counts,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
         "embedding_lsh_pairs": _q_embedding_lsh_pairs,
@@ -1166,6 +1201,53 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY id ORDER BY id
         """,
         "pagerank": _pagerank_sql(),
+        "triangle_counts": f"""
+            WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+            sparse AS (SELECT src, dst FROM all_edges
+                       WHERE (src * 31 + dst) % 7 = 0),
+            e AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+              FROM sparse WHERE least(src, dst) <> greatest(src, dst)),
+            nodes AS (SELECT lo AS id FROM e UNION SELECT hi FROM e),
+            tri AS (
+              SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+              FROM e ab JOIN e bc ON bc.lo = ab.hi
+              WHERE EXISTS (SELECT 1 FROM e ac
+                            WHERE ac.lo = ab.lo AND ac.hi = bc.hi)),
+            member AS (
+              SELECT a AS id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+            SELECT n.id, coalesce(m.n, 0)::BIGINT AS n_triangles
+            FROM nodes n LEFT JOIN (
+              SELECT id, count(*) AS n FROM member GROUP BY 1) m USING (id)
+            ORDER BY n.id
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term <> '' GROUP BY 1, 2
+            ),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+              FROM tf JOIN df USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT doc_id, term, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term ASC) AS rnk
+              FROM scored
+            )
+            SELECT doc_id, rnk, term, tfidf FROM ranked
+            WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
         "cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),

@@ -310,3 +310,20 @@ def test_pagerank_properties(spark):
     ranks = {r.id: r.rank for r in pagerank(star, iters=15).collect()}
     assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
     assert ranks["hub"] > max(ranks[u] for u in ("u1", "u2", "u3"))
+
+
+def test_triangle_counts(spark):
+    """K4 minus one edge: nodes on the shared edge sit in 2 triangles; a
+    pendant node sits in 0; direction/duplicates/self-loops ignored."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        triangle_counts, triangles)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"),
+         ("a", "d"), ("b", "d"),            # K4 minus (c, d)
+         ("d", "e"),                        # pendant
+         ("e", "e")],                       # self-loop ignored
+        "src string, dst string")
+    tri = {(r.a, r.b, r.c) for r in triangles(edges).collect()}
+    assert tri == {("a", "b", "c"), ("a", "b", "d")}
+    got = {r.id: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1, "e": 0}
