@@ -327,3 +327,59 @@ def test_triangle_counts(spark):
     assert tri == {("a", "b", "c"), ("a", "b", "d")}
     got = {r.id: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == {"a": 2, "b": 2, "c": 1, "d": 1, "e": 0}
+
+
+def test_asof_join_randomized_vs_python_oracle(spark):
+    """300 random left rows x 200 right rows across 12 keys, compared to a
+    brute-force Python as-of (latest right with ts <= left ts per key)."""
+    import random
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        asof_join)
+    rng = random.Random(11)
+    left = [(rng.randrange(12), rng.randrange(10_000), i) for i in range(300)]
+    # unique (key, ts) on the right: equal-ts duplicates are documented
+    # nondeterminism
+    seen = set()
+    right = []
+    for j in range(200):
+        k, ts = rng.randrange(12), rng.randrange(10_000)
+        if (k, ts) in seen:
+            continue
+        seen.add((k, ts))
+        right.append((k, ts, 1000 + j))
+    ldf = spark.createDataFrame(left, "k long, ts long, lid long")
+    rdf = spark.createDataFrame(right, "k long, ts long, rid long")
+    got = {r.lid: (r.asof_rid, r.asof_ts)
+           for r in asof_join(ldf, rdf, key="k").collect()}
+
+    by_key = {}
+    for k, ts, rid in right:
+        by_key.setdefault(k, []).append((ts, rid))
+    for k, ts, lid in left:
+        cands = [(t, rid) for t, rid in by_key.get(k, []) if t <= ts]
+        want = max(cands) if cands else None
+        if want is None:
+            assert got[lid] == (None, None), lid
+        else:
+            assert got[lid] == (want[1], want[0]), lid
+
+
+def test_interval_join_randomized_vs_python_oracle(spark):
+    """Random events x random intervals (several bin widths) against a
+    brute-force containment check — bin width must never change results."""
+    import random
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        interval_join)
+    rng = random.Random(13)
+    events = [(i, rng.randrange(100_000)) for i in range(250)]
+    intervals = []
+    for j in range(60):
+        s = rng.randrange(100_000)
+        intervals.append((j, s, s + rng.randrange(1, 20_000)))
+    edf = spark.createDataFrame(events, "event_id long, ts long")
+    idf = spark.createDataFrame(intervals, "interval_id long, start long, end long")
+    want = {(e, j) for e, ts in events for j, s, t in intervals if s <= ts <= t}
+    for bw in (100, 3600, 50_000):
+        got = {(r.event_id, r.interval_id)
+               for r in interval_join(edf, idf, bin_width=bw).collect()}
+        assert got == want, f"bin_width={bw}"
