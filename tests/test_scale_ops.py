@@ -327,3 +327,33 @@ def test_resize_null_dimensions(spark):
         "meta struct<mime:string,width:int,height:int,duration_ms:int>")
     got = resize_images(media, 2, 2).collect()
     assert bytes(got[0].payload) == b""
+
+
+def test_dedup_exact_bucketed_layout_no_corpus_shuffle(spark, tmp_path):
+    """The dedup_exact docstring's cluster-scale claim, proven at plan level:
+    with the corpus bucketed by doc_id and broadcast joins disabled (forcing
+    the join shape a 100 TB run would take), the ONLY exchanges are the
+    keys-only fingerprint agg and the tiny keep-id side repartitioning into
+    the bucket layout — the document bodies never enter an exchange."""
+    import re
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        dedup_exact)
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i % 40}") for i in range(200)],
+        "doc_id long, text string")
+    spark.sql("DROP TABLE IF EXISTS _dedup_bucketed_test")
+    docs.write.bucketBy(8, "doc_id").sortBy("doc_id") \
+        .format("parquet").saveAsTable("_dedup_bucketed_test")
+    bucketed = spark.table("_dedup_bucketed_test")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = dedup_exact(bucketed)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        exchanges = re.findall(r"Exchange [^\n]*", plan)
+        assert exchanges, "expected the keys-only exchanges"
+        assert not any("text" in e for e in exchanges), exchanges
+        assert out.count() == 40  # one survivor per distinct text
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS _dedup_bucketed_test")
