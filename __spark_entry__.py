@@ -122,25 +122,36 @@ def _q_jaccard_pairs(spark, sf_dir):
 
 
 def _q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH candidate pairs — hash-specific, rows-only check."""
+    """MinHash+LSH candidate pairs.  Registered with the md5_60 hash family
+    so DuckDB replays the full pipeline value-exactly (shingle hashes,
+    universal-hash signature minima, band buckets); the xxhash64 production
+    default is pinned structurally equivalent by the family-parity pytest.
+    The band bucket key is xxhash64(of the band slice string) on the Spark
+    side; the oracle joins on the slice string itself — identical up to
+    64-bit band-hash collisions (~#buckets^2/2^64, zero at any tested SF)."""
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs).orderBy("a", "b")
+    return minhash_lsh_pairs(docs, hash_family="md5_60").orderBy("a", "b")
 
 
 def _q_near_dup(spark, sf_dir):
-    """Production near-dup: LSH candidates -> exact Jaccard verify.
-    Rows-only (bucket collisions are hash-specific); the exact-Jaccard subset
-    relation vs `jaccard_pairs` is pinned in pytest."""
+    """Production near-dup: exact-dedup-first -> LSH candidates -> exact
+    Jaccard verify (md5_60 family so the oracle replays candidates exactly;
+    see _q_minhash_lsh).  The exact-Jaccard subset relation vs
+    `jaccard_pairs` is additionally pinned in pytest."""
     docs = _read(spark, sf_dir, "documents")
-    return (near_dup_pairs(docs, threshold=0.5)
+    return (near_dup_pairs(docs, threshold=0.5, hash_family="md5_60")
             .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
             .orderBy("a", "b"))
 
 
 def _q_simhash(spark, sf_dir):
-    """SimHash near-dup pairs — hash-specific, rows-only check."""
+    """SimHash near-dup pairs.  md5_60 token-hash family so the oracle can
+    recompute the 64-bit signatures bit-exactly (bits 60-63 structurally 0
+    under 60-bit token hashes — banding unaffected); xxhash64 default pinned
+    by the family-parity pytest."""
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=3).orderBy("a", "b")
+    return (simhash_near_pairs(docs, max_hamming=3, hash_family="md5_60")
+            .orderBy("a", "b"))
 
 
 # ---------------------------------------------------------------------------
@@ -732,9 +743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_edges": _q_cooccurrence_edges,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
-        "minhash_lsh_pairs": _q_minhash_lsh,       # rows-only (hash-specific)
-        "near_dup_pairs": _q_near_dup,             # rows-only (hash-specific)
-        "simhash_pairs": _q_simhash,               # rows-only (hash-specific)
+        "minhash_lsh_pairs": _q_minhash_lsh,       # md5_60 family: oracled
+        "near_dup_pairs": _q_near_dup,             # md5_60 family: oracled
+        "simhash_pairs": _q_simhash,               # md5_60 family: oracled
         "lang_stats": _q_lang_stats,
         "token_counts": _q_token_counts,
         "language_id": _q_language_id,
@@ -775,6 +786,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in TERMS)
     en_words = ", ".join(f"'{w}'" for w in _LANGS["en"])
+
+    # --- shared SQL for the md5_60 MinHash pipeline oracles ---------------
+    # The registered minhash/near-dup/simhash queries use the md5_60 hash
+    # family (operators/dedup.token_hash) precisely so DuckDB can recompute
+    # every intermediate value: shingle hash = first 15 md5 hex chars as a
+    # long, signature = per-permutation minima of (x%p*a+b)%p with the
+    # SEEDED coefficients inlined below, buckets = (band, band-slice).
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        _MINHASH_P, _minhash_coeffs)
+    _p = _MINHASH_P
+    sig_exprs = ",\n                     ".join(
+        f"list_min(list_transform(sh, x -> ((x % {_p}) * {a} + {b}) % {_p}))"
+        for a, b in _minhash_coeffs(32))
+    # toks -> distinct md5_60 3-gram shingle hashes -> 32-perm signature ->
+    # 8 bands x 4 rows exploded; `src` is a CTE named `docs`(doc_id, text)
+    minhash_cte = f"""
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+              FROM docs
+            ),
+            sh0 AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 1)),
+                       i -> ('0x' || substring(
+                              md5(array_to_string(t[i : i + 2], ' ')), 1, 15)
+                            )::BIGINT)) AS sh
+              FROM toks
+            ),
+            sigs AS (
+              SELECT doc_id, [{sig_exprs}] AS sig
+              FROM sh0 WHERE len(sh) > 0
+            ),
+            bandtab AS (
+              SELECT doc_id, b,
+                     array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',') AS bh
+              FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS b)
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM bandtab l JOIN bandtab r
+                ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
+            )"""
     return {
         "cooccurrence_edges": f"""
             WITH terms(term) AS (VALUES {terms_values}),
@@ -821,6 +874,64 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+            ORDER BY a, b
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH docs AS (SELECT doc_id, text FROM documents),
+            {minhash_cte}
+            SELECT a, b FROM cand ORDER BY a, b
+        """,
+        "near_dup_pairs": f"""
+            WITH docs AS (
+              -- exact-dedup-first: survivors only (min doc_id per text)
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ),
+            {minhash_cte},
+            ver AS (
+              SELECT c.a, c.b,
+                     len(list_intersect(sa.sh, sb.sh)) AS i,
+                     len(sa.sh) AS sza, len(sb.sh) AS szb
+              FROM cand c
+              JOIN sh0 sa ON sa.doc_id = c.a
+              JOIN sh0 sb ON sb.doc_id = c.b
+            )
+            SELECT a, b, round(i * 1.0 / (sza + szb - i), 6) AS jaccard
+            FROM ver WHERE i * 1.0 / (sza + szb - i) >= 0.5
+            ORDER BY a, b
+        """,
+        "simhash_pairs": """
+            WITH th AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                    FROM documents)
+            ),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS c
+              FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+              GROUP BY doc_id, i
+            ),
+            sims AS (
+              SELECT doc_id,
+                     sum(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT
+                       AS simhash
+              FROM bits GROUP BY doc_id
+            ),
+            sbands AS (
+              SELECT doc_id, i AS band, (simhash >> (i*16)) & 65535 AS bh, simhash
+              FROM sims CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                     l.simhash AS ha, r.simhash AS hb
+              FROM sbands l JOIN sbands r
+                ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+            )
+            SELECT a, b, bit_count(xor(ha, hb))::INT AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 3
             ORDER BY a, b
         """,
         "lang_stats": """

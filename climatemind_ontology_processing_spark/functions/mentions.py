@@ -50,6 +50,12 @@ REGEX_MAX_ALIASES = 2000
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
 
+# ASCII alphanumerics, matching the regex path's [A-Za-z0-9] word boundary.
+# str.isalnum() is Unicode-aware and would diverge (e.g. 'é' is alnum to
+# Python but a boundary to the regex).
+_ASCII_ALNUM = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789")
+
 # per-process single-entry compile cache.  Long-lived Python workers
 # deserialize a FRESH alias dict per task when it rides in the closure, so an
 # id()-keyed cache would grow one (matcher + dict) entry per task forever;
@@ -119,11 +125,13 @@ class _TokenMatcher:
         n = len(toks)
         out = []
         i = 0
-        lower = text.lower()
         tlen = len(text)
+        # lowercase PER SLICE, never the whole text: some Unicode lowerings
+        # change string length ('İ' -> 'i̇'), which would misalign every
+        # probe offset after the first such char against a whole-text lower()
         while i < n:
             s = toks[i].start()
-            lens = self.by_first.get(lower[s:toks[i].end()])
+            lens = self.by_first.get(text[s:toks[i].end()].lower())
             matched_end = None
             if lens:
                 for L in lens:
@@ -131,10 +139,12 @@ class _TokenMatcher:
                     if e > tlen:
                         continue
                     # word boundary after the span (before is guaranteed:
-                    # token starts follow a non-alnum char by construction)
-                    if e < tlen and text[e].isalnum():
+                    # token starts follow a non-alnum char by construction).
+                    # ASCII-only check — the regex path's boundary is
+                    # [A-Za-z0-9], not Unicode isalnum()
+                    if e < tlen and text[e] in _ASCII_ALNUM:
                         continue
-                    concept = self.lookup.get(lower[s:e])
+                    concept = self.lookup.get(text[s:e].lower())
                     if concept is not None:
                         out.append((concept, text[s:e], s))
                         matched_end = e

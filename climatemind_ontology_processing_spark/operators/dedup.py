@@ -48,7 +48,8 @@ def dedup_triples(triples: DataFrame, keep_provenance: bool = True) -> DataFrame
 # exact document dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
 def dedup_exact(docs: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                assert_unique_ids: bool = False) -> DataFrame:
     """Keep the lowest-id row per exact text — with a KEYS-ONLY shuffle.
 
     100 TB shape: the winner per text group is decided over a projection of
@@ -72,7 +73,18 @@ def dedup_exact(docs: DataFrame, text_col: str = "text",
     every row carrying a winning id, so duplicated ids would survive as
     duplicated rows (the previous window implementation kept exactly one row
     per text group regardless — if ids can repeat, dedupe them first).
+    ``assert_unique_ids=True`` verifies the precondition with one extra
+    keys-only pass (count ids seen more than once) and raises loudly instead
+    of silently returning duplicate rows; opt-in because it costs an action.
     """
+    if assert_unique_ids:
+        n_dup_ids = (docs.groupBy(id_col).count()
+                     .filter(F.col("count") > 1).limit(1).count())
+        if n_dup_ids:
+            raise ValueError(
+                f"dedup_exact precondition violated: column {id_col!r} has "
+                "duplicate values; dedupe ids first (the winner semi-join "
+                "would otherwise return duplicate rows)")
     fp1 = F.xxhash64(F.col(text_col))
     fp2 = F.xxhash64(F.lit("dedup-seed-2"), F.col(text_col))
     keep = (docs.select(F.col(id_col), fp1.alias("_f1"), fp2.alias("_f2"))
@@ -83,8 +95,31 @@ def dedup_exact(docs: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
-# shingling helpers (shared by MinHash / Jaccard)
+# shingling helpers (shared by MinHash / Jaccard / SimHash)
 # ---------------------------------------------------------------------------
+def token_hash(col, hash_family: str = "xxhash64"):
+    """String column -> long hash under a named family.
+
+    * ``xxhash64`` — Spark's JVM-native 64-bit hash: the production default
+      (fastest, full 64 bits).
+    * ``md5_60`` — the first 15 hex chars of md5 as a long (60 bits, always
+      non-negative).  Slightly slower, but an ANSI-SQL engine can recompute
+      it exactly (``('0x' || substring(md5(x),1,15))::BIGINT`` in DuckDB) —
+      used by the driver-oracled variants of the MinHash/SimHash queries so
+      the correctness gate can replay hash-dependent outputs end-to-end.
+
+    Same idiom as ``textstats.winnowing_fingerprints``; both families feed
+    the identical downstream machinery (signatures, banding), pinned
+    equivalent-in-structure by the family-parity tests.
+    """
+    if hash_family == "xxhash64":
+        return F.xxhash64(col)
+    if hash_family == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_family {hash_family!r} "
+                     "(expected 'xxhash64' or 'md5_60')")
+
+
 def let_bound(expr, fn):
     """Let-binding for column expressions: evaluate ``expr`` ONCE and feed it
     to ``fn`` as a lambda variable.
@@ -99,8 +134,10 @@ def let_bound(expr, fn):
 
 
 def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
-                  out_col: str = "shingles") -> DataFrame:
-    """Word n-gram shingle set as an array<long> of xxhash64 values.
+                  out_col: str = "shingles",
+                  hash_family: str = "xxhash64") -> DataFrame:
+    """Word n-gram shingle set as an array<long> of hashes (``token_hash``
+    family; xxhash64 default, md5_60 for SQL-replayable variants).
 
     Built entirely from JVM-side higher-order functions: tokenize ONCE
     (let-bound), slide an n-window via transform over indices, hash each
@@ -111,7 +148,8 @@ def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
         tokens,
         lambda t: F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, n)))))
+            lambda i: token_hash(F.concat_ws(" ", F.slice(t, i + 1, n)),
+                                 hash_family)))
     return docs.withColumn(out_col, F.array_distinct(shingle))
 
 
@@ -197,11 +235,11 @@ def minhash_signature(shingles_col, num_hashes: int = 32,
 
 
 def _shingled_checkpointed(docs: DataFrame, id_col: str, text_col: str,
-                           n: int) -> DataFrame:
+                           n: int, hash_family: str = "xxhash64") -> DataFrame:
     """(doc, shingles) with non-empty shingle sets, eagerly materialized —
     shared by candidate generation AND exact verification so the corpus is
     shingled exactly once per near-dup run."""
-    return (with_shingles(docs, text_col, n)
+    return (with_shingles(docs, text_col, n, hash_family=hash_family)
             .filter(F.size("shingles") > 0)
             .select(F.col(id_col).alias("doc"), "shingles")
             .localCheckpoint(eager=True))
@@ -210,13 +248,27 @@ def _shingled_checkpointed(docs: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 32, bands: int = 8,
-                      shingled: DataFrame | None = None) -> DataFrame:
+                      shingled: DataFrame | None = None,
+                      hash_family: str = "xxhash64",
+                      max_bucket_size: int | None = 1000) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Pipeline: shingle -> signature -> split into ``bands`` bands of
     ``num_hashes/bands`` rows -> explode (band_idx, band_hash) -> self-join on
-    the bucket key.  The only shuffle is the bucket-key join; bucket keys are
-    high-cardinality so skew is bounded by construction.
+    the bucket key.  The only shuffle is the bucket-key join.
+
+    SKEW GUARDRAIL (``max_bucket_size``): bucket keys are NOT uniformly
+    high-cardinality on real web data — documents with IDENTICAL text have
+    identical signatures in EVERY band, so k exact copies of one boilerplate
+    page form one bucket emitting k(k-1)/2 candidate rows; at Common-Crawl
+    scale k reaches 10^6+ (parked domains, empty pages), i.e. 10^12 pairs
+    from a single bucket.  Buckets larger than ``max_bucket_size`` members
+    are therefore DROPPED from candidate generation (a keys-only groupBy +
+    equi-join on the same bucket key — no extra corpus pass; inspect the
+    drops with ``oversized_lsh_buckets``).  Oversized buckets are exact-dup
+    mass by construction, which belongs to ``dedup_exact`` — the composed
+    ``near_dup_pairs`` enforces exact-dedup-first so nothing is lost.
+    ``None`` disables the cap (tests / trusted pre-deduped input).
 
     Returns (a, b) with a < b, distinct.
     """
@@ -230,7 +282,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     # the two-step shape keeps the UDF in a canonical Project-over-RDD the
     # planner always extracts into an ArrowEvalPython stage).
     if shingled is None:
-        shingled = _shingled_checkpointed(docs, id_col, text_col, n)
+        shingled = _shingled_checkpointed(docs, id_col, text_col, n,
+                                          hash_family)
     sigs = shingled.select(
         "doc", minhash_signature(F.col("shingles"), num_hashes).alias("sig")) \
         .localCheckpoint(eager=True)
@@ -244,6 +297,14 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             for b in range(bands)
         ])).alias("bucket")) \
         .select("doc", "bucket.band", "bucket.bh")
+    if max_bucket_size is not None:
+        # keys-only bucket census joined back on the same (band, bh) key the
+        # self-join shuffles on — AQE co-partitions; no document data moves
+        sizes = (buckets.groupBy("band", "bh")
+                 .agg(F.count("*").alias("_bsz"))
+                 .filter(F.col("_bsz") <= max_bucket_size)
+                 .select("band", "bh"))
+        buckets = buckets.join(sizes, ["band", "bh"], "left_semi")
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (left.join(right,
@@ -252,6 +313,34 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       (F.col("l.doc") < F.col("r.doc")))
             .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
             .distinct())
+
+
+def oversized_lsh_buckets(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 3,
+                          num_hashes: int = 32, bands: int = 8,
+                          hash_family: str = "xxhash64",
+                          max_bucket_size: int = 1000) -> DataFrame:
+    """The LSH buckets ``minhash_lsh_pairs`` would DROP under its skew
+    guardrail — (band, bh, n_members) with n_members > max_bucket_size.
+    Run this to log/audit what the cap excluded; on clean (exact-deduped)
+    corpora it is empty."""
+    rows = num_hashes // bands
+    sh = _shingled_checkpointed(docs, id_col, text_col, n, hash_family)
+    sigs = sh.select(
+        "doc", minhash_signature(F.col("shingles"), num_hashes).alias("sig")) \
+        .localCheckpoint(eager=True)
+    buckets = sigs.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.slice(F.col("sig"), b * rows + 1, rows))).alias("bh"))
+            for b in range(bands)
+        ])).alias("bucket")) \
+        .select("bucket.band", "bucket.bh")
+    return (buckets.groupBy("band", "bh")
+            .agg(F.count("*").alias("n_members"))
+            .filter(F.col("n_members") > max_bucket_size))
 
 
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -286,21 +375,38 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n: int = 3,
                    threshold: float = 0.5, num_hashes: int = 32,
-                   bands: int = 8) -> DataFrame:
-    """Production near-dup path: MinHash+LSH candidate generation, then EXACT
-    n-gram Jaccard verification on candidates only.
+                   bands: int = 8, hash_family: str = "xxhash64",
+                   exact_dedup_first: bool = True,
+                   max_bucket_size: int | None = 1000) -> DataFrame:
+    """Production near-dup path: exact dedup, then MinHash+LSH candidate
+    generation, then EXACT n-gram Jaccard verification on candidates only.
 
     All-pairs Jaccard (``jaccard_pairs``) shuffles every (doc, shingle) pair
     against itself — quadratic in docs-per-shingle; this composition touches
     only LSH-bucket collisions, which is the 10^12-doc shape.  Recall bound
     comes from the banding parameters (8 bands x 4 rows: >=97% recall at
     jaccard 0.7, ~60% at 0.5 — raise ``bands`` for lower thresholds).
+
+    EXACT-DEDUP-FIRST (default on): exact duplicates share every band
+    signature, so k copies of one page would form a single LSH bucket with
+    k(k-1)/2 candidate pairs — the one shape that breaks bucketed LSH at web
+    scale (10^6 copies of a parked-domain page = 10^12 pairs).  The corpus
+    is therefore semi-joined to its ``dedup_exact`` survivors before
+    shingling: one keys-only shuffle, after which every remaining text is
+    unique and bucket sizes are bounded by true near-dup cluster sizes.
+    Pairs among exact copies are ``dedup_exact``'s output, not near-dup
+    information.  ``max_bucket_size`` stays on as defense-in-depth for the
+    residual near-dup mega-clusters (templated pages differing by one
+    token); both guardrails are pinned by the planted-10k-dup linearity
+    test.
     """
+    if exact_dedup_first:
+        docs = dedup_exact(docs, text_col=text_col, id_col=id_col)
     # shingle ONCE: the same materialized (doc, shingles) feeds candidate
     # generation and both sides of the exact verification join
-    sh = _shingled_checkpointed(docs, id_col, text_col, n)
+    sh = _shingled_checkpointed(docs, id_col, text_col, n, hash_family)
     cand = minhash_lsh_pairs(docs, id_col, text_col, n, num_hashes, bands,
-                             shingled=sh)
+                             shingled=sh, max_bucket_size=max_bucket_size)
     joined = (cand
               .join(sh.withColumnRenamed("doc", "a")
                       .withColumnRenamed("shingles", "_sa"), "a")
@@ -314,7 +420,8 @@ def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64,
-            out_col: str = "simhash") -> DataFrame:
+            out_col: str = "simhash",
+            hash_family: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over word tokens, fully JVM-side, ONE fold.
 
     A single ``F.aggregate`` over the token hashes carries an array of
@@ -326,7 +433,8 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64,
     takes only int positions).
     """
     tokens = F.transform(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t))
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: token_hash(t, hash_family))
     zero = F.array_repeat(F.lit(0), bits)
 
     def token_bits(h):
@@ -356,10 +464,15 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64,
 
 
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                       text_col: str = "text", max_hamming: int = 3,
+                       hash_family: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 4 x 16-bit bands
-    (any pair within Hamming<=3 of 64 bits shares at least one exact band)."""
-    hashed = simhash(docs, text_col).select(F.col(id_col).alias("doc"), "simhash")
+    (any pair within Hamming<=3 of 64 bits shares at least one exact band).
+    With the md5_60 family the top 4 signature bits are structurally 0 (60-bit
+    token hashes -> counters -4..0 for bits 60-63) — irrelevant for banding,
+    noted for oracle replay."""
+    hashed = simhash(docs, text_col, hash_family=hash_family) \
+        .select(F.col(id_col).alias("doc"), "simhash")
     bands = hashed.select(
         "doc", "simhash",
         F.explode(F.array(*[

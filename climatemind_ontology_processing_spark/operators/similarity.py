@@ -100,11 +100,22 @@ def _lsh_signature_pandas(vec_col, dim: int, bits: int, seed: int):
 
     @pandas_udf("long")
     def _sig(v: pd.Series) -> pd.Series:
-        mat = np.array(v.tolist(), dtype=np.float64)          # batch x dim
-        proj = mat @ planes.T                                  # batch x bits
-        packed = ((proj > 0).astype(np.uint64) * weights).sum(
-            axis=1, dtype=np.uint64)
-        return pd.Series(packed.view(np.int64))
+        # null / wrong-dim rows get signature 0, matching the literal JVM
+        # path (zip_with -> null projection -> every bit 0); None elements
+        # become NaN in the matmul, whose projections compare False, which
+        # is again the literal path's all-bits-0 (pinned by the null/ragged
+        # path-equivalence test)
+        rows = v.tolist()
+        out = np.zeros(len(rows), dtype=np.int64)
+        good = [i for i, r in enumerate(rows)
+                if r is not None and len(r) == dim]
+        if good:
+            mat = np.array([rows[i] for i in good], dtype=np.float64)
+            proj = mat @ planes.T                              # good x bits
+            packed = ((proj > 0).astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64)
+            out[good] = packed.view(np.int64)
+        return pd.Series(out)
 
     return _sig(vec_col)
 

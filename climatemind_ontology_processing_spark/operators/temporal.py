@@ -38,6 +38,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     (key, ts) duplicates, which of them wins is not deterministic — the
     same caveat SQL ASOF carries; dedupe the right side or use a
     finer-grained timestamp when that matters.
+
+    NULL timestamps follow SQL ASOF semantics: right rows with a NULL
+    ``right_ts`` can never satisfy ``right_ts <= left_ts`` (the comparison
+    is unknown), so they are dropped before the union; left rows with a
+    NULL ``left_ts`` sort before every surviving right row (Spark asc is
+    nulls-first) and therefore carry no match (null asof columns).
     """
     from pyspark.sql import types as T
 
@@ -61,6 +67,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
         F.lit(None).cast(rstruct).alias("_rrow"))
+    # SQL ASOF: NULL right_ts is never "<= left_ts" — drop before the union
+    # (otherwise nulls-first ordering would carry a null-ts right row as the
+    # match for left rows that have no real prior right row)
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),

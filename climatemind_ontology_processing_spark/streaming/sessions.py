@@ -16,6 +16,16 @@ State is per user-key (Spark shuffles by key and keeps state in the state
 store); arbitrary numbers of users scale horizontally.  The pandas function
 receives Arrow batches — no per-row Python in the hot path beyond the
 per-event fold, which is the irreducible stateful logic.
+
+Late-data semantics: events that arrive in a later micro-batch but are still
+inside the watermark may precede the stored session (t < last_ts, or even
+t < session_start).  The fold is interval-merge, not last-event-append: the
+open session is one interval, every event is a 1-point interval, and sorted
+neighbours within ``gap_sec`` merge — so a late event extends the open
+session backwards (start = min), never drags its end backwards, and a late
+event more than ``gap_sec`` before the open session forms its own gap-closed
+session.  Batch/streaming equivalence therefore holds in exactly the
+late-data case the watermark admits.
 """
 from __future__ import annotations
 
@@ -56,26 +66,31 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
             yield pd.DataFrame([(user_id, ss, lt, n, "timeout")], columns=cols)
             return
 
-        ts_values: list[int] = []
+        # Interval-merge fold, robust to LATE in-watermark events: a later
+        # micro-batch may deliver t < the stored last_ts (or even < the stored
+        # session_start).  A naive "t - last > gap" fold would drag
+        # session_end backwards or emit start > end.  Instead treat every
+        # event as a 1-point interval, add the open session from state as an
+        # interval, sort, and merge neighbours within gap_sec.  All merged
+        # intervals except the newest are gap-closed; the newest stays open.
+        intervals: list[tuple[int, int, int]] = []
         for pdf in pdfs:
-            ts_values.extend(_epoch(pdf[ts_col]).tolist())
-        ts_values.sort()
-
+            intervals.extend((t, t, 1) for t in _epoch(pdf[ts_col]).tolist())
         if state.exists:
             ss, lt, n = state.get
-        else:
-            ss = lt = None
-            n = 0
-        closed = []
-        for t in ts_values:
-            if lt is None:
-                ss, lt, n = t, t, 1
-            elif t - lt > gap_sec:
-                closed.append((user_id, ss, lt, n, "gap"))
-                ss, lt, n = t, t, 1
+            intervals.append((ss, lt, n))
+        if not intervals:          # defensive: no data, no timeout — no-op
+            return
+        intervals.sort()
+        merged: list[list[int]] = []
+        for s, e, c in intervals:
+            if merged and s - merged[-1][1] <= gap_sec:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += c
             else:
-                lt = t
-                n += 1
+                merged.append([s, e, c])
+        closed = [(user_id, s, e, c, "gap") for s, e, c in merged[:-1]]
+        ss, lt, n = merged[-1]
         state.update((ss, lt, n))
         # close the open session when the watermark passes last_ts + gap
         state.setTimeoutTimestamp((lt + gap_sec) * 1000)

@@ -76,6 +76,13 @@ def test_mention_matcher_paths_equivalent(spark):
         "warming (global warming) xglobal warming global warmingx",
         "global  warming has two spaces; global warming has one.",
         "",
+        # non-ASCII: Unicode-alnum neighbours are word boundaries to the
+        # regex's [A-Za-z0-9] and must be to the token path too
+        "églobal warmingé global warming éé global warmingé.",
+        # 'İ'.lower() is 2 chars — a whole-text lower() would misalign every
+        # offset after it; matches following 'İ' runs must still line up
+        "İstanbul heute: global warming beschleunigt. İİİ global warming!",
+        "İ" * 50 + " global warming at a large shifted offset",
     ]
     assert any(texts), "need non-empty corpus"
     for t in texts:

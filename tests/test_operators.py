@@ -193,11 +193,119 @@ def test_near_dup_pairs_subset_of_exact(spark, docs):
     all-pairs result (recall bounded by banding)."""
     from climatemind_ontology_processing_spark.operators.dedup import near_dup_pairs
     exact = {(r.a, r.b): r.jaccard for r in jaccard_pairs(docs, threshold=0.5).collect()}
-    nd = {(r.a, r.b): r.jaccard for r in near_dup_pairs(docs, threshold=0.5).collect()}
+    # exact_dedup_first=False: this test exercises the raw LSH+verify
+    # composition incl. the identical-pair property (the production default
+    # collapses exact copies first — covered by the guardrail test)
+    nd = {(r.a, r.b): r.jaccard
+          for r in near_dup_pairs(docs, threshold=0.5,
+                                  exact_dedup_first=False).collect()}
     assert set(nd) <= set(exact)
     for k, v in nd.items():
         assert abs(v - exact[k]) < 1e-9
     assert (0, 1) in nd  # identical docs always collide in every band
+    # and the production default excludes intra-exact-copy pairs
+    nd_def = {(r.a, r.b)
+              for r in near_dup_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) not in nd_def and nd_def <= set(exact)
+
+
+def test_near_dup_guardrails_planted_dups(spark):
+    """The LSH scale-killer guardrails: 10k planted EXACT duplicates must not
+    produce ~5*10^7 candidate pairs.  (a) near_dup_pairs collapses them via
+    exact-dedup-first (linear work, zero intra-copy pairs); (b) a direct
+    minhash_lsh_pairs call drops the mega-bucket via max_bucket_size;
+    (c) oversized_lsh_buckets reports what was dropped."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        minhash_lsh_pairs, near_dup_pairs, oversized_lsh_buckets)
+    boiler = "this parked domain page is for sale contact the registrar today"
+    rows = [(i, boiler) for i in range(10_000)]
+    rows += [(20_000, "the quick brown fox jumps over the lazy dog again and again"),
+             (20_001, "the quick brown fox jumps over the lazy cat again and again"),
+             (20_002, "completely different text about spark dataframes and shuffles")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    nd = near_dup_pairs(docs, threshold=0.5).collect()
+    pairs = {(r.a, r.b) for r in nd}
+    # linear, not quadratic: exact copies collapsed to one winner before LSH
+    assert len(pairs) < 50, f"guardrail failed: {len(pairs)} pairs"
+    assert (20_000, 20_001) in pairs          # genuine near-dup survives
+    assert not any(a < 10_000 and b < 10_000 for a, b in pairs), \
+        "exact-copy pairs must be dedup_exact's output, not near-dup's"
+
+    lsh = minhash_lsh_pairs(docs).collect()   # default max_bucket_size=1000
+    assert len(lsh) < 50, f"bucket cap failed: {len(lsh)} candidate pairs"
+
+    dropped = oversized_lsh_buckets(docs).collect()
+    assert dropped and all(r.n_members == 10_000 for r in dropped)
+
+
+def test_dedup_exact_assert_unique_ids(spark):
+    from climatemind_ontology_processing_spark.operators.dedup import dedup_exact
+    dup_ids = spark.createDataFrame(
+        [(1, "aa"), (1, "bb"), (2, "cc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="duplicate values"):
+        dedup_exact(dup_ids, assert_unique_ids=True)
+    ok = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "cc")], "doc_id long, text string")
+    kept = {r.doc_id for r in dedup_exact(ok, assert_unique_ids=True).collect()}
+    assert kept == {1, 3}
+
+
+def test_hash_family_md5_variants(spark, docs):
+    """The md5_60 hash family (SQL-replayable, used by the driver oracles)
+    must preserve every behavioral property of the xxhash64 default: the
+    exact-dup pair collides in every band, near-dup verification returns the
+    SAME pairs with the SAME jaccard (jaccard is a set ratio — any hash
+    family without collisions on the corpus gives identical values), and
+    simhash banding still blocks the exact dup together."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        minhash_lsh_pairs, near_dup_pairs, simhash_near_pairs, token_hash)
+
+    got = {(r.a, r.b) for r in
+           minhash_lsh_pairs(docs, hash_family="md5_60").collect()}
+    assert (0, 1) in got and (0, 3) not in got
+
+    # bands=32 x rows=1: collision probability 1-(1-j)^32 (~1 for j>=0.5),
+    # so both families see the same candidate set almost surely and the
+    # verified outputs must coincide; exact_dedup_first off so the exact-dup
+    # pair (0,1) participates too
+    kw = dict(threshold=0.5, num_hashes=32, bands=32, exact_dedup_first=False)
+    nd_x = {(r.a, r.b): r.jaccard for r in near_dup_pairs(docs, **kw).collect()}
+    nd_m = {(r.a, r.b): r.jaccard
+            for r in near_dup_pairs(docs, hash_family="md5_60", **kw).collect()}
+    assert (0, 1) in nd_m and (0, 2) in nd_m
+    assert set(nd_m) == set(nd_x)
+    for k in nd_m:
+        assert abs(nd_m[k] - nd_x[k]) < 1e-9
+
+    sp = {(r.a, r.b) for r in
+          simhash_near_pairs(docs, max_hamming=10,
+                             hash_family="md5_60").collect()}
+    assert (0, 1) in sp and (0, 3) not in sp
+
+    # md5_60 values are non-negative 60-bit longs and match the documented
+    # DuckDB idiom's range
+    vals = [r.h for r in spark.range(5).select(
+        token_hash(F.concat(F.lit("t"), F.col("id")), "md5_60").alias("h"))
+        .collect()]
+    assert all(0 <= v < (1 << 60) for v in vals)
+    with pytest.raises(ValueError, match="hash_family"):
+        token_hash(F.lit("x"), "sha999")
+
+
+def test_asof_join_null_timestamps(spark):
+    """SQL ASOF null semantics: right rows with NULL ts never match (dropped
+    pre-union); left rows with NULL ts carry no match."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        asof_join)
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, None, "pnull")], "k long, ts long, pid string")
+    right = spark.createDataFrame(
+        [(1, None, "c_null_ts"), (1, 7, "c_at_7")], "k long, ts long, cid string")
+    got = {r.pid: (r.asof_cid, r.asof_ts)
+           for r in asof_join(left, right, key="k").collect()}
+    assert got["p1"] == ("c_at_7", 7)      # null-ts right row is NOT the match
+    assert got["pnull"] == (None, None)    # null left ts -> no match
 
 
 def test_union_subgraph(spark, tiny_edges):

@@ -91,6 +91,27 @@ def test_lsh_signature_paths_identical(spark, vectors):
     assert lit == pnd
 
 
+def test_lsh_signature_null_ragged_paths_identical(spark):
+    """Null / wrong-dim / empty / null-element vectors: both signature paths
+    must agree (signature 0, the literal JVM path's null-projection
+    behavior) instead of the pandas path crashing on ragged input."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        lsh_signature)
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.2, 0.1, 0.4]), (2, None), (3, [0.1, 0.2]), (4, []),
+         (5, [0.3, None, 0.2, 0.9]), (6, [-0.4, 0.7, -0.1, 0.2])],
+        "vec_id long, v array<double>")
+    lit = {r.vec_id: r.s for r in df.select(
+        "vec_id", lsh_signature(F.col("v"), dim=4, bits=8,
+                                force="literal").alias("s")).collect()}
+    pnd = {r.vec_id: r.s for r in df.select(
+        "vec_id", lsh_signature(F.col("v"), dim=4, bits=8,
+                                force="pandas").alias("s")).collect()}
+    assert lit == pnd
+    assert lit[2] == lit[3] == lit[4] == lit[5] == 0
+    assert lit[1] != 0 and lit[6] != 0
+
+
 def test_lsh_signature_real_dims_no_literal_blowup(spark):
     """dim 768 x 64 bits must route to the vectorized path: the plan carries
     an ArrowEvalPython stage instead of ~49k literal expressions."""

@@ -137,3 +137,54 @@ def test_stateful_sessionization_timeout_flush(spark, tmp_path):
     got2 = {(r.user_id, r.n_events, r.closed_by)
             for r in spark.read.parquet(out).collect()}
     assert (7, 2, "timeout") in got2, got2
+
+
+def test_stateful_sessionization_late_event(spark, tmp_path):
+    """Regression for the late-data corruption: an in-watermark event in a
+    LATER micro-batch that precedes the stored session (t < session_start)
+    must extend the open session backwards (interval merge) — never drag
+    session_end backwards or emit start > end."""
+    import datetime as dt
+
+    from climatemind_ontology_processing_spark.streaming.sessions import (
+        sessionize_stream)
+
+    def t(hour, minute=0):
+        return dt.datetime(2026, 1, 1, hour, minute)
+
+    src = str(tmp_path / "sess3_in")
+    out = str(tmp_path / "sess3_out")
+    ckpt = str(tmp_path / "sess3_ckpt")
+
+    def run_batch():
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        q = (sessionize_stream(stream, gap_sec=1800).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: user 9 has a single-event open session at 10:20
+    # (watermark after this batch: 10:20 - 30min = 09:50)
+    spark.createDataFrame([(9, t(10, 20))], "user_id long, ts timestamp") \
+        .write.mode("append").parquet(src)
+    run_batch()
+
+    # batch 2: LATE but in-watermark event at 10:00 — before session_start,
+    # within gap.  Must merge: open session becomes [10:00, 10:20], n=2.
+    spark.createDataFrame([(9, t(10, 0))], "user_id long, ts timestamp") \
+        .write.mode("append").parquet(src)
+    run_batch()
+    assert spark.read.parquet(out).collect() == [], \
+        "merged session is still open; nothing should be emitted"
+
+    # batch 3: far-future event flushes user 9 via timeout
+    spark.createDataFrame([(42, t(20, 0))], "user_id long, ts timestamp") \
+        .write.mode("append").parquet(src)
+    run_batch()
+    e = lambda h, m=0: int(t(h, m).replace(tzinfo=dt.timezone.utc).timestamp())
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.closed_by)
+           for r in spark.read.parquet(out).collect()}
+    assert (9, e(10, 0), e(10, 20), 2, "timeout") in got, got
+    for _, ss, se, _, _ in got:
+        assert ss <= se, f"session with start > end emitted: {got}"
