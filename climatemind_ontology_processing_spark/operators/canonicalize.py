@@ -16,8 +16,12 @@ output equivalence vs union-find and a recursive-CTE oracle is pinned in
 tests.  Skew note: a degree-k hub contributes k rows to one reduce key in
 the propagate groupBy — a star graph converges in ONE round (pinned by
 tests/test_operators hub-skew stress test), so the hot key is touched O(1)
-times; for 10^8-degree hubs the groupBy itself is the salting candidate
-(operators/skew.salted_agg applies, min is decomposable).
+times; for 10^8-degree hubs pass ``salted=True`` to route the propagate
+groupBy through ``skew.salted_agg`` (min is decomposable): partial minima
+on (node, salt), then a ``buckets``-row final merge per node — no single
+reduce partition ever sees a whole hub's neighbor list.  Output is
+IDENTICAL either way (min is associative/commutative; pinned by the
+star-graph salted-equivalence test).
 
 (Kiveris et al.'s large-star/small-star is the alternative with per-round
 balanced emission; it shares the same shuffle shape per round.  Round 1
@@ -34,14 +38,23 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_rounds: int = 50) -> DataFrame:
+                         max_rounds: int = 50, salted: bool = False,
+                         salt_buckets: int | None = None) -> DataFrame:
     """Returns (id string, component string) — component = min label (by
     (hash, label) order) of each connected component.
 
     Works on string node ids; comparisons use the label ordering itself
     (lexicographic), which is deterministic and stable across runs.
+
+    ``salted=True`` runs the per-round neighbor-min aggregation as a
+    two-phase salted aggregate (see module docstring) — use for graphs with
+    mega-hubs whose degree exceeds what one shuffle partition should hold.
     """
+    from ..config import DEFAULT_SALT_BUCKETS
+    from .skew import salted_agg
     from .traversal import _edge_count_small
+
+    buckets = DEFAULT_SALT_BUCKETS if salt_buckets is None else salt_buckets
 
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .filter(F.col("a") != F.col("b")).distinct())
@@ -82,9 +95,14 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     for _ in range(max_rounds):
         # propagate: comp[u] <- min(comp[u], min over neighbors of comp[v])
-        nbr_min = (sym.join(parent.withColumnRenamed("id", "b"), "b")
-                   .groupBy("a").agg(F.min("comp").alias("nbr_comp"))
-                   .withColumnRenamed("a", "id"))
+        joined = sym.join(parent.withColumnRenamed("id", "b"), "b")
+        if salted:
+            nbr_min = salted_agg(joined, "a", {"nbr_comp": ("comp", "min")},
+                                 buckets).withColumnRenamed("a", "id")
+        else:
+            nbr_min = (joined.groupBy("a")
+                       .agg(F.min("comp").alias("nbr_comp"))
+                       .withColumnRenamed("a", "id"))
         new_parent = (parent.join(nbr_min, "id", "left")
                       .select("id",
                               F.least(F.col("comp"),

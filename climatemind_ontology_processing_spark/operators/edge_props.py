@@ -48,20 +48,30 @@ def set_edge_properties(edges: DataFrame, nodes: DataFrame,
               .join(F.broadcast(a), edges.src == F.col("a._n"), "left")
               .join(F.broadcast(b), edges.dst == F.col("b._n"), "left"))
 
-    entries = [
-        F.struct(
-            F.lit(k).alias("key"),
-            F.when(
-                F.col("type") != INHIBITS,
-                F.sort_array(F.array_intersect(
-                    F.coalesce(F.col("a._p").getItem(k), F.array().cast("array<string>")),
-                    F.coalesce(F.col("b._p").getItem(k), F.array().cast("array<string>")),
-                ))).otherwise(F.array().cast("array<string>")).alias("value"),
-        )
-        for k in st
-    ]
-    prop_map = F.map_filter(
-        F.map_from_entries(F.array(*entries)), lambda k, v: F.size(v) > 0)
+    # Map-level formulation (round-2 verdict next-step #8): instead of
+    # |source_types| unrolled when/intersect/coalesce sub-trees (which
+    # dominated first-job codegen), restrict each endpoint's property map to
+    # the source-type keys and zip the two maps once — ONE constant-size
+    # expression tree regardless of how many source types exist.  Semantics
+    # are identical: a key in neither map yields no entry; a key in one map
+    # intersects with [] -> empty -> dropped by the final non-empty filter;
+    # inhibit edges get {} (reference make_graph_class.py:352).
+    empty_arr = F.array().cast("array<string>")
+    empty_map = F.map_from_arrays(
+        empty_arr, F.array().cast("array<array<string>>"))
+    st_arr = F.array(*[F.lit(k) for k in st])
+
+    def only_st(m):
+        return F.map_filter(F.coalesce(m, empty_map),
+                            lambda k, _v: F.array_contains(st_arr, k))
+
+    inter = F.map_zip_with(
+        only_st(F.col("a._p")), only_st(F.col("b._p")),
+        lambda _k, v1, v2: F.sort_array(F.array_intersect(
+            F.coalesce(v1, empty_arr), F.coalesce(v2, empty_arr))))
+    prop_map = F.when(F.col("type") != INHIBITS,
+                      F.map_filter(inter, lambda _k, v: F.size(v) > 0)) \
+        .otherwise(empty_map)
     return (joined
             .select(*[edges[c] for c in edges.columns if c != "properties"],
                     prop_map.alias("properties")))

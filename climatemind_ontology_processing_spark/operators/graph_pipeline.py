@@ -62,27 +62,44 @@ def triples_to_edges(triples: DataFrame) -> DataFrame:
 
 def build_graph(triples: DataFrame, concepts: DataFrame,
                 root: str = GREENHOUSE_EFFECT) -> GraphBundle:
+    from .traversal import _edge_count_small
+
     edges0 = triples_to_edges(triples)
+
+    # Size-adaptive checkpoint width: a curated KG (hundreds..thousands of
+    # edges) gains nothing from 32-partition checkpointed RDDs — every
+    # downstream stage (and the 25-subgraph union fan-out) schedules that
+    # many tasks per checkpoint it touches, and checkpointed RDD lineage
+    # bypasses AQE coalescing so the width sticks.  SMALL graphs coalesce
+    # each checkpoint to 1 partition; big graphs (> SMALL_GRAPH_THRESHOLD
+    # edges) keep full parallelism.  (Lowering shuffle_partitions /
+    # coalescing the driver-side traversal frames were ALSO tried and
+    # measured neutral-to-negative on this pipeline — the residual cost is
+    # per-stage scheduling floor spread over ~12 phases, not width.)
+    small = _edge_count_small(edges0)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (df.coalesce(1) if small else df).localCheckpoint(eager=True)
 
     # J1 + A3
     nodes0 = attach_attributes(edges0, concepts)
 
     # J2 / A7 / U1-U3  (eager checkpoint: lazy localCheckpoint under AQE can
     # lose attribute bindings — observed "key not found: src#N" in Spark 4.1)
-    edges = set_edge_properties(edges0, nodes0).localCheckpoint(eager=True)
-    nodes = remove_edge_properties_from_nodes(nodes0, edges).localCheckpoint(eager=True)
+    edges = _ckpt(set_edge_properties(edges0, nodes0))
+    nodes = _ckpt(remove_edge_properties_from_nodes(nodes0, edges))
 
     # G6 (checkpointed: the traversal loops below self-union this plan, and
     # deep self-unions under AQE hit the same attribute-binding bug)
-    edges_b = make_acyclic(edges, nodes).localCheckpoint(eager=True)
+    edges_b = _ckpt(make_acyclic(edges, nodes))
 
     # G3/G7/O1
-    ups = upstream_nodes(edges_b, root).localCheckpoint(eager=True)
-    mit = mitigation_solutions(edges_b, root, ups=ups).localCheckpoint(eager=True)
+    ups = _ckpt(upstream_nodes(edges_b, root))
+    mit = _ckpt(mitigation_solutions(edges_b, root, ups=ups))
     mit_ranked = [r.id for r in rank_mitigations(mit, nodes).collect()]
 
     # G4/G5/G8 — inhibit neighbors from PRE-cut G, paths from B
-    adapt = adaptation_solutions(edges, edges_b, root).localCheckpoint(eager=True)
+    adapt = _ckpt(adaptation_solutions(edges, edges_b, root))
     adapt_ids = total_adaptation_nodes(adapt)
 
     # solution sources (A5) for mitigation + adaptation solution nodes.
@@ -106,8 +123,8 @@ def build_graph(triples: DataFrame, concepts: DataFrame,
     # fan-out below references these plans ~25x each — without truncation
     # every induced-edge branch would recompute the whole upstream pipeline)
     a_nodes, a_edges = annotated_graph(nodes, edges_b)
-    a_nodes = annotate_cyto_nodes(a_nodes).localCheckpoint(eager=True)
-    a_edges = annotate_cyto_edges(a_edges, a_nodes).localCheckpoint(eager=True)
+    a_nodes = _ckpt(annotate_cyto_nodes(a_nodes))
+    a_edges = _ckpt(annotate_cyto_edges(a_edges, a_nodes))
     subs = build_subgraphs(a_nodes, a_edges, mit, adapt_ids, root)
     sub_nodes, sub_edges = subgraph_tables(subs, a_edges)
 

@@ -34,10 +34,29 @@ def triples_from_pages(pages: DataFrame, aliases: dict[str, str] | None = None,
 
 
 def write_triples(triples: DataFrame, path: str, fmt: str = "parquet") -> None:
-    """Triples sink (reference: CSV at make_network.py:45; here parquet/Iceberg
-    partitioned-friendly).  ``fmt='csv'`` keeps a parity-fixture escape hatch."""
+    """Triples sink (reference: CSV at make_network.py:45).
+
+    Format dispatch (SURVEY §1.3 divergence note): ``parquet`` (default —
+    the environment-available subset of the Iceberg design; dynamic
+    partition overwrite + explicit bucket dirs preserve the resume
+    semantics), ``csv`` (parity-fixture escape hatch), ``iceberg`` (the
+    SURVEY's design target — requires the iceberg-spark-runtime jar on the
+    session classpath; raises a clear error when absent so a cluster with
+    Iceberg configured uses it with no code changes)."""
     writer = triples.write.mode("overwrite")
     if fmt == "csv":
         writer.option("header", True).csv(path)
-    else:
+    elif fmt == "iceberg":
+        try:
+            writer.format("iceberg").save(path)
+        except Exception as exc:                     # pragma: no cover - env
+            raise RuntimeError(
+                "fmt='iceberg' needs the iceberg-spark-runtime jar on the "
+                "session classpath (absent in this environment); the parquet "
+                "default preserves the partitioning/overwrite/resume "
+                "semantics — see SURVEY §1.3") from exc
+    elif fmt == "parquet":
         writer.parquet(path)
+    else:
+        raise ValueError(f"unknown fmt {fmt!r} "
+                         "(expected 'parquet' | 'csv' | 'iceberg')")

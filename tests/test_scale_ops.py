@@ -213,12 +213,28 @@ def test_lineage_resume(spark, tmp_path):
         part = bucketed.filter(F.col("bucket") == b).drop("bucket")
         from climatemind_ontology_processing_spark.plans.pipeline import triples_from_pages
         triples_from_pages(part).write.mode("overwrite").parquet(os.path.join(out_b, f"bucket={b}"))
-        append_lineage(lin_b, "r2", "triples", b, 0, 0)
+        append_lineage(spark, lin_b, "r2", "triples", b, 0, 0)
 
     rep2 = run_bucketed(pages, out_b, lin_b, run_id="r2", n_buckets=4)
     assert rep2.skipped == [0, 1] and sorted(rep2.processed) == [2, 3]
     resumed = {tuple(r) for r in spark.read.parquet(out_b).select("subj", "pred", "obj").collect()}
     assert resumed == full
+
+
+def test_lineage_uri_scheme_paths(spark, tmp_path):
+    """Lineage + output I/O must go through the Hadoop FileSystem layer, not
+    driver-local open()/os.path — exercised by handing every path as a
+    file:// URI (the same code path an hdfs:// or s3a:// URI would take)."""
+    pages = pages_df(spark, 60, seed=42, partitions=4)
+    out = f"file://{tmp_path}/out"
+    lin = f"file://{tmp_path}/lin"
+    rep = run_bucketed(pages, out, lin, run_id="ru", n_buckets=2)
+    assert sorted(rep.processed) == [0, 1]
+    assert completed_buckets(spark, lin, "ru", "triples") == {0, 1}
+    # resume through the URI path as well: everything skipped
+    rep2 = run_bucketed(pages, out, lin, run_id="ru", n_buckets=2)
+    assert rep2.processed == [] and rep2.skipped == [0, 1]
+    assert spark.read.parquet(out).count() > 0
 
 
 def test_incremental_antijoin(spark, tmp_path):

@@ -69,6 +69,24 @@ def test_cc_hub_skew_star_converges_fast(spark, force_distributed):
     assert set(got.values()) == {"hub"}  # 'hub' < 'leaf_*' lexicographically
 
 
+def test_cc_salted_star_identical(spark, force_distributed):
+    """Round-2 verdict next-step #6: the salted propagate path (two-phase
+    min through skew.salted_agg) must return IDENTICAL labels on a
+    10^5-leaf star — the mega-hub shape salting exists for — plus a
+    multi-component side graph to catch cross-component leakage."""
+    leaves = 100_000
+    rows = [(f"leaf_{i:06d}", "hub") for i in range(leaves)]
+    rows += [("m1", "m2"), ("m2", "m3"), ("zz1", "zz2")]
+    e = spark.createDataFrame(rows, "src string, dst string").repartition(16)
+    salted = dict((r.id, r.component)
+                  for r in connected_components(e, salted=True).collect())
+    plain = dict((r.id, r.component)
+                 for r in connected_components(e).collect())
+    assert salted == plain
+    assert sum(1 for v in salted.values() if v == "hub") == leaves + 1
+    assert salted["m3"] == "m1" and salted["zz2"] == "zz1"
+
+
 def test_cc_chain_pointer_jumping_log_rounds(spark, force_distributed):
     """A 64-node path graph needs O(log n) rounds with pointer jumping
     (~6 + slack), far below the O(n) a plain propagation would need."""
