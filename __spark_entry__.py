@@ -157,6 +157,31 @@ def _q_simhash(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # text analysis family
 # ---------------------------------------------------------------------------
+def _q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C recipe, word 5-grams at
+    driver scale): docs with doc_id %% 20 == 0 stand in for the eval
+    benchmark; every OTHER doc sharing >= 1 n-gram is flagged with its
+    distinct-overlap count.  Benchmark n-grams broadcast; corpus text never
+    shuffles (operators/decontaminate.py)."""
+    from climatemind_ontology_processing_spark.operators.decontaminate import (
+        benchmark_ngrams, contaminated_docs)
+    docs = _read(spark, sf_dir, "documents")
+    bench = benchmark_ngrams(docs.filter(F.col("doc_id") % 20 == 0), n=5)
+    scan = docs.filter(F.col("doc_id") % 20 != 0)
+    return contaminated_docs(scan, bench, n=5).orderBy("doc_id")
+
+
+def _q_bpe_pairs(spark, sf_dir):
+    """Top-200 adjacent token-pair counts (the BPE merge-candidate
+    statistic) with deterministic tie order."""
+    from climatemind_ontology_processing_spark.operators.decontaminate import (
+        bpe_pair_counts)
+    docs = _read(spark, sf_dir, "documents")
+    return (bpe_pair_counts(docs, top_k=200, min_count=2)
+            .select(F.col("left").alias("lhs"), F.col("right").alias("rhs"),
+                    "n"))
+
+
 def _q_lang_stats(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return (docs.groupBy("lang")
@@ -454,6 +479,17 @@ def _q_trade_edges(spark, sf_dir):
     return _trade_edges(spark, sf_dir).orderBy("src", "dst")
 
 
+def _q_dag_layers(spark, sf_dir):
+    """X3 layering stage: longest-path DAG layers (the Sugiyama/dot layer
+    assignment, operators/layout.py) over the acyclic src<dst trade graph.
+    The barycenter x-coordinates are presentation-side (pytest-pinned);
+    the layering is the scale-relevant stage and is oracled here."""
+    from climatemind_ontology_processing_spark.operators.layout import (
+        dag_layers)
+    edges = _trade_edges(spark, sf_dir).filter(F.col("src") < F.col("dst"))
+    return dag_layers(edges).orderBy("id")
+
+
 def _q_bfs_reachable(spark, sf_dir):
     """G2 — BFS frontier expansion from nation 0 over trade edges."""
     edges = _trade_edges(spark, sf_dir).withColumn("type", F.lit("trade"))
@@ -749,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,       # md5_60 family: oracled
         "near_dup_pairs": _q_near_dup,             # md5_60 family: oracled
         "simhash_pairs": _q_simhash,               # md5_60 family: oracled
+        "decontamination": _q_decontamination,
+        "bpe_pair_counts": _q_bpe_pairs,
         "lang_stats": _q_lang_stats,
         "token_counts": _q_token_counts,
         "language_id": _q_language_id,
@@ -771,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "interval_event_counts": _q_interval_event_counts,
         "trade_edges": _q_trade_edges,
+        "dag_layers": _q_dag_layers,
         "bfs_reachable": _q_bfs_reachable,
         "closure_counts": _q_closure_counts,
         "induced_subgraph": _q_induced_subgraph,
@@ -936,6 +975,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, bit_count(xor(ha, hb))::INT AS hamming
             FROM cand WHERE bit_count(xor(ha, hb)) <= 3
             ORDER BY a, b
+        """,
+        "decontamination": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 4, 1)),
+                       i -> array_to_string(t[i : i + 4], ' '))) AS g
+              FROM toks
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+            SELECT doc_id, count(DISTINCT g) AS n_hits
+            FROM grams JOIN bench USING (g)
+            WHERE doc_id % 20 <> 0
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "bpe_pair_counts": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            pairs AS (
+              SELECT unnest(list_transform(
+                       range(1, len(t)),
+                       i -> struct_pack(l := t[i], r := t[i + 1]))) AS p
+              FROM toks WHERE len(t) >= 2
+            )
+            SELECT p.l AS lhs, p.r AS rhs, count(*) AS n
+            FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY n DESC, lhs, rhs LIMIT 200
         """,
         "lang_stats": """
             SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
@@ -1257,6 +1331,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "trade_edges": f"""
             {_TRADE_SQL} ORDER BY src, dst
+        """,
+        "dag_layers": f"""
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT src, dst FROM ({_TRADE_SQL}) WHERE src < dst
+            ),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            walk(id, d) AS (
+              SELECT id, 0 FROM nodes
+              UNION
+              SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id
+            )
+            SELECT id, max(d)::INT AS layer FROM walk GROUP BY id ORDER BY id
         """,
         "bfs_reachable": f"""
             WITH RECURSIVE edges AS ({_TRADE_SQL}),

@@ -1,0 +1,104 @@
+"""Training-data decontamination + BPE merge statistics (task brief:
+"operations a large-scale training-data pipeline would need").
+
+* ``contaminated_docs`` — the standard n-gram decontamination pass (the
+  public GPT-3 appendix-C / PaLM recipe: flag any training document sharing
+  an n-gram, canonically n=13, with an evaluation benchmark).  Scale shape:
+  the benchmark n-gram set is orders of magnitude smaller than the corpus,
+  so it BROADCASTS; the corpus streams through one narrow shingle+probe
+  pass and only (doc_id, n_hits) rows — never text — reach the aggregation
+  shuffle.  At 10^12 docs the probe is a broadcast hash join per task;
+  nothing corpus-sized is exchanged.
+
+* ``bpe_pair_counts`` — adjacent-token-pair frequencies, the statistic a
+  BPE/WordPiece vocabulary induction computes per merge round (Sennrich et
+  al. 2016).  One explode + one groupBy with map-side partial aggregation;
+  the shuffle carries (pair, partial_count) only.  ``top_k`` bounds the
+  result via a single ordered take.
+
+Both reuse ``dedup.token_hash``'s hash-family parameterization so the
+driver oracle (md5_60) can replay hash values exactly while production
+defaults to xxhash64.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import let_bound, token_hash
+
+
+def _ngram_hashes(text_col, n: int, hash_family: str):
+    """array<long> of distinct word n-gram hashes of ``text_col`` — same
+    tokenization as dedup.with_shingles (lower + \\s+ split)."""
+    tokens = F.split(F.lower(text_col), r"\s+")
+    grams = let_bound(
+        tokens,
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+            lambda i: token_hash(F.concat_ws(" ", F.slice(t, i + 1, n)),
+                                 hash_family)))
+    return F.array_distinct(grams)
+
+
+def benchmark_ngrams(benchmark_docs: DataFrame, text_col: str = "text",
+                     n: int = 13,
+                     hash_family: str = "xxhash64") -> DataFrame:
+    """Distinct n-gram hash set of an evaluation benchmark ->
+    DataFrame[gram long].  Run once per benchmark and persist; the result
+    is the small broadcast side of every decontamination pass."""
+    return (benchmark_docs
+            .select(F.explode(_ngram_hashes(F.col(text_col), n,
+                                            hash_family)).alias("gram"))
+            .distinct())
+
+
+def contaminated_docs(docs: DataFrame, benchmark: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 13,
+                      hash_family: str = "xxhash64") -> DataFrame:
+    """Documents sharing >= 1 n-gram with ``benchmark`` (from
+    ``benchmark_ngrams``) -> (doc_id, n_hits), n_hits = DISTINCT shared
+    n-grams.  The benchmark side is broadcast: the corpus-side explode is
+    consumed by a map-side broadcast-hash probe, and only matched
+    (doc_id, gram) pairs — a vanishing fraction at web scale — continue to
+    the count shuffle."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(_ngram_hashes(F.col(text_col), n, hash_family))
+         .alias("gram"))
+    hits = grams.join(F.broadcast(benchmark), "gram")
+    return (hits.groupBy(id_col)
+            .agg(F.count_distinct("gram").alias("n_hits")))
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
+                    top_k: int | None = None,
+                    min_count: int = 1) -> DataFrame:
+    """Adjacent token-pair counts over the corpus -> (left, right, n) —
+    the per-round statistic of BPE vocabulary induction.  Tokens are
+    lowercase whitespace words; empties dropped.  Map-side combine applies
+    (plain groupBy count), so the shuffle carries one partial row per
+    (task, pair).  ``top_k`` returns the k most frequent pairs with a
+    deterministic (n desc, left, right) order."""
+    tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                      lambda t: t != "")
+    pairs = let_bound(
+        tokens,
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(F.sequence(F.lit(1), F.size(t) - 1),
+                        lambda i: F.struct(
+                            F.element_at(t, i).alias("left"),
+                            F.element_at(t, i + 1).alias("right"))))
+        .otherwise(F.array().cast(
+            "array<struct<left:string,right:string>>")))
+    counts = (docs.select(F.explode(pairs).alias("p"))
+              .groupBy(F.col("p.left").alias("left"),
+                       F.col("p.right").alias("right"))
+              .agg(F.count("*").alias("n"))
+              .filter(F.col("n") >= min_count))
+    if top_k is not None:
+        counts = (counts.orderBy(F.col("n").desc(), "left", "right")
+                  .limit(top_k))
+    return counts

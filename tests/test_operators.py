@@ -308,6 +308,45 @@ def test_asof_join_null_timestamps(spark):
     assert got["pnull"] == (None, None)    # null left ts -> no match
 
 
+def test_decontamination_planted_overlap(spark):
+    """13-gram decontamination: a training doc embedding a benchmark
+    sentence is flagged with the right distinct-overlap count; clean docs
+    are not; the benchmark side is broadcast in the plan."""
+    from climatemind_ontology_processing_spark.operators.decontaminate import (
+        benchmark_ngrams, contaminated_docs)
+    bench_sent = ("the quick brown fox jumps over the lazy dog while "
+                  "thirteen token windows slide by")          # 15 tokens
+    bench = spark.createDataFrame([(0, bench_sent)], "doc_id long, text string")
+    train = spark.createDataFrame([
+        (1, "intro words " + bench_sent + " trailing text here"),   # contaminated
+        (2, "a completely unrelated document about spark shuffles and joins "
+            "that goes on long enough to have many thirteen gram windows of "
+            "its own without overlapping anything in the benchmark set"),
+        (3, bench_sent),                                            # exact copy
+    ], "doc_id long, text string")
+    grams = benchmark_ngrams(bench, n=13)
+    out = contaminated_docs(train, grams, n=13)
+    got = {r.doc_id: r.n_hits for r in out.collect()}
+    assert set(got) == {1, 3}
+    # 15-token sentence -> 3 distinct 13-grams, all present in doc 3
+    assert got[3] == 3 and got[1] == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, "benchmark side must broadcast"
+
+
+def test_bpe_pair_counts(spark):
+    from climatemind_ontology_processing_spark.operators.decontaminate import (
+        bpe_pair_counts)
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "A  b a"), (3, "solo"), (4, "")],
+        "doc_id long, text string")
+    got = {(r.left, r.right): r.n for r in bpe_pair_counts(docs).collect()}
+    # doc1: (a,b) (b,a) (a,b) (b,c); doc2 (double space, case-folded): (a,b) (b,a)
+    assert got == {("a", "b"): 3, ("b", "a"): 2, ("b", "c"): 1}
+    top = bpe_pair_counts(docs, top_k=1).collect()
+    assert [(top[0].left, top[0].right, top[0].n)] == [("a", "b", 3)]
+
+
 def test_union_subgraph(spark, tiny_edges):
     """U4 — cross-subgraph edges are kept when re-inducing from the base."""
     from climatemind_ontology_processing_spark.operators.traversal import union_subgraph

