@@ -182,6 +182,36 @@ def _q_bpe_pairs(spark, sf_dir):
                     "n"))
 
 
+def _q_training_mix(spark, sf_dir):
+    """Deterministic stratified training-mix sampling (operators/sampling.py):
+    keep 50%% of en, 25%% of de, 10%% of fr, drop other languages — a pure
+    map-side membership predicate (hash(seed,key) mod 1e6 < rate), so two
+    runs, any partitioning, and any task retry ship the SAME corpus.  md5_60
+    family so the oracle replays membership bit-exactly."""
+    from climatemind_ontology_processing_spark.operators.sampling import (
+        stratified_sample)
+    docs = _read(spark, sf_dir, "documents")
+    return (stratified_sample(docs, "lang",
+                              {"en": 0.5, "de": 0.25, "fr": 0.10},
+                              key="doc_id", seed=7, hash_family="md5_60")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def _q_lang_percentiles(spark, sf_dir):
+    """Per-language corpus profiling: exact n_chars percentiles (25/50/75/95)
+    — the data-quality dashboard primitive.  Exact `percentile` (linear
+    interpolation, same definition as SQL quantile_cont), decimal-routed so
+    the stringified values hash-match."""
+    docs = _read(spark, sf_dir, "documents")
+    def p(q, name):
+        return (F.percentile(F.col("n_chars"), F.lit(q))
+                .cast("decimal(20,6)").cast("string").alias(name))
+    return (docs.groupBy("lang")
+            .agg(p(0.25, "p25"), p(0.5, "p50"), p(0.75, "p75"),
+                 p(0.95, "p95"))
+            .orderBy("lang"))
+
+
 def _q_lang_stats(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return (docs.groupBy("lang")
@@ -785,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,       # md5_60 family: oracled
         "near_dup_pairs": _q_near_dup,             # md5_60 family: oracled
         "simhash_pairs": _q_simhash,               # md5_60 family: oracled
+        "training_mix": _q_training_mix,
+        "lang_percentiles": _q_lang_percentiles,
         "decontamination": _q_decontamination,
         "bpe_pair_counts": _q_bpe_pairs,
         "lang_stats": _q_lang_stats,
@@ -975,6 +1007,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, bit_count(xor(ha, hb))::INT AS hamming
             FROM cand WHERE bit_count(xor(ha, hb)) <= 3
             ORDER BY a, b
+        """,
+        "training_mix": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substring(
+                     md5('7' || chr(31) || doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000000
+                  < CASE lang WHEN 'en' THEN 500000
+                              WHEN 'de' THEN 250000
+                              WHEN 'fr' THEN 100000
+                              ELSE 0 END
+            ORDER BY doc_id
+        """,
+        "lang_percentiles": """
+            SELECT lang,
+                   quantile_cont(n_chars, 0.25)::DECIMAL(20,6)::VARCHAR AS p25,
+                   quantile_cont(n_chars, 0.50)::DECIMAL(20,6)::VARCHAR AS p50,
+                   quantile_cont(n_chars, 0.75)::DECIMAL(20,6)::VARCHAR AS p75,
+                   quantile_cont(n_chars, 0.95)::DECIMAL(20,6)::VARCHAR AS p95
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "decontamination": """
             WITH toks AS (

@@ -1,0 +1,73 @@
+"""Deterministic sampling for training-mix construction (task brief:
+training-data-pipeline operations).
+
+Web-corpus pipelines need REPRODUCIBLE sampling — `df.sample()` draws from a
+per-task RNG whose output depends on partitioning and task retries, so two
+runs of the same job can ship different corpora (same reason salts are
+row-derived, operators/skew.py).  Here membership is a pure function of the
+row key: keep a row iff ``hash(key, seed) mod M < rate * M``.  Properties:
+
+* exact resume / retry stability: a row's fate never changes;
+* nested subsets: rate 0.1 is a SUBSET of rate 0.2 at the same seed — grow a
+  training set without resampling what was already shipped;
+* no coordination: the predicate is map-side, pushed into the scan — no
+  shuffle, no count pass;
+* stratified mixes (per-language / per-domain rates) are the same predicate
+  with the rate looked up from a broadcast literal map.
+
+Hash family is ``dedup.token_hash`` — xxhash64 default; md5_60 lets the
+driver's DuckDB oracle replay membership bit-exactly.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import token_hash
+
+_M = 1_000_000          # rate resolution: 1e-6
+
+
+def sample_bucket(key: Column, seed: int = 42,
+                  hash_family: str = "xxhash64") -> Column:
+    """Uniform bucket in [0, 1e6) derived from (seed, key) — the membership
+    primitive shared by both samplers."""
+    return F.pmod(token_hash(F.concat_ws("\x1f", F.lit(str(seed)), key),
+                             hash_family), F.lit(_M))
+
+
+def hash_sample(df: DataFrame, rate: float, key: str | Column,
+                seed: int = 42, hash_family: str = "xxhash64") -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows keyed by ``key``.
+    Same (key, seed) -> same decision on every run, partitioning, and retry;
+    smaller rates select nested subsets of larger ones."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    return df.filter(
+        sample_bucket(key_col.cast("string"), seed, hash_family)
+        < F.lit(int(rate * _M)))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
+                      key: str | Column, default_rate: float = 0.0,
+                      seed: int = 42,
+                      hash_family: str = "xxhash64") -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix operator
+    ("50% of en, 25% of de, drop the rest").  ``rates`` maps stratum value
+    -> keep fraction; unlisted strata get ``default_rate``.  The rate table
+    rides the plan as a literal map (strata counts are small by definition);
+    membership stays a map-side scan predicate."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    rate_map = F.create_map(*[
+        x for s, r in sorted(rates.items())
+        for x in (F.lit(s), F.lit(int(r * _M)))])
+    threshold = F.coalesce(F.element_at(rate_map, F.col(strata_col)),
+                           F.lit(int(default_rate * _M)))
+    return df.filter(
+        sample_bucket(key_col.cast("string"), seed, hash_family) < threshold)

@@ -308,6 +308,47 @@ def test_asof_join_null_timestamps(spark):
     assert got["pnull"] == (None, None)    # null left ts -> no match
 
 
+def test_hash_sample_deterministic_and_nested(spark):
+    """Deterministic sampling: partitioning-independent, retry-stable, and
+    NESTED — rate 0.1 selects a subset of rate 0.3 at the same seed; rates
+    land near target on uniform keys; both hash families agree on the
+    contract."""
+    from climatemind_ontology_processing_spark.operators.sampling import (
+        hash_sample)
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    s30 = {r.k for r in hash_sample(df, 0.3, "k").collect()}
+    s30_repart = {r.k for r in hash_sample(df.repartition(13), 0.3, "k").collect()}
+    assert s30 == s30_repart, "membership must not depend on partitioning"
+    s10 = {r.k for r in hash_sample(df, 0.1, "k").collect()}
+    assert s10 <= s30, "smaller rate must be a nested subset"
+    assert 0.25 < len(s30) / 10_000 < 0.35
+    assert 0.07 < len(s10) / 10_000 < 0.13
+    # different seed -> different (mostly disjoint-ish) selection
+    s30b = {r.k for r in hash_sample(df, 0.3, "k", seed=99).collect()}
+    assert s30 != s30b
+    with pytest.raises(ValueError, match="rate"):
+        hash_sample(df, 1.5, "k")
+
+
+def test_stratified_sample_rates(spark):
+    from climatemind_ontology_processing_spark.operators.sampling import (
+        stratified_sample)
+    rows = [(i, "en" if i % 2 == 0 else ("de" if i % 4 == 1 else "xx"))
+            for i in range(8_000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    out = stratified_sample(df, "lang", {"en": 0.5, "de": 0.1}, key="k")
+    got = out.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    assert "xx" not in by, "default_rate=0 drops unlisted strata"
+    assert 0.4 < by["en"] / 4_000 < 0.6
+    assert 0.05 < by["de"] / 2_000 < 0.16
+    # default_rate keeps unlisted strata at the given fraction
+    out2 = stratified_sample(df, "lang", {"en": 0.5}, key="k",
+                             default_rate=1.0)
+    n_xx = out2.filter(F.col("lang") == "xx").count()
+    assert n_xx == 2_000
+
+
 def test_decontamination_planted_overlap(spark):
     """13-gram decontamination: a training doc embedding a benchmark
     sentence is flagged with the right distinct-overlap count; clean docs

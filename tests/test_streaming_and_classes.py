@@ -139,6 +139,51 @@ def test_stateful_sessionization_timeout_flush(spark, tmp_path):
     assert (7, 2, "timeout") in got2, got2
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-based streaming dedup: re-delivered
+    identical texts across micro-batches within the watermark emit once;
+    distinct texts all pass; output agrees with batch dedup_exact on the
+    distinct-text set."""
+    import datetime as dt
+
+    from climatemind_ontology_processing_spark.streaming.dedup import (
+        dedup_stream)
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 12, minute)
+
+    src = str(tmp_path / "sd_in")
+    out = str(tmp_path / "sd_out")
+    ckpt = str(tmp_path / "sd_ckpt")
+
+    def run_batch():
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, text string").parquet(src)
+        q = (dedup_stream(stream, watermark="1 hour").writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("u1", t(0), "alpha text"), ("u2", t(1), "beta text"),
+         ("u3", t(2), "alpha text")],           # intra-batch duplicate
+        "url string, warc_ts timestamp, text string") \
+        .write.mode("append").parquet(src)
+    run_batch()
+    # second delivery of the same texts in a later micro-batch (in-watermark)
+    spark.createDataFrame(
+        [("u4", t(10), "alpha text"), ("u5", t(11), "gamma text")],
+        "url string, warc_ts timestamp, text string") \
+        .write.mode("append").parquet(src)
+    run_batch()
+
+    got = spark.read.parquet(out).collect()
+    texts = sorted(r.text for r in got)
+    assert texts == ["alpha text", "beta text", "gamma text"], texts
+    assert len(got) == 3, "each distinct text exactly once"
+
+
 def test_stateful_sessionization_late_event(spark, tmp_path):
     """Regression for the late-data corruption: an in-watermark event in a
     LATER micro-batch that precedes the stored session (t < session_start)
