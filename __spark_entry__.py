@@ -182,6 +182,31 @@ def _q_bpe_pairs(spark, sf_dir):
                     "n"))
 
 
+def _q_canonical_urls(spark, sf_dir):
+    """URL canonicalization (functions/urlnorm.py) over deterministically
+    CONSTRUCTED messy URLs (scheme/host case, default port, tracking
+    params incl. adjacent runs, fragments, bare hosts).  The oracle states
+    the EXPECTED canonical strings independently from the construction —
+    not a SQL re-implementation of the normalizer."""
+    from climatemind_ontology_processing_spark.functions.urlnorm import (
+        canonical_url)
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    messy = F.concat(
+        F.lit("HTTP://ExAmple"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:80/Path/"), d,
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("?utm_source=x&utm_medium=y&q=1&fbclid=z#frag"))
+         .when(F.col("doc_id") % 4 == 1, F.lit("?gclid=abc"))
+         .when(F.col("doc_id") % 4 == 2, F.lit("?a=1&ref=tw&b=2"))
+         .otherwise(F.lit("#top")))
+    bare = F.concat(F.lit("HTTPS://Host"), d, F.lit(".org:443"))
+    return (docs.select(
+        "doc_id",
+        canonical_url(messy).alias("curl"),
+        canonical_url(bare).alias("curl_bare")).orderBy("doc_id"))
+
+
 def _q_training_mix(spark, sf_dir):
     """Deterministic stratified training-mix sampling (operators/sampling.py):
     keep 50%% of en, 25%% of de, 10%% of fr, drop other languages — a pure
@@ -815,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,       # md5_60 family: oracled
         "near_dup_pairs": _q_near_dup,             # md5_60 family: oracled
         "simhash_pairs": _q_simhash,               # md5_60 family: oracled
+        "canonical_urls": _q_canonical_urls,
         "training_mix": _q_training_mix,
         "lang_percentiles": _q_lang_percentiles,
         "decontamination": _q_decontamination,
@@ -1007,6 +1033,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, bit_count(xor(ha, hb))::INT AS hamming
             FROM cand WHERE bit_count(xor(ha, hb)) <= 3
             ORDER BY a, b
+        """,
+        "canonical_urls": """
+            SELECT doc_id,
+                   'http://example' || (doc_id % 7) || '.com/Path/' || doc_id
+                   || CASE WHEN doc_id % 4 = 0 THEN '?q=1'
+                           WHEN doc_id % 4 = 2 THEN '?a=1&b=2'
+                           ELSE '' END AS curl,
+                   'https://host' || doc_id || '.org/' AS curl_bare
+            FROM documents ORDER BY doc_id
         """,
         "training_mix": """
             SELECT doc_id, lang FROM documents

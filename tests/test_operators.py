@@ -308,6 +308,32 @@ def test_asof_join_null_timestamps(spark):
     assert got["pnull"] == (None, None)    # null left ts -> no match
 
 
+def test_canonical_url(spark):
+    """URL canonicalization edge cases — scheme/host lowering (path case
+    kept), fragments, default ports (http+https, non-default kept),
+    tracking-param runs with order preservation, bare hosts."""
+    from climatemind_ontology_processing_spark.functions.urlnorm import (
+        canonical_url)
+    cases = [
+        ("HTTP://WWW.Example.COM/Path/To?b=2&a=1#frag",
+         "http://www.example.com/Path/To?b=2&a=1"),     # order preserved
+        ("https://Site.org:443/x", "https://site.org/x"),
+        ("http://site.org:8080/x", "http://site.org:8080/x"),  # non-default kept
+        ("http://h.com:80", "http://h.com/"),
+        ("https://H.com", "https://h.com/"),
+        ("http://a.b/p?utm_source=s&utm_medium=m&utm_campaign=c&keep=1",
+         "http://a.b/p?keep=1"),                        # 3 adjacent tracked
+        ("http://a.b/p?keep=1&gclid=x", "http://a.b/p?keep=1"),
+        ("http://a.b/p?fbclid=x", "http://a.b/p"),
+        ("http://a.b/p?ref=tw&x=2&msclkid=9", "http://a.b/p?x=2"),
+        ("http://a.b/p#only-fragment", "http://a.b/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c"))
+           .collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_hash_sample_deterministic_and_nested(spark):
     """Deterministic sampling: partitioning-independent, retry-stable, and
     NESTED — rate 0.1 selects a subset of rate 0.3 at the same seed; rates
