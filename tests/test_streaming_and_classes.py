@@ -55,46 +55,64 @@ def test_streaming_triples(spark, tmp_path):
 
 
 def test_stateful_sessionization_stream(spark, tmp_path):
-    """applyInPandasWithState gap sessionization: sessions closed by an
-    observed gap are emitted exactly once and match the batch lag-window
-    oracle; the trailing open session per user stays in state (not emitted
-    in the same batch — streaming semantics, closed later by timeout)."""
+    """applyInPandasWithState gap sessionization with WATERMARK-GATED
+    emission: nothing appears while an admissible late event could still
+    extend a session; once the watermark passes, emitted sessions equal
+    the batch sessionization, labeled 'gap' when a later session for the
+    user was pending at emit time and 'timeout' otherwise."""
     import datetime as dt
 
     from climatemind_ontology_processing_spark.streaming.sessions import (
         sessionize_stream)
 
-    def t(minute):
-        return dt.datetime(2026, 1, 1, 10, minute)
+    def t(minute, hour=10):
+        return dt.datetime(2026, 1, 1, hour, minute)
 
     rows = [
         # user 1: session A (3 events), 40-min gap, session B (1 event)
         (1, t(0)), (1, t(5)), (1, t(10)), (1, t(50)),
         # user 2: session A (2 events), 35-min gap, session B (2 events)
         (2, t(0)), (2, t(2)), (2, t(37)), (2, t(39)),
-        # user 3: single open session — nothing emitted this batch
+        # user 3: single session
         (3, t(0)), (3, t(1)),
     ]
     src = str(tmp_path / "sess_in")
     out = str(tmp_path / "sess_out")
     ckpt = str(tmp_path / "sess_ckpt")
-    spark.createDataFrame(rows, "user_id long, ts timestamp") \
-        .write.mode("overwrite").parquet(src)
 
-    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
-    q = (sessionize_stream(stream, gap_sec=1800).writeStream
-         .format("parquet").option("path", out)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    def run_batch():
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        q = (sessionize_stream(stream, gap_sec=1800).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows, "user_id long, ts timestamp") \
+        .write.mode("append").parquet(src)
+    run_batch()
+    # batch 1: watermark is still behind every session end + gap -> nothing
+    assert spark.read.parquet(out).collect() == []
+
+    # two watermark-advancing batches: batch 2 raises max event time, batch 3
+    # computes its watermark from it (wm = max_ts(prev) - gap) and flushes
+    spark.createDataFrame([(99, t(0, hour=20))], "user_id long, ts timestamp") \
+        .write.mode("append").parquet(src)
+    run_batch()
+    spark.createDataFrame([(99, t(0, hour=21))], "user_id long, ts timestamp") \
+        .write.mode("append").parquet(src)
+    run_batch()
 
     got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.closed_by)
            for r in spark.read.parquet(out).collect()}
-    e = lambda m: int(t(m).replace(tzinfo=dt.timezone.utc).timestamp())
-    assert got == {
+    e = lambda m, h=10: int(t(m, h).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert {
         (1, e(0), e(10), 3, "gap"),
+        (1, e(50), e(50), 1, "timeout"),
         (2, e(0), e(2), 2, "gap"),
-    }
+        (2, e(37), e(39), 2, "timeout"),
+        (3, e(0), e(1), 2, "timeout"),
+    } <= got, got
 
 
 def test_stateful_sessionization_timeout_flush(spark, tmp_path):
@@ -130,8 +148,13 @@ def test_stateful_sessionization_timeout_flush(spark, tmp_path):
     got1 = spark.read.parquet(out).collect()
     assert got1 == [], "open session must not be emitted yet"
 
-    # batch 2: a different user far in the future advances the watermark
+    # batches 2+3: a different user far in the future advances the
+    # watermark (one batch to raise max event time, one to compute the
+    # watermark from it and fire the event-time timeout)
     spark.createDataFrame([(8, t(20, 0))], "user_id long, ts timestamp") \
+        .write.mode("append").parquet(src)
+    run_batch()
+    spark.createDataFrame([(8, t(21, 0))], "user_id long, ts timestamp") \
         .write.mode("append").parquet(src)
     run_batch()
     got2 = {(r.user_id, r.n_events, r.closed_by)
@@ -223,8 +246,12 @@ def test_stateful_sessionization_late_event(spark, tmp_path):
     assert spark.read.parquet(out).collect() == [], \
         "merged session is still open; nothing should be emitted"
 
-    # batch 3: far-future event flushes user 9 via timeout
+    # batches 3+4: far-future events advance the watermark past the merged
+    # session's end + gap, flushing user 9 via timeout
     spark.createDataFrame([(42, t(20, 0))], "user_id long, ts timestamp") \
+        .write.mode("append").parquet(src)
+    run_batch()
+    spark.createDataFrame([(42, t(21, 0))], "user_id long, ts timestamp") \
         .write.mode("append").parquet(src)
     run_batch()
     e = lambda h, m=0: int(t(h, m).replace(tzinfo=dt.timezone.utc).timestamp())
@@ -233,3 +260,59 @@ def test_stateful_sessionization_late_event(spark, tmp_path):
     assert (9, e(10, 0), e(10, 20), 2, "timeout") in got, got
     for _, ss, se, _, _ in got:
         assert ss <= se, f"session with start > end emitted: {got}"
+
+
+def test_stateful_sessionization_no_premature_close(spark, tmp_path):
+    """The deeper late-data case eager emission gets wrong: a session whose
+    gap was already OBSERVED (a much newer event exists) must still wait for
+    the watermark — an admissible late event can bridge into it.  Events
+    ..., 65min, then 100min, then LATE 80min (in-watermark): batch
+    sessionization yields ONE session [65..100]; eager gap-closure would
+    have emitted [..65] early and produced two."""
+    import datetime as dt
+
+    from climatemind_ontology_processing_spark.streaming.sessions import (
+        sessionize_stream)
+
+    base = dt.datetime(2026, 1, 1, 10, 0)
+
+    def t(minute):
+        return base + dt.timedelta(minutes=minute)
+
+    src = str(tmp_path / "sess4_in")
+    out = str(tmp_path / "sess4_out")
+    ckpt = str(tmp_path / "sess4_ckpt")
+
+    def run_batch():
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        q = (sessionize_stream(stream, gap_sec=1800).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: events at 65 and 100 min — a 35-min gap > 30-min gap_sec
+    spark.createDataFrame([(1, t(65)), (1, t(100))],
+                          "user_id long, ts timestamp") \
+        .write.mode("append").parquet(src)
+    run_batch()
+    assert spark.read.parquet(out).collect() == [], \
+        "observed gap must not emit before the watermark allows"
+
+    # batch 2: LATE event at 80 min — watermark is 100-30=70, so admissible;
+    # it bridges 65 and 100 into ONE session
+    spark.createDataFrame([(1, t(80))], "user_id long, ts timestamp") \
+        .write.mode("append").parquet(src)
+    run_batch()
+
+    # flush via two watermark-advancing batches
+    for h in (20, 21):
+        spark.createDataFrame([(42, dt.datetime(2026, 1, 1, h, 0))],
+                              "user_id long, ts timestamp") \
+            .write.mode("append").parquet(src)
+        run_batch()
+
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.closed_by)
+           for r in spark.read.parquet(out).collect() if r.user_id == 1}
+    e = lambda m: int(t(m).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == {(1, e(65), e(100), 3, "timeout")}, got
