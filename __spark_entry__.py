@@ -182,6 +182,15 @@ def _q_bpe_pairs(spark, sf_dir):
                     "n"))
 
 
+def _q_char_entropy(spark, sf_dir):
+    """Per-document character-distribution Shannon entropy
+    (operators/textstats.char_entropy) — compressibility quality proxy."""
+    from climatemind_ontology_processing_spark.operators.textstats import (
+        char_entropy)
+    docs = _read(spark, sf_dir, "documents")
+    return char_entropy(docs).orderBy("doc_id")
+
+
 def _q_canonical_urls(spark, sf_dir):
     """URL canonicalization (functions/urlnorm.py) over deterministically
     CONSTRUCTED messy URLs (scheme/host case, default port, tracking
@@ -840,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,       # md5_60 family: oracled
         "near_dup_pairs": _q_near_dup,             # md5_60 family: oracled
         "simhash_pairs": _q_simhash,               # md5_60 family: oracled
+        "char_entropy": _q_char_entropy,
         "canonical_urls": _q_canonical_urls,
         "training_mix": _q_training_mix,
         "lang_percentiles": _q_lang_percentiles,
@@ -1033,6 +1043,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, bit_count(xor(ha, hb))::INT AS hamming
             FROM cand WHERE bit_count(xor(ha, hb)) <= 3
             ORDER BY a, b
+        """,
+        "char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents
+            ),
+            counts AS (
+              SELECT doc_id, c, count(*) AS n FROM ch
+              WHERE c <> '' GROUP BY doc_id, c
+            )
+            SELECT doc_id,
+                   round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
+                     AS char_entropy
+            FROM counts GROUP BY doc_id ORDER BY doc_id
         """,
         "canonical_urls": """
             SELECT doc_id,

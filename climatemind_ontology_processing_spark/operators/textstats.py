@@ -189,6 +189,29 @@ def winnowing_candidates(docs: DataFrame, text_col: str = "text",
             .filter(F.col("n_shared") >= min_shared))
 
 
+def char_entropy(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution — the cheap compressibility proxy quality filters use
+    (boilerplate / generated spam skews low, encrypted/binary junk skews
+    high; cf. the public Gopher/C4 rule families).
+
+    Computed as log2(N) - (sum n_i*log2(n_i))/N over per-char counts —
+    algebraically H = -sum p*log2(p) without materializing ratios.  Two
+    keys-only shuffles ((doc, char) then doc); empty documents produce no
+    row.  Returns (id_col, char_entropy double rounded to 6dp).
+    """
+    ch = (docs.select(F.col(id_col),
+                      F.explode(F.split(F.col(text_col), "")).alias("c"))
+          .filter(F.col("c") != ""))
+    counts = ch.groupBy(id_col, "c").agg(F.count("*").alias("n"))
+    return (counts.groupBy(id_col)
+            .agg(F.round(
+                F.log2(F.sum("n"))
+                - F.sum(F.col("n") * F.log2("n")) / F.sum("n"),
+                6).alias("char_entropy")))
+
+
 def with_textstats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return (quality_features(docs, text_col)
             .withColumn("lang_detected", language_id(F.col(text_col)))

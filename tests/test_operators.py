@@ -308,6 +308,42 @@ def test_asof_join_null_timestamps(spark):
     assert got["pnull"] == (None, None)    # null left ts -> no match
 
 
+def test_char_entropy(spark):
+    """Hand-computed Shannon entropies: uniform-1 char = 0 bits, two equal
+    chars = 1 bit, 'aabb'-style = 1 bit, 'abcd' = 2 bits; empty text emits
+    no row."""
+    from climatemind_ontology_processing_spark.operators.textstats import (
+        char_entropy)
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "aabb"), (4, "abcd"), (5, ""),
+         (6, "aab")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.char_entropy for r in char_entropy(docs).collect()}
+    import math
+    h_aab = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert got == {1: 0.0, 2: 1.0, 3: 1.0, 4: 2.0,
+                   6: pytest.approx(round(h_aab, 6))}
+    assert 5 not in got
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over generated messy URLs —
+    normalization must be a projection (fixpoint in one application)."""
+    from climatemind_ontology_processing_spark.functions.urlnorm import (
+        canonical_url)
+    import itertools
+    schemes = ["http://", "HTTPS://", "http://"]
+    hosts = ["ExAmple.COM", "a.b.c.org:443", "x.net:80", "y.io:8080"]
+    paths = ["", "/", "/P/q", "/p?a=1&utm_x=2", "/p?utm_a=1&utm_b=2&k=3",
+             "/p?gclid=1", "/p#f", "/p?a=1#f"]
+    urls = ["".join(t) for t in itertools.product(schemes, hosts, paths)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c1"))
+    twice = once.select("c1", canonical_url(F.col("c1")).alias("c2"))
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, bad[:5]
+
+
 def test_canonical_url(spark):
     """URL canonicalization edge cases — scheme/host lowering (path case
     kept), fragments, default ports (http+https, non-default kept),
