@@ -4,11 +4,12 @@ Image/audio/video payloads are opaque ``binary`` columns with typed metadata
 structs.  The Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
 UDF signatures — is real and tested.
 
-Codec status: PNG decoding is REAL — a from-scratch stdlib decoder
-(``decode_png``: zlib inflate + all five scanline filters + palette
-expansion) plus a matching encoder for round-trip tests, so
-``decode_image``/``resize_image`` operate on actual pixels for PNG
-payloads.  Other formats (JPEG, audio, video codecs) still raise
+Codec status: PNG and RIFF/WAVE-PCM decoding are REAL — from-scratch stdlib
+decoders (``decode_png``: zlib inflate + all five scanline filters + palette
+expansion; ``decode_wav``: RIFF chunk walk + 8/16/32-bit PCM normalization)
+plus matching encoders for round-trip tests, so ``decode_image`` /
+``resize_image`` / ``decode_audio`` operate on actual pixels/samples for
+those formats.  Compressed formats (JPEG, MP3/AAC, video codecs) still raise
 ``NotImplementedError`` unless ``fake=True`` selects the deterministic
 stand-in — those need codec libraries absent from this environment.
 """
@@ -183,12 +184,93 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     return _byte_histogram(payload)
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """From-scratch RIFF/WAVE PCM decoder — stdlib ``struct`` only.
+
+    Supports the PCM format (audio format 1) at 8/16/32-bit integer depth,
+    any channel count/sample rate, walking the RIFF chunk list (so extra
+    chunks like LIST/fact are skipped).  Returns ``(sample_rate, channels,
+    bit_depth, samples)`` with samples interleaved and normalized to
+    [-1.0, 1.0].  Raises ``ValueError`` on malformed input and
+    ``NotImplementedError`` for compressed formats (float/ADPCM/mp3 would
+    need real codec libraries)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)            # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _br, _ba, bits = struct.unpack(
+        "<HHIIHH", fmt[:16])
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"WAV audio format {audio_format} (only PCM=1 supported)")
+    if bits == 8:                                # unsigned
+        samples = [(b - 128) / 128.0 for b in data]
+    elif bits == 16:
+        n = len(data) // 2
+        samples = [v / 32768.0
+                   for v in struct.unpack(f"<{n}h", data[:n * 2])]
+    elif bits == 32:
+        n = len(data) // 4
+        samples = [v / 2147483648.0
+                   for v in struct.unpack(f"<{n}i", data[:n * 4])]
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM (8/16/32 supported)")
+    return rate, channels, bits, samples
+
+
+def encode_wav(samples: list[float], sample_rate: int = 16_000,
+               channels: int = 1, bits: int = 16) -> bytes:
+    """Minimal matching PCM encoder (round-trip partner of ``decode_wav``)."""
+    if bits != 16:
+        raise ValueError("encode_wav emits 16-bit PCM")
+    clamped = [max(-1.0, min(1.0, s)) for s in samples]
+    data = struct.pack(f"<{len(clamped)}h",
+                       *[int(s * 32767) for s in clamped])
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _energy_histogram(samples: list[float], bins: int = 8) -> list[float]:
+    """8-dim RMS-energy-per-time-window feature over normalized samples."""
+    if not samples:
+        return [0.0] * bins
+    n = max(len(samples) // bins, 1)
+    out = []
+    for i in range(bins):
+        win = samples[i * n:(i + 1) * n] or [0.0]
+        out.append((sum(s * s for s in win) / len(win)) ** 0.5)
+    return out
+
+
 def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
-    """STUB: real impl would decode + frame-sample + embed."""
+    """Audio payload -> 8-dim feature.
+
+    RIFF/WAVE PCM payloads are decoded for REAL (``decode_wav``) and
+    featurized as per-time-window RMS energy over actual samples.  Other
+    formats: ``fake=True`` produces the deterministic byte-energy stand-in
+    (compressed-audio codecs are absent from this environment), else
+    NotImplementedError."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        _rate, _ch, _bits, samples = decode_wav(payload)
+        return _energy_histogram(samples)
     if not fake:
         raise NotImplementedError(
-            "audio decoding requires codec libraries not present in this "
-            "environment; pass fake=True for the deterministic stand-in")
+            "non-WAV audio decoding requires codec libraries not present in "
+            "this environment; RIFF/WAVE PCM is decoded natively, or pass "
+            "fake=True for the deterministic stand-in")
     # deterministic fake: energy proxy per 4-byte frame bucket, 8 buckets
     n = max(len(payload) // 8, 1)
     return [sum(payload[i * n:(i + 1) * n]) / (255.0 * n + 1e-9) for i in range(8)]
