@@ -55,19 +55,27 @@ def benchmark_ngrams(benchmark_docs: DataFrame, text_col: str = "text",
 
 def contaminated_docs(docs: DataFrame, benchmark: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
-                      n: int = 13,
-                      hash_family: str = "xxhash64") -> DataFrame:
+                      n: int = 13, hash_family: str = "xxhash64",
+                      broadcast_benchmark: bool = True) -> DataFrame:
     """Documents sharing >= 1 n-gram with ``benchmark`` (from
     ``benchmark_ngrams``) -> (doc_id, n_hits), n_hits = DISTINCT shared
-    n-grams.  The benchmark side is broadcast: the corpus-side explode is
-    consumed by a map-side broadcast-hash probe, and only matched
-    (doc_id, gram) pairs — a vanishing fraction at web scale — continue to
-    the count shuffle."""
+    n-grams.
+
+    Default shape: the benchmark side is broadcast — the corpus-side
+    explode is consumed by a map-side broadcast-hash probe, and only
+    matched (doc_id, gram) pairs (a vanishing fraction at web scale)
+    continue to the count shuffle.  Realistic eval suites are 10^5-10^7
+    n-grams = tens of MB of longs, comfortably broadcastable.  For a
+    pathological benchmark side (union of hundreds of suites beyond
+    executor memory), ``broadcast_benchmark=False`` keeps a plain shuffled
+    hash join keyed on the gram — the corpus side then shuffles its
+    (doc_id, gram) pairs once; still no document text in any exchange."""
     grams = docs.select(
         F.col(id_col),
         F.explode(_ngram_hashes(F.col(text_col), n, hash_family))
          .alias("gram"))
-    hits = grams.join(F.broadcast(benchmark), "gram")
+    bench = F.broadcast(benchmark) if broadcast_benchmark else benchmark
+    hits = grams.join(bench, "gram")
     return (hits.groupBy(id_col)
             .agg(F.count_distinct("gram").alias("n_hits")))
 

@@ -245,6 +245,32 @@ def _shingled_checkpointed(docs: DataFrame, id_col: str, text_col: str,
             .localCheckpoint(eager=True))
 
 
+def _lsh_bucket_table(shingled, num_hashes: int, bands: int):
+    """(doc, band, bh) bucket rows from a materialized (doc, shingles)
+    table — the shared core of candidate generation and the census audit.
+    Two-step materialization: signatures are computed in a bare projection
+    over the checkpointed shingles (with the whole tree lazy, projection
+    collapse can fuse the Arrow signature UDF into surrounding higher-order
+    expressions, and localCheckpoint then evaluates it via an interpreted
+    projection that cannot evaluate PythonUDF expressions — observed Spark
+    4.1 behavior; the two-step shape keeps the UDF in a canonical
+    Project-over-RDD the planner always extracts into ArrowEvalPython)."""
+    rows = num_hashes // bands
+    sigs = shingled.select(
+        "doc", minhash_signature(F.col("shingles"), num_hashes).alias("sig")) \
+        .localCheckpoint(eager=True)
+    return sigs.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.slice(F.col("sig"), b * rows + 1, rows))).alias("bh"))
+            for b in range(bands)
+        ])).alias("bucket")) \
+        .select("doc", "bucket.band", "bucket.bh")
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 32, bands: int = 8,
@@ -272,31 +298,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     Returns (a, b) with a < b, distinct.
     """
-    rows = num_hashes // bands
-    # two-step materialization: checkpoint the JVM-only shingles first, then
-    # compute signatures in a bare projection over the materialized child.
-    # Rationale: with the whole tree lazy, projection collapse can fuse the
-    # Arrow signature UDF into surrounding higher-order expressions, and
-    # localCheckpoint then evaluates it via an interpreted projection, which
-    # cannot evaluate PythonUDF expressions (observed Spark 4.1 behavior;
-    # the two-step shape keeps the UDF in a canonical Project-over-RDD the
-    # planner always extracts into an ArrowEvalPython stage).
     if shingled is None:
         shingled = _shingled_checkpointed(docs, id_col, text_col, n,
                                           hash_family)
-    sigs = shingled.select(
-        "doc", minhash_signature(F.col("shingles"), num_hashes).alias("sig")) \
-        .localCheckpoint(eager=True)
-    buckets = sigs.select(
-        "doc",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", F.slice(F.col("sig"), b * rows + 1, rows))).alias("bh"))
-            for b in range(bands)
-        ])).alias("bucket")) \
-        .select("doc", "bucket.band", "bucket.bh")
+    buckets = _lsh_bucket_table(shingled, num_hashes, bands)
     if max_bucket_size is not None:
         # keys-only bucket census joined back on the same (band, bh) key the
         # self-join shuffles on — AQE co-partitions; no document data moves
@@ -324,20 +329,8 @@ def oversized_lsh_buckets(docs: DataFrame, id_col: str = "doc_id",
     guardrail — (band, bh, n_members) with n_members > max_bucket_size.
     Run this to log/audit what the cap excluded; on clean (exact-deduped)
     corpora it is empty."""
-    rows = num_hashes // bands
     sh = _shingled_checkpointed(docs, id_col, text_col, n, hash_family)
-    sigs = sh.select(
-        "doc", minhash_signature(F.col("shingles"), num_hashes).alias("sig")) \
-        .localCheckpoint(eager=True)
-    buckets = sigs.select(
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", F.slice(F.col("sig"), b * rows + 1, rows))).alias("bh"))
-            for b in range(bands)
-        ])).alias("bucket")) \
-        .select("bucket.band", "bucket.bh")
+    buckets = _lsh_bucket_table(sh, num_hashes, bands)
     return (buckets.groupBy("band", "bh")
             .agg(F.count("*").alias("n_members"))
             .filter(F.col("n_members") > max_bucket_size))
