@@ -729,6 +729,25 @@ def _q_ivf_topk(spark, sf_dir):
             .orderBy("qid", "rank"))
 
 
+def _q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-5: encode every vector to 8 codes (16
+    codewords per subspace, seeded codebooks), score candidates from the
+    broadcast per-query lookup tables reading only the code column
+    (operators/similarity.py pq_topk).  micro=True sums micro-scaled
+    BIGINTs so the DuckDB oracle replays the ranking hash-exactly."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        pq_topk)
+    emb = _read(spark, sf_dir, "embeddings") \
+        .select("vec_id", F.transform("embedding",
+                                      lambda x: x.cast("double")).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    return (pq_topk(emb, queries, dim=64, k=5, m=8, n_codes=16, seed=42,
+                    micro=True)
+            .select("qid", "vec_id", "adc_micro", "rank")
+            .orderBy("qid", "rank"))
+
+
 def _q_embedding_lsh_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs via random-hyperplane LSH bucketing +
     exact cosine verify on band collisions only (operators/similarity.py
@@ -838,6 +857,58 @@ def _ivf_topk_sql() -> str:
     """
 
 
+def _pq_topk_sql() -> str:
+    """Oracle for _q_pq_topk: identical seeded codebooks (and their
+    precomputed squared norms) inlined as literals, identical
+    round-6-before-argmin encode (ties -> lowest code), identical ADC
+    scoring over micro-scaled BIGINTs (order-independent integer sums, so
+    the hash comparison is exact)."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        pq_cc, pq_pseudo_codebooks)
+    cbs = pq_pseudo_codebooks(dim=64, m=8, n_codes=16, seed=42)
+    ccs = pq_cc(cbs)
+    dsub = 64 // 8
+    values = ", ".join(
+        f"({s}, {j}, [{', '.join(repr(x) for x in c)}]::DOUBLE[], {ccs[s][j]!r})"
+        for s in range(8) for j, c in enumerate(cbs[s]))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb(sub, code, cw, cc) AS (VALUES {values}),
+        enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT e.vec_id, cb.sub, cb.code,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id, cb.sub
+                     ORDER BY round(
+                       list_dot_product(list_slice(e.v, cb.sub*{dsub}+1, cb.sub*{dsub}+{dsub}),
+                                        list_slice(e.v, cb.sub*{dsub}+1, cb.sub*{dsub}+{dsub}))
+                       - 2*list_dot_product(list_slice(e.v, cb.sub*{dsub}+1, cb.sub*{dsub}+{dsub}), cb.cw)
+                       + cb.cc, 6) ASC, cb.code ASC) AS rn
+            FROM e CROSS JOIN cb) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        qd AS (
+          SELECT q.qid, cb.sub, cb.code,
+                 CAST(round(1e6 * round(
+                   list_dot_product(list_slice(q.qv, cb.sub*{dsub}+1, cb.sub*{dsub}+{dsub}),
+                                    list_slice(q.qv, cb.sub*{dsub}+1, cb.sub*{dsub}+{dsub}))
+                   - 2*list_dot_product(list_slice(q.qv, cb.sub*{dsub}+1, cb.sub*{dsub}+{dsub}), cb.cw)
+                   + cb.cc, 6)) AS BIGINT) AS ld
+          FROM q CROSS JOIN cb),
+        scored AS (
+          SELECT qd.qid, enc.vec_id, sum(qd.ld)::BIGINT AS adc_micro
+          FROM enc JOIN qd ON qd.sub = enc.sub AND qd.code = enc.code
+          WHERE enc.vec_id <> qd.qid
+          GROUP BY qd.qid, enc.vec_id),
+        ranked AS (
+          SELECT qid, vec_id, adc_micro,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY adc_micro ASC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT qid, vec_id, adc_micro, rank FROM ranked
+        WHERE rank <= 5 ORDER BY qid, rank
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -888,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
+        "pq_topk": _q_pq_topk,
         "embedding_lsh_pairs": _q_embedding_lsh_pairs,
         "cosine_histogram": _q_cosine_histogram,
     }
@@ -1578,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5 ORDER BY qid, rank
         """,
         "ivf_topk": _ivf_topk_sql(),
+        "pq_topk": _pq_topk_sql(),
         "embedding_lsh_pairs": _embedding_lsh_sql(),
         "cosine_histogram": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -287,6 +287,253 @@ def kmeans_fit(vectors: DataFrame, dim: int, n_cells: int = 16,
     return cents
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+#
+# The 100 TB story: a 768-dim float32 vector is 3 KB; its PQ code at
+# m=96 subspaces x 256 codes is 96 BYTES (32x smaller), and the ADC scan
+# ranks candidates reading ONLY the code column — the full-precision
+# vectors never leave the scan for re-ranking outside the top-k.  Encode
+# is embarrassingly parallel (no shuffle); the only wide op in pq_topk is
+# the per-query top-k window, identical to the other ANN paths here.
+# ---------------------------------------------------------------------------
+
+def pq_pseudo_codebooks(dim: int, m: int = 8, n_codes: int = 16,
+                        seed: int = 42) -> list[list[list[float]]]:
+    """Seeded Gaussian codewords, ``[m][n_codes][dim//m]`` — the k-means
+    init for ``pq_fit`` and directly usable as codebooks.  Exposed so the
+    driver oracle can inline the identical literals (same pattern as
+    ``pseudo_centroids``)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = random.Random(seed)
+    dsub = dim // m
+    return [[[rng.gauss(0.0, 1.0) for _ in range(dsub)]
+             for _ in range(n_codes)] for _ in range(m)]
+
+
+def pq_cc(codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """Per-codeword squared norms, summed in list order — precomputed in
+    Python so Spark and the SQL oracle inline the IDENTICAL double."""
+    return [[sum(x * x for x in c) for c in cb] for cb in codebooks]
+
+
+def _pq_dist(sub_col, xx, codeword: list[float], cc: float):
+    """round6(||x_s||^2 - 2 x_s.c + ||c||^2) with ||c||^2 a precomputed
+    literal — the exact expression the DuckDB oracle replays term-for-term
+    (same summation order inside each dot product)."""
+    return F.round(
+        xx - 2.0 * _dot(sub_col, F.array(*[F.lit(x) for x in codeword]))
+        + F.lit(cc), 6)
+
+
+def _pq_codes_literal(vec_col, codebooks, ccs):
+    """JVM path: per subspace, argmin of rounded distances over an array of
+    (dist, code) structs — ``array_min`` breaks dist ties toward the LOWEST
+    code id (struct ordering), matching the oracle's ORDER BY dist, code."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    cols = []
+    for s in range(m):
+        sub = F.slice(vec_col, s * dsub + 1, dsub)
+        xx = _dot(sub, sub)
+        scored = F.array(*[
+            F.struct(_pq_dist(sub, xx, c, ccs[s][j]).alias("dist"),
+                     F.lit(j).alias("code"))
+            for j, c in enumerate(codebooks[s])])
+        cols.append(F.array_min(scored).getField("code"))
+    return F.array(*cols)
+
+
+def _pq_codes_pandas(vec_col, codebooks, ccs):
+    """Arrow path for real dims (768x256 would be ~200k literal terms in
+    the plan): one numpy distance block per subspace per batch.  Same
+    formula, same round-before-argmin, np.argmin's first-minimum rule ==
+    the literal path's lowest-code tie-break (equivalence pinned by
+    tests/test_scale_ops.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    ccs_np = [np.array(cc, dtype=np.float64) for cc in ccs]
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    dim = m * dsub
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        rows = v.tolist()
+        out: list = [None] * len(rows)
+        good = [i for i, r in enumerate(rows)
+                if r is not None and len(r) == dim]
+        if good:
+            mat = np.array([rows[i] for i in good], dtype=np.float64)
+            codes = np.empty((len(good), m), dtype=np.int32)
+            for s in range(m):
+                sub = mat[:, s * dsub:(s + 1) * dsub]
+                xx = (sub * sub).sum(axis=1)
+                d = np.round(xx[:, None] - 2.0 * (sub @ cbs[s].T)
+                             + ccs_np[s][None, :], 6)
+                codes[:, s] = d.argmin(axis=1)
+            for row_i, i in enumerate(good):
+                out[i] = codes[row_i].tolist()
+        return pd.Series(out)
+
+    return _codes(vec_col)
+
+
+def pq_codes(vec_col, codebooks: list[list[list[float]]],
+             force: str | None = None):
+    """PQ code array (``array<int>``, one code per subspace) for a vector
+    column.  Literal JVM expressions below ``LSH_LITERAL_MAX_TERMS`` total
+    codeword terms, Arrow/numpy above (the same dual-path policy as
+    ``lsh_signature``); null / wrong-dim vectors encode to null."""
+    if force not in (None, "literal", "pandas"):
+        raise ValueError(f"force must be None|'literal'|'pandas', got {force!r}")
+    ccs = pq_cc(codebooks)
+    dim = len(codebooks) * len(codebooks[0][0])
+    terms = len(codebooks) * len(codebooks[0]) * len(codebooks[0][0])
+    if force == "literal" or (force is None and terms <= LSH_LITERAL_MAX_TERMS):
+        # null / wrong-dim vectors -> null codes (size(null) = -1), matching
+        # the pandas path's None rows
+        return F.when(F.size(vec_col) == dim,
+                      _pq_codes_literal(vec_col, codebooks, ccs))
+    return _pq_codes_pandas(vec_col, codebooks, ccs)
+
+
+def pq_encode(vectors: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              force: str | None = None) -> DataFrame:
+    """(vec_id, codes) — the compressed corpus table.  Pure map-side: no
+    shuffle, no join; at cluster scale this is the one full read of the
+    vector column, after which every ADC scan touches only the code
+    bytes."""
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+    return v.select("vec_id", pq_codes(F.col("v"), codebooks, force).alias("codes"))
+
+
+def pq_fit(vectors: DataFrame, dim: int, m: int = 8, n_codes: int = 16,
+           iters: int = 2, seed: int = 42,
+           vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Per-subspace Lloyd iterations, ALL subspaces in one job per round.
+
+    Assign: encode with the current codebooks (map-side).  Update: explode
+    (sub, code, pos, val) and aggregate sums/counts keyed on
+    (sub, code, pos) — the shuffle payload is keys + two doubles with
+    map-side partial aggregation; the vectors themselves never shuffle.
+    ``m * n_codes * dsub`` result rows collect per round (tiny).  Empty
+    codes keep their previous codeword; seeded init + order-insensitive
+    means make the fit deterministic.  At web scale, fit on a bounded
+    sample (standard PQ practice — codebooks converge on ~10^5-10^6
+    vectors) and encode the full corpus with the result.
+    """
+    cbs = pq_pseudo_codebooks(dim, m, n_codes, seed)
+    dsub = dim // m
+    v = vectors.select(
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v")) \
+        .filter(F.size("v") == dim)
+    for _ in range(iters):
+        enc = v.select("v", pq_codes(F.col("v"), cbs).alias("codes"))
+        pairs = enc.select(
+            "v", F.posexplode("codes").alias("sub", "code"))
+        sums = (pairs
+                .select("sub", "code",
+                        F.posexplode(F.slice(
+                            F.col("v"),
+                            F.col("sub") * dsub + 1, dsub)).alias("pos", "val"))
+                .groupBy("sub", "code", "pos")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .collect())
+        acc: dict[tuple[int, int], list[float]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for r in sums:
+            acc.setdefault((r["sub"], r["code"]), [0.0] * dsub)[r["pos"]] = r["s"]
+            counts[(r["sub"], r["code"])] = r["n"]
+        cbs = [[([x / counts[(s, j)] for x in acc[(s, j)]]
+                 if (s, j) in acc else old)
+                for j, old in enumerate(cb)]
+               for s, cb in enumerate(cbs)]
+    return cbs
+
+
+def pq_objective(vectors: DataFrame, codebooks: list[list[list[float]]],
+                 vec_col: str = "embedding") -> float:
+    """Mean total quantization error (sum over subspaces of the chosen
+    codeword's rounded squared distance) — the quantity ``pq_fit``
+    minimizes; exposed for the fit-improves test."""
+    ccs = pq_cc(codebooks)
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    v = vectors.select(
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v")) \
+        .filter(F.size("v") == m * dsub)
+    terms = []
+    for s in range(m):
+        sub = F.slice(F.col("v"), s * dsub + 1, dsub)
+        xx = _dot(sub, sub)
+        terms.append(F.array_min(F.array(*[
+            _pq_dist(sub, xx, c, ccs[s][j])
+            for j, c in enumerate(codebooks[s])])))
+    total = sum(terms[1:], terms[0])
+    return v.agg(F.avg(total)).first()[0]
+
+
+def pq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
+            codebooks: list[list[list[float]]] | None = None,
+            k: int = 10, m: int = 8, n_codes: int = 16, seed: int = 42,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            qid_col: str = "qid", micro: bool = False) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    Each query precomputes a lookup table ``luts[sub][code] =
+    round6(||q_s - c||^2)`` IN-PLAN on the (small, broadcast) query side;
+    the corpus side then scores a row as ``round6(sum_s
+    luts[s][codes[s]])`` — an m-element array lookup per row, reading only
+    the compressed code column.  Plan shape: map-side encode, broadcast
+    query LUTs, and ONE wide op (the per-qid top-k window) — identical to
+    ivf_topk's skeleton with the full-vector dot products replaced by
+    table lookups.  Returns (qid, vec_id, adc_dist, rank<=k), ascending
+    distance, ties toward low vec_id.
+
+    ``micro=True`` sums the LUT entries as micro-scaled BIGINTs
+    (round(lut*1e6) per entry) and returns ``adc_micro`` instead of
+    ``adc_dist``: integer addition is order-independent, so the result is
+    bit-reproducible across engines (the driver's DuckDB oracle replays it
+    hash-exactly; a float sum of m rounded doubles is last-ulp
+    order-sensitive).
+    """
+    cbs = codebooks or pq_pseudo_codebooks(dim, m, n_codes, seed)
+    ccs = pq_cc(cbs)
+    m, dsub = len(cbs), len(cbs[0][0])
+    enc = pq_encode(vectors, cbs, id_col=id_col, vec_col=vec_col)
+
+    qv = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qv"))
+    lut_cols = []
+    for s in range(m):
+        sub = F.slice(F.col("qv"), s * dsub + 1, dsub)
+        xx = _dot(sub, sub)
+        lut_cols.append(F.array(*[
+            _pq_dist(sub, xx, c, ccs[s][j]) for j, c in enumerate(cbs[s])]))
+    q = qv.select("qid", F.array(*lut_cols).alias("luts"))
+
+    if micro:
+        dist_col, score = "adc_micro", F.aggregate(
+            F.zip_with("codes", "luts",
+                       lambda c, lut: F.round(F.get(lut, c) * 1e6).cast("long")),
+            F.lit(0).cast("long"), lambda a, x: a + x)
+    else:
+        dist_col, score = "adc_dist", F.round(F.aggregate(
+            F.zip_with("codes", "luts", lambda c, lut: F.get(lut, c)),
+            F.lit(0.0), lambda a, x: a + x), 6)
+    scored = (enc.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id", score.alias(dist_col)))
+    w = Window.partitionBy("qid").orderBy(F.col(dist_col).asc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
              n_cells: int = 16, n_probe: int = 4, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -394,3 +394,58 @@ def test_dedup_exact_bucketed_layout_no_corpus_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS _dedup_bucketed_test")
+
+
+def test_pq_code_paths_identical(spark, vectors):
+    """Literal JVM and Arrow/numpy PQ encode paths must produce identical
+    code arrays, including null / ragged / null-element rows."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        pq_pseudo_codebooks, pq_encode)
+    cbs = pq_pseudo_codebooks(16, m=4, n_codes=8, seed=42)
+    lit = {r.vec_id: r.codes for r in
+           pq_encode(vectors, cbs, force="literal").collect()}
+    pnd = {r.vec_id: r.codes for r in
+           pq_encode(vectors, cbs, force="pandas").collect()}
+    assert lit == pnd
+    assert lit[100] == lit[0]          # exact copy -> identical codes
+    ragged = spark.createDataFrame(
+        [(1, [0.5, 0.2, 0.1, 0.4]), (2, None), (3, [0.1, 0.2]), (4, [])],
+        "vec_id long, embedding array<double>")
+    cbs4 = pq_pseudo_codebooks(4, m=2, n_codes=4, seed=1)
+    lit4 = {r.vec_id: r.codes for r in
+            pq_encode(ragged, cbs4, force="literal").collect()}
+    pnd4 = {r.vec_id: r.codes for r in
+            pq_encode(ragged, cbs4, force="pandas").collect()}
+    assert lit4 == pnd4
+    assert lit4[2] is None and lit4[3] is None and lit4[4] is None
+    assert lit4[1] is not None
+
+
+def test_pq_fit_improves_and_is_deterministic(spark, vectors):
+    """Lloyd rounds must not increase the quantization objective, and two
+    fits with the same seed must be bit-identical."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        pq_fit, pq_objective, pq_pseudo_codebooks)
+    init = pq_pseudo_codebooks(16, m=4, n_codes=8, seed=42)
+    fit = pq_fit(vectors, dim=16, m=4, n_codes=8, iters=2, seed=42)
+    assert pq_objective(vectors, fit) <= pq_objective(vectors, init)
+    fit2 = pq_fit(vectors, dim=16, m=4, n_codes=8, iters=2, seed=42)
+    assert fit == fit2
+
+
+def test_pq_topk_adc_finds_planted_duplicate(spark, vectors):
+    """With fitted codebooks, the planted exact copy of the query vector
+    shares all codes, so its ADC distance equals the query's own
+    self-quantization floor — it must appear in the top-k with the minimum
+    distance in the result set."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        pq_fit, pq_topk)
+    cbs = pq_fit(vectors, dim=16, m=4, n_codes=8, iters=2, seed=42)
+    queries = vectors.filter(F.col("vec_id") == 0) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    got = pq_topk(vectors, queries, dim=16, codebooks=cbs, k=5).collect()
+    assert len(got) == 5
+    dists = [r.adc_dist for r in got]
+    assert dists == sorted(dists)
+    planted = [r for r in got if r.vec_id == 100]
+    assert planted and planted[0].adc_dist == min(dists)
