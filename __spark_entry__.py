@@ -191,6 +191,47 @@ def _q_char_entropy(spark, sf_dir):
     return char_entropy(docs).orderBy("doc_id")
 
 
+def _q_lm_score(spark, sf_dir):
+    """Smoothed-unigram LM cross-entropy per document (operators/lm.py —
+    the CCNet-style statistical quality signal): top-500 vocabulary +
+    pooled UNK, add-1 smoothing, micro-BIGINT exact log-prob sums."""
+    from climatemind_ontology_processing_spark.operators.lm import (
+        lm_cross_entropy)
+    docs = _read(spark, sf_dir, "documents")
+    return (lm_cross_entropy(docs, top_v=500, alpha=1.0)
+            .select("doc_id", "n_tokens",
+                    F.col("ce_nats").cast("decimal(20,6)").cast("string")
+                     .alias("ce_nats"))
+            .orderBy("doc_id"))
+
+
+def _lm_score_sql() -> str:
+    return r"""
+        WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text),
+                                             '[^\p{L}\p{N}]+')) AS tok
+            FROM documents) WHERE tok <> ''),
+        counts AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+        vocab AS (SELECT tok, cnt FROM counts
+                  ORDER BY cnt DESC, tok ASC LIMIT 500),
+        consts AS (SELECT (SELECT sum(cnt) FROM counts)::DOUBLE AS total,
+                          (SELECT sum(cnt) FROM vocab)::DOUBLE AS invocab,
+                          (SELECT count(*) FROM vocab)::DOUBLE AS v),
+        scored AS (
+          SELECT t.doc_id,
+                 CAST(round(1e6 * round(ln(
+                   (coalesce(vb.cnt::DOUBLE, c.total - c.invocab) + 1.0)
+                   / (c.total + 1.0 * (c.v + 1.0))), 6)) AS BIGINT) AS lp
+          FROM toks t LEFT JOIN vocab vb USING (tok) CROSS JOIN consts c)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               round(-sum(lp) / (count(*) * 1e6), 6)::DECIMAL(20,6)::VARCHAR
+                 AS ce_nats
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _q_canonical_urls(spark, sf_dir):
     """URL canonicalization (functions/urlnorm.py) over deterministically
     CONSTRUCTED messy URLs (scheme/host case, default port, tracking
@@ -921,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs": _q_near_dup,             # md5_60 family: oracled
         "simhash_pairs": _q_simhash,               # md5_60 family: oracled
         "char_entropy": _q_char_entropy,
+        "lm_score": _q_lm_score,
         "canonical_urls": _q_canonical_urls,
         "training_mix": _q_training_mix,
         "lang_percentiles": _q_lang_percentiles,
@@ -1116,6 +1158,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(ha, hb)) <= 3
             ORDER BY a, b
         """,
+        "lm_score": _lm_score_sql(),
         "char_entropy": """
             WITH ch AS (
               SELECT doc_id, unnest(string_split(text, '')) AS c
