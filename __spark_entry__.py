@@ -649,6 +649,19 @@ def _q_connected_components(spark, sf_dir):
             .orderBy("id"))
 
 
+def _q_scc(spark, sf_dir):
+    """Strongly connected components (operators/scc.py — FW-BW coloring
+    distributed / Tarjan small-path) over a deterministic sparse DIRECTED
+    trade subgraph chosen to contain several non-trivial SCCs.  The oracle
+    is mutual reachability via recursive CTE: component = min id mutually
+    reachable (numeric ordering on both sides)."""
+    from climatemind_ontology_processing_spark.operators.scc import (
+        strongly_connected_components)
+    edges = _trade_edges(spark, sf_dir) \
+        .filter((F.col("src") * 31 + F.col("dst")) % 13 == 0)
+    return strongly_connected_components(edges).orderBy("id")
+
+
 def _q_triangle_counts(spark, sf_dir):
     """Per-node triangle counts over the undirected sparse trade subgraph
     (operators/graphstats.py) — the clustering-coefficient building block."""
@@ -996,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "induced_subgraph": _q_induced_subgraph,
         "acyclic_cut": _q_acyclic_cut,
         "connected_components": _q_connected_components,
+        "scc": _q_scc,
         "pagerank": _q_pagerank,
         "triangle_counts": _q_triangle_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1624,6 +1638,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id::INT AS id, min(r)::INT AS component
             FROM reach GROUP BY id ORDER BY id
+        """,
+        "scc": f"""
+            WITH RECURSIVE all_edges AS ({_TRADE_SQL}),
+            base AS (
+              SELECT src, dst FROM all_edges
+              WHERE (src * 31 + dst) % 13 = 0 AND src <> dst),
+            nodes AS (SELECT src AS v FROM base UNION SELECT dst FROM base),
+            reach(a, b) AS (
+              SELECT v, v FROM nodes
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN base e ON e.src = r.b
+            )
+            SELECT r1.a AS id, min(r1.b)::INT AS component
+            FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+            GROUP BY r1.a ORDER BY id
         """,
         "pagerank": _pagerank_sql(),
         "triangle_counts": f"""

@@ -154,3 +154,62 @@ def test_cc_paths_agree(spark, force_distributed):
     fast = {(r.id, r.component) for r in connected_components(e).collect()}
     assert dist == fast
     assert dict(dist)["f"] == "a" and dict(dist)["e"] == "d"
+
+
+def _scc_expected(rows):
+    """Reference SCC via brute-force mutual reachability (exponential-free:
+    closure over <=30 nodes)."""
+    nodes = sorted({x for ab in rows for x in ab})
+    reach = {n: {n} for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in rows:
+            add = reach[b] - reach[a]
+            if add:
+                reach[a] |= add
+                changed = True
+    return {v: min(u for u in nodes if u in reach[v] and v in reach[u])
+            for v in nodes}
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_scc_paths_agree_random(spark, force_distributed, seed):
+    """Tarjan fast path == FW-BW coloring distributed path == brute-force
+    mutual-reachability reference, on random directed graphs with real
+    cycle structure."""
+    import random
+    from climatemind_ontology_processing_spark.operators.scc import (
+        strongly_connected_components)
+    rng = random.Random(seed)
+    n = 18
+    rows = sorted({(f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+                   for _ in range(40)})
+    rows = [(a, b) for a, b in rows if a != b]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    dist = {r.id: r.component
+            for r in strongly_connected_components(df).collect()}
+    trav.SMALL_GRAPH_THRESHOLD = 10_000
+    fast = {r.id: r.component
+            for r in strongly_connected_components(df).collect()}
+    exp = _scc_expected(rows)
+    assert fast == exp
+    assert dist == exp
+
+
+def test_scc_hand_structure(spark):
+    """Two 3-cycles bridged one-way + a dangling chain: the bridge must NOT
+    merge the cycles, chain nodes are singletons, component = min member."""
+    from climatemind_ontology_processing_spark.operators.scc import (
+        strongly_connected_components)
+    rows = [("a", "b"), ("b", "c"), ("c", "a"),          # cycle 1
+            ("d", "e"), ("e", "f"), ("f", "d"),          # cycle 2
+            ("c", "d"),                                   # one-way bridge
+            ("f", "g"), ("g", "h"),                       # chain
+            ("z", "z")]                                   # self-loop only
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {r.id: r.component
+           for r in strongly_connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "d", "e": "d", "f": "d",
+                   "g": "g", "h": "h"}
