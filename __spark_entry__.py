@@ -301,6 +301,18 @@ def _q_token_counts(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_sequence_packing(spark, sf_dir):
+    """Concat-then-chunk training-sequence placement (operators/packing.py
+    — two-phase distributed prefix sum over (doc_id, n_tokens) only):
+    seq_len=128, one EOS per doc, bucket_size=64 so the sf0.01 corpus
+    spans multiple prefix-sum buckets."""
+    from climatemind_ontology_processing_spark.operators.packing import (
+        packed_spans)
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return packed_spans(d, seq_len=128, bucket_size=64).orderBy("doc_id")
+
+
 def _q_language_id(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return (docs.select("doc_id", language_id(F.col("text")).alias("lang_detected"))
@@ -984,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": _q_lang_stats,
         "token_counts": _q_token_counts,
         "language_id": _q_language_id,
+        "sequence_packing": _q_sequence_packing,
         "quality_features": _q_quality,
         "fingerprint_dups": _q_fingerprint_dups,
         "repetition_stats": _q_repetition_stats,
@@ -1259,6 +1272,25 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
                      AS n_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "sequence_packing": """
+            WITH d AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens + 1) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS start_offset
+              FROM d)
+            SELECT doc_id, n_tokens, start_offset,
+                   (start_offset // 128)::BIGINT AS first_seq,
+                   ((start_offset + n_tokens) // 128)::BIGINT AS last_seq,
+                   ((start_offset + n_tokens) // 128
+                    - start_offset // 128 + 1)::BIGINT AS n_seqs
+            FROM s ORDER BY doc_id
         """,
         "language_id": f"""
             WITH toks AS (

@@ -83,6 +83,9 @@ def main() -> None:
         "trade_edges", "bfs_reachable",
         "closure_counts", "connected_components", "cosine_topk",
         "quality_features", "language_id",
+        # round-3 additions: compressed-domain ANN, LM quality scoring,
+        # directed-cycle structure, training-sequence packing
+        "pq_topk", "lm_score", "scc", "sequence_packing",
     ]
     qs = entrymod.queries()
     for name in headline:

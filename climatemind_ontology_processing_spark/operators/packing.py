@@ -1,0 +1,73 @@
+"""Training-sequence packing — map documents to fixed-length sequences.
+
+The last step of an LLM data pipeline: the cleaned corpus is concatenated
+in a deterministic order (doc_id), each document followed by one EOS
+token, and the token stream is chunked into training sequences of
+``seq_len`` tokens.  Each document's placement is a pure function of the
+prefix sum of token counts before it — so the op IS a distributed prefix
+sum plus arithmetic.
+
+100 TB shape — the naive ``sum() OVER (ORDER BY doc_id)`` global window
+collapses the whole corpus into ONE task.  Instead, the classic two-phase
+parallel prefix sum:
+
+  1. bucket documents by id range (``doc_id div bucket_size``);
+  2. per-bucket token totals (map-side combinable groupBy — one keys-only
+     shuffle), then cumulate the TINY bucket-totals table (one row per
+     bucket) with a single-partition window — fine, it is ~corpus/bucket
+     rows, not corpus rows;
+  3. broadcast the bucket offsets back and run the within-bucket window
+     PARTITIONED BY bucket — every partition-sized window runs in
+     parallel.
+
+Only (doc_id, n_tokens) ever shuffles; document text is never read by
+this operator at all.  Requires an orderable numeric id (at web scale:
+derive a dense long from (crawl, segment, position) upstream).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def packed_spans(docs: DataFrame, id_col: str = "doc_id",
+                 tokens_col: str = "n_tokens", seq_len: int = 2048,
+                 eos_tokens: int = 1, bucket_size: int = 4096) -> DataFrame:
+    """(doc_id, n_tokens, start_offset, first_seq, last_seq, n_seqs):
+    the position of each document in the packed token stream.
+
+    ``start_offset`` = sum of (n_tokens + eos_tokens) over all docs with a
+    smaller id; a document occupies sequences
+    ``floor(start/seq_len) .. floor((start + n + eos - 1)/seq_len)``
+    (its EOS included — EOS crossing a boundary drags the doc into the
+    next sequence, the standard concat-then-chunk semantics).
+    """
+    w = (F.col(tokens_col).cast("long") + F.lit(eos_tokens)).alias("_w")
+    d = docs.select(F.col(id_col), F.col(tokens_col), w,
+                    F.floor(F.col(id_col) / bucket_size).alias("_bkt"))
+    totals = d.groupBy("_bkt").agg(F.sum("_w").alias("_bt"))
+    prev_w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_bt").over(prev_w), F.lit(0)).alias("_boff"))
+    in_w = Window.partitionBy("_bkt").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    start = (F.col("_boff")
+             + F.coalesce(F.sum("_w").over(in_w), F.lit(0))).alias("start_offset")
+    out = (d.join(F.broadcast(offsets), "_bkt")
+           .select(id_col, tokens_col, "_w", start))
+    return out.select(
+        id_col, tokens_col,
+        "start_offset",
+        F.floor(F.col("start_offset") / seq_len).alias("first_seq"),
+        F.floor((F.col("start_offset") + F.col("_w") - 1) / seq_len)
+         .alias("last_seq")) \
+        .withColumn("n_seqs", F.col("last_seq") - F.col("first_seq") + 1)
+
+
+def sequence_membership(spans: DataFrame) -> DataFrame:
+    """Explode ``packed_spans`` output to (seq_id, doc_id) rows — which
+    documents each training sequence reads from.  Row count = total doc
+    span coverage (each doc appears in n_seqs rows)."""
+    return spans.select(
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+        spans.columns[0])

@@ -717,3 +717,59 @@ def test_lm_vocab_cutoff_ties(spark):
     # vocab {b:3}; total 4, V=1: p(b)=(3+1)/(4+2)=2/3; UNK c: (1+1)/(4+2)=1/3
     exp = -(3 * math.log(2 / 3) + math.log(1 / 3)) / 4
     assert got.ce_nats == pytest.approx(exp, abs=2e-6)
+
+
+def test_packed_spans_hand_and_naive_equivalence(spark):
+    """Two-phase prefix sum == naive global window; hand-checked chunk
+    boundaries (EOS counted, boundary-crossing doc spans two seqs)."""
+    from climatemind_ontology_processing_spark.operators.packing import (
+        packed_spans, sequence_membership)
+    from pyspark.sql import Window
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([5, 3, 9, 2, 7, 1, 4, 6, 8, 2])],
+        "doc_id long, n_tokens int")
+    got = {r.doc_id: r for r in
+           packed_spans(docs, seq_len=10, bucket_size=3).collect()}
+    # naive reference: global cumsum of (n+1)
+    naive = docs.select(
+        "doc_id", "n_tokens",
+        F.coalesce(F.sum(F.col("n_tokens") + 1).over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("start_offset")).collect()
+    for r in naive:
+        g = got[r.doc_id]
+        assert g.start_offset == r.start_offset
+        assert g.first_seq == r.start_offset // 10
+        assert g.last_seq == (r.start_offset + r.n_tokens) // 10
+    # doc 0: tokens 0-4 + EOS at 5 -> seq 0.  doc 2 starts at 10, 9 tokens
+    # + EOS -> offsets 10..19 -> seq 1 only
+    assert (got[0].first_seq, got[0].last_seq) == (0, 0)
+    assert got[2].start_offset == 10 and got[2].n_seqs == 1
+    # membership explode covers each doc n_seqs times
+    spans = packed_spans(docs, seq_len=10, bucket_size=3)
+    mem = sequence_membership(spans).collect()
+    assert len(mem) == sum(r.n_seqs for r in got.values())
+
+
+def test_packed_spans_window_is_bucket_partitioned(spark):
+    """Scale guard: the corpus-side window must be PARTITIONED BY the
+    prefix-sum bucket — only the tiny bucket-totals table may use a
+    global (unpartitioned) window."""
+    from climatemind_ontology_processing_spark.operators.packing import (
+        packed_spans)
+    docs = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "doc_id long, n_tokens int")
+    plan = packed_spans(docs, seq_len=64, bucket_size=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    windows = re.findall(r"Window \[[^\n]*", plan)
+    assert windows, "expected window nodes"
+    corpus_side = [w for w in windows if "_bkt#" in w.split("windowspecdefinition")[1].split(",")[0]
+                   or "windowspecdefinition(_bkt" in w]
+    unpartitioned = [w for w in windows if "windowspecdefinition(" in w
+                     and "windowspecdefinition(_bkt" not in w]
+    # exactly one window runs partitioned by _bkt (corpus side), and any
+    # unpartitioned window must be the bucket-totals cumsum (input: _bt agg)
+    assert corpus_side, windows
+    for w in unpartitioned:
+        assert "_bt" in w, f"global window over corpus rows: {w}"
