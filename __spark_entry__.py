@@ -661,6 +661,17 @@ def _q_connected_components(spark, sf_dir):
             .orderBy("id"))
 
 
+def _q_adamic_adar(spark, sf_dir):
+    """Common-neighbor link prediction (operators/graphstats.adamic_adar)
+    over the sparse undirected trade subgraph: Adamic-Adar scores as
+    micro-BIGINTs (engine-exact sums) for non-adjacent pairs."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        adamic_adar)
+    edges = _trade_edges(spark, sf_dir) \
+        .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0)
+    return adamic_adar(edges).orderBy("u", "v")
+
+
 def _q_scc(spark, sf_dir):
     """Strongly connected components (operators/scc.py — FW-BW coloring
     distributed / Tarjan small-path) over a deterministic sparse DIRECTED
@@ -803,9 +814,7 @@ def _q_pq_topk(spark, sf_dir):
     BIGINTs so the DuckDB oracle replays the ranking hash-exactly."""
     from climatemind_ontology_processing_spark.operators.similarity import (
         pq_topk)
-    emb = _read(spark, sf_dir, "embeddings") \
-        .select("vec_id", F.transform("embedding",
-                                      lambda x: x.cast("double")).alias("embedding"))
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("qid"), "embedding")
     return (pq_topk(emb, queries, dim=64, k=5, m=8, n_codes=16, seed=42,
@@ -1023,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acyclic_cut": _q_acyclic_cut,
         "connected_components": _q_connected_components,
         "scc": _q_scc,
+        "adamic_adar": _q_adamic_adar,
         "pagerank": _q_pagerank,
         "triangle_counts": _q_triangle_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -1670,6 +1680,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id::INT AS id, min(r)::INT AS component
             FROM reach GROUP BY id ORDER BY id
+        """,
+        "adamic_adar": f"""
+            WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+            sparse AS (SELECT src, dst FROM all_edges
+                       WHERE (src * 31 + dst) % 7 = 0),
+            e AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+              FROM sparse WHERE least(src, dst) <> greatest(src, dst)),
+            sym AS (SELECT lo AS w, hi AS n FROM e
+                    UNION ALL SELECT hi, lo FROM e),
+            deg AS (SELECT w, count(*)::BIGINT AS deg FROM sym GROUP BY w),
+            adj AS (
+              SELECT s.w, s.n,
+                     CAST(round(1e6 * round(1.0 / ln(deg.deg::DOUBLE), 6))
+                          AS BIGINT) AS c
+              FROM sym s JOIN deg ON s.w = deg.w WHERE deg.deg >= 2),
+            wedges AS (
+              SELECT l.n AS u, r.n AS v, l.c
+              FROM adj l JOIN adj r ON l.w = r.w AND l.n < r.n),
+            scored AS (
+              SELECT u, v, count(*)::BIGINT AS n_common,
+                     sum(c)::BIGINT AS aa_micro
+              FROM wedges GROUP BY u, v)
+            SELECT u, v, n_common, aa_micro FROM scored s
+            WHERE NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.lo = s.u AND e.hi = s.v)
+            ORDER BY u, v
         """,
         "scc": f"""
             WITH RECURSIVE all_edges AS ({_TRADE_SQL}),

@@ -54,3 +54,55 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     return (nodes.join(counts, "id", "left")
             .select("id", F.coalesce("n_triangles", F.lit(0))
                     .cast("long").alias("n_triangles")))
+
+
+def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
+                max_degree: int | None = None, top_k: int | None = None) -> DataFrame:
+    """Link prediction: Adamic-Adar scores for NON-adjacent node pairs
+    sharing >= 1 common neighbor.  Returns (u, v, n_common, aa_micro) with
+    u < v; ``aa_micro`` = sum over common neighbors w of
+    round6(1/ln(deg(w))) as a micro-scaled BIGINT (order-independent
+    integer addition -> engine-exact, same convention as pq_topk).
+
+    Plan shape: degrees are one keys-only aggregation; candidate pairs are
+    emitted per common neighbor by the wedge self-join (w's neighbor list
+    against itself, u < v), then one (u, v) aggregation and an anti-join
+    against the edge set.  A degree-d node emits d(d-1)/2 wedges — the
+    classic blowup — so at web scale pass ``max_degree`` to drop mega-hub
+    wedge centers (standard for AA: a 10^6-degree hub contributes weight
+    1/ln(10^6) ~ 0.07 to every pair of its neighbors, all noise, at
+    10^12-wedge cost).  Dropped centers still count toward deg() of their
+    neighbors; nodes with deg 1 (ln 0 undefined... deg>=2 required to be a
+    wedge center) never emit.  ``top_k`` keeps the k best pairs per u
+    (window, applied after scoring).
+    """
+    sym = (undirected_canonical(edges, src, dst)
+           .select(F.col("lo").alias("w"), F.col("hi").alias("n"))
+           .unionByName(
+               undirected_canonical(edges, src, dst)
+               .select(F.col("hi").alias("w"), F.col("lo").alias("n"))))
+    deg = sym.groupBy("w").agg(F.count("*").alias("deg"))
+    centers = deg.filter(F.col("deg") >= 2)
+    if max_degree is not None:
+        centers = centers.filter(F.col("deg") <= max_degree)
+    contrib = F.round(F.round(1.0 / F.log(F.col("deg").cast("double")), 6)
+                      * 1e6).cast("long")
+    adj = sym.join(centers.select("w", contrib.alias("c")), "w")
+    wedges = (adj.alias("l").join(adj.alias("r"),
+                                  (F.col("l.w") == F.col("r.w")) &
+                                  (F.col("l.n") < F.col("r.n")))
+              .select(F.col("l.n").alias("u"), F.col("r.n").alias("v"),
+                      F.col("l.c").alias("c")))
+    scored = (wedges.groupBy("u", "v")
+              .agg(F.count("*").alias("n_common"),
+                   F.sum("c").alias("aa_micro")))
+    existing = undirected_canonical(edges, src, dst) \
+        .select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    out = scored.join(existing, ["u", "v"], "left_anti")
+    if top_k is not None:
+        from pyspark.sql import Window
+        w_rank = Window.partitionBy("u").orderBy(
+            F.col("aa_micro").desc(), F.col("v").asc())
+        out = (out.withColumn("_rk", F.row_number().over(w_rank))
+               .filter(F.col("_rk") <= top_k).drop("_rk"))
+    return out

@@ -379,23 +379,111 @@ def _pq_codes_pandas(vec_col, codebooks, ccs):
     return _codes(vec_col)
 
 
+# PQ literal expressions are MUCH heavier per term than LSH's flat dot
+# products: every codeword contributes a zip_with+aggregate lambda pair, and
+# Spark's ResolveLambdaVariables walks each one — measured ~5 s of pure
+# analysis at dim 64 x 16 codes (1024 terms).  So PQ flips to the Arrow
+# path far earlier than lsh_signature does.
+PQ_LITERAL_MAX_TERMS = 256
+
+
 def pq_codes(vec_col, codebooks: list[list[list[float]]],
              force: str | None = None):
     """PQ code array (``array<int>``, one code per subspace) for a vector
-    column.  Literal JVM expressions below ``LSH_LITERAL_MAX_TERMS`` total
-    codeword terms, Arrow/numpy above (the same dual-path policy as
-    ``lsh_signature``); null / wrong-dim vectors encode to null."""
+    column.  Literal JVM expressions below ``PQ_LITERAL_MAX_TERMS`` total
+    codeword terms, Arrow/numpy above (same dual-path policy as
+    ``lsh_signature``, lower budget); null / wrong-dim vectors encode to
+    null."""
     if force not in (None, "literal", "pandas"):
         raise ValueError(f"force must be None|'literal'|'pandas', got {force!r}")
     ccs = pq_cc(codebooks)
     dim = len(codebooks) * len(codebooks[0][0])
     terms = len(codebooks) * len(codebooks[0]) * len(codebooks[0][0])
-    if force == "literal" or (force is None and terms <= LSH_LITERAL_MAX_TERMS):
+    if force == "literal" or (force is None and terms <= PQ_LITERAL_MAX_TERMS):
         # null / wrong-dim vectors -> null codes (size(null) = -1), matching
-        # the pandas path's None rows
+        # the pandas path's None rows.  The double cast happens HERE (JVM
+        # path) — callers pass the raw column so the Arrow path never sees
+        # a higher-order lambda under the PythonUDF (the projection-collapse
+        # pitfall documented in operators/dedup.py).
+        vec = F.transform(vec_col, lambda x: x.cast("double"))
         return F.when(F.size(vec_col) == dim,
-                      _pq_codes_literal(vec_col, codebooks, ccs))
+                      _pq_codes_literal(vec, codebooks, ccs))
     return _pq_codes_pandas(vec_col, codebooks, ccs)
+
+
+def _pq_luts_literal(vec_col, codebooks, ccs):
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    lut_cols = []
+    for s in range(m):
+        sub = F.slice(vec_col, s * dsub + 1, dsub)
+        xx = _dot(sub, sub)
+        lut_cols.append(F.array(*[
+            _pq_dist(sub, xx, c, ccs[s][j])
+            for j, c in enumerate(codebooks[s])]))
+    return F.array(*lut_cols)
+
+
+def _pq_luts_pandas(vec_col, codebooks, ccs):
+    """Arrow path computing per-query ADC lookup tables with PURE-PYTHON
+    sequential float arithmetic — bit-identical to the literal JVM path
+    and the DuckDB oracle: IEEE-754 +/* are deterministic given operand
+    ORDER, and all three evaluate the dot products left-to-right.  (numpy
+    is deliberately NOT used here: its pairwise-blocked summation changes
+    the addition order.)  Query sides are small, so row-at-a-time Python
+    is free."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.functions import pandas_udf
+
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    dim = m * dsub
+    q6 = Decimal("0.000001")
+
+    def round6(x: float) -> float:
+        # Spark's round() = BigDecimal(shortest-repr).setScale(6, HALF_UP);
+        # Decimal(repr(x)) is the same shortest decimal representation
+        return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+    @pandas_udf("array<array<double>>")
+    def _luts(v: pd.Series) -> pd.Series:
+        out = []
+        for r in v.tolist():
+            if r is None or len(r) != dim:
+                out.append(None)
+                continue
+            row = []
+            for s in range(m):
+                sub = [float(x) for x in r[s * dsub:(s + 1) * dsub]]
+                xx = 0.0
+                for x in sub:
+                    xx += x * x
+                lut = []
+                for j, c in enumerate(codebooks[s]):
+                    d = 0.0
+                    for xi, ci in zip(sub, c):
+                        d += xi * ci
+                    lut.append(round6(xx - 2.0 * d + ccs[s][j]))
+                row.append(lut)
+            out.append(row)
+        return pd.Series(out)
+
+    return _luts(vec_col)
+
+
+def pq_luts(vec_col, codebooks: list[list[list[float]]],
+            force: str | None = None):
+    """Per-query ADC lookup tables ``array<array<double>>``:
+    ``luts[sub][code] = round6(||q_sub - codeword||^2)``.  Dual-path like
+    ``pq_codes`` (literal JVM under ``PQ_LITERAL_MAX_TERMS``, exact
+    Python/Arrow above)."""
+    if force not in (None, "literal", "pandas"):
+        raise ValueError(f"force must be None|'literal'|'pandas', got {force!r}")
+    ccs = pq_cc(codebooks)
+    terms = len(codebooks) * len(codebooks[0]) * len(codebooks[0][0])
+    if force == "literal" or (force is None and terms <= PQ_LITERAL_MAX_TERMS):
+        vec = F.transform(vec_col, lambda x: x.cast("double"))
+        return _pq_luts_literal(vec, codebooks, ccs)
+    return _pq_luts_pandas(vec_col, codebooks, ccs)
 
 
 def pq_encode(vectors: DataFrame, codebooks: list[list[list[float]]],
@@ -405,9 +493,8 @@ def pq_encode(vectors: DataFrame, codebooks: list[list[list[float]]],
     shuffle, no join; at cluster scale this is the one full read of the
     vector column, after which every ADC scan touches only the code
     bytes."""
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+    v = vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("v"))
     return v.select("vec_id", pq_codes(F.col("v"), codebooks, force).alias("codes"))
 
 
@@ -428,9 +515,9 @@ def pq_fit(vectors: DataFrame, dim: int, m: int = 8, n_codes: int = 16,
     """
     cbs = pq_pseudo_codebooks(dim, m, n_codes, seed)
     dsub = dim // m
-    v = vectors.select(
-        F.transform(vec_col, lambda x: x.cast("double")).alias("v")) \
-        .filter(F.size("v") == dim)
+    # raw column (no cast projection) so the Arrow encode path never sits
+    # over a higher-order lambda; float values promote exactly at the sums
+    v = vectors.select(F.col(vec_col).alias("v")).filter(F.size("v") == dim)
     for _ in range(iters):
         enc = v.select("v", pq_codes(F.col("v"), cbs).alias("codes"))
         pairs = enc.select(
@@ -505,16 +592,9 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
     m, dsub = len(cbs), len(cbs[0][0])
     enc = pq_encode(vectors, cbs, id_col=id_col, vec_col=vec_col)
 
-    qv = queries.select(
-        F.col(qid_col).alias("qid"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("qv"))
-    lut_cols = []
-    for s in range(m):
-        sub = F.slice(F.col("qv"), s * dsub + 1, dsub)
-        xx = _dot(sub, sub)
-        lut_cols.append(F.array(*[
-            _pq_dist(sub, xx, c, ccs[s][j]) for j, c in enumerate(cbs[s])]))
-    q = qv.select("qid", F.array(*lut_cols).alias("luts"))
+    qv = queries.select(F.col(qid_col).alias("qid"),
+                        F.col(vec_col).alias("qv"))
+    q = qv.select("qid", pq_luts(F.col("qv"), cbs).alias("luts"))
 
     if micro:
         dist_col, score = "adc_micro", F.aggregate(

@@ -773,3 +773,29 @@ def test_packed_spans_window_is_bucket_partitioned(spark):
     assert corpus_side, windows
     for w in unpartitioned:
         assert "_bt" in w, f"global window over corpus rows: {w}"
+
+
+def test_adamic_adar_hand_scores(spark):
+    """Path a-b-c: (a,c) scores 1/ln2 via center b.  Star s-(l1,l2,l3):
+    leaf pairs score 1/ln3.  max_degree excludes hub centers; top_k keeps
+    the best pairs per u."""
+    import math
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        adamic_adar)
+    rows = [("a", "b"), ("b", "c"),
+            ("s", "l1"), ("s", "l2"), ("s", "l3")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {(r.u, r.v): (r.n_common, r.aa_micro)
+           for r in adamic_adar(df).collect()}
+    m = lambda x: int(round(round(x, 6) * 1e6))
+    assert got[("a", "c")] == (1, m(1 / math.log(2)))
+    assert got[("l1", "l2")] == (1, m(1 / math.log(3)))
+    assert len(got) == 4  # (a,c) + 3 leaf pairs
+    # degree cap drops the 3-degree star center as a wedge center
+    capped = {(r.u, r.v) for r in adamic_adar(df, max_degree=2).collect()}
+    assert capped == {("a", "c")}
+    # adjacent pairs are never predicted
+    assert ("a", "b") not in got and ("s", "l1") not in got
+    # top_k per u
+    top = adamic_adar(df, top_k=1).collect()
+    assert len([r for r in top if r.u == "l1"]) == 1

@@ -449,3 +449,19 @@ def test_pq_topk_adc_finds_planted_duplicate(spark, vectors):
     assert dists == sorted(dists)
     planted = [r for r in got if r.vec_id == 100]
     assert planted and planted[0].adc_dist == min(dists)
+
+
+def test_pq_lut_paths_identical(spark, vectors):
+    """Literal JVM and exact-Python Arrow LUT paths must agree bit-for-bit
+    (the Arrow path deliberately uses sequential Python float arithmetic,
+    not numpy, to preserve IEEE addition order)."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        pq_luts, pq_pseudo_codebooks)
+    cbs = pq_pseudo_codebooks(16, m=4, n_codes=8, seed=42)
+    lit = {r.vec_id: r.l for r in vectors.select(
+        "vec_id", pq_luts(F.col("embedding"), cbs, force="literal").alias("l")
+    ).collect()}
+    pnd = {r.vec_id: r.l for r in vectors.select(
+        "vec_id", pq_luts(F.col("embedding"), cbs, force="pandas").alias("l")
+    ).collect()}
+    assert lit == pnd
