@@ -76,11 +76,14 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
     wedge center) never emit.  ``top_k`` keeps the k best pairs per u
     (window, applied after scoring).
     """
-    sym = (undirected_canonical(edges, src, dst)
-           .select(F.col("lo").alias("w"), F.col("hi").alias("n"))
+    # materialize the canonical edge set ONCE — it feeds both symmetric
+    # halves and the final anti-join; without this the upstream edge
+    # derivation (often a multi-join pipeline) replays three times and the
+    # self-join degenerates to SortMergeJoin on unknown-size inputs
+    e = undirected_canonical(edges, src, dst).localCheckpoint(eager=True)
+    sym = (e.select(F.col("lo").alias("w"), F.col("hi").alias("n"))
            .unionByName(
-               undirected_canonical(edges, src, dst)
-               .select(F.col("hi").alias("w"), F.col("lo").alias("n"))))
+               e.select(F.col("hi").alias("w"), F.col("lo").alias("n"))))
     deg = sym.groupBy("w").agg(F.count("*").alias("deg"))
     centers = deg.filter(F.col("deg") >= 2)
     if max_degree is not None:
@@ -96,8 +99,7 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
     scored = (wedges.groupBy("u", "v")
               .agg(F.count("*").alias("n_common"),
                    F.sum("c").alias("aa_micro")))
-    existing = undirected_canonical(edges, src, dst) \
-        .select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    existing = e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     out = scored.join(existing, ["u", "v"], "left_anti")
     if top_k is not None:
         from pyspark.sql import Window
