@@ -232,6 +232,57 @@ def _lm_score_sql() -> str:
     """
 
 
+_BM25_TERMS = ["hash", "join", "vector", "stream"]
+
+
+def _q_bm25(spark, sf_dir):
+    """Okapi BM25 document ranking for a fixed 4-term query
+    (operators/retrieval.bm25_scores): literal-filter pushdown on the
+    token explode, broadcast df table, 1-row constants crossJoin,
+    micro-BIGINT exact scores."""
+    from climatemind_ontology_processing_spark.operators.retrieval import (
+        bm25_scores)
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_scores(docs, _BM25_TERMS).orderBy("doc_id")
+
+
+def _bm25_sql() -> str:
+    # constants computed in PYTHON and inlined via repr on BOTH sides, and
+    # the contribution's op grouping mirrors the Spark expression exactly
+    # (idf * (tfnum / tfden)) so the doubles match bit-for-bit pre-round
+    k1, b = 1.2, 0.75
+    k1p1, one_minus_b = repr(k1 + 1.0), repr(1.0 - b)
+    terms = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text),
+                                             '[^\p{{L}}\p{{N}}]+')) AS tok
+            FROM documents) WHERE tok <> ''),
+        dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+        consts AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                          (SELECT count(*) FROM toks)::DOUBLE AS t),
+        tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks
+               WHERE tok IN ({terms}) GROUP BY doc_id, tok),
+        dft AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+        scored AS (
+          SELECT tf.doc_id,
+                 CAST(round(1e6 * round(
+                   ln(1.0 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+                   * ((tf.tf * {k1p1})
+                      / (tf.tf + {k1!r} * ({one_minus_b}
+                         + {b!r} * dl.dl::DOUBLE / (c.t / c.n)))), 6))
+                   AS BIGINT) AS cm
+          FROM tf JOIN dft ON tf.tok = dft.tok
+                  JOIN dl ON tf.doc_id = dl.doc_id
+                  CROSS JOIN consts c)
+        SELECT doc_id, count(*)::BIGINT AS n_hits,
+               sum(cm)::BIGINT AS bm25_micro
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _q_canonical_urls(spark, sf_dir):
     """URL canonicalization (functions/urlnorm.py) over deterministically
     CONSTRUCTED messy URLs (scheme/host case, default port, tracking
@@ -997,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash,               # md5_60 family: oracled
         "char_entropy": _q_char_entropy,
         "lm_score": _q_lm_score,
+        "bm25": _q_bm25,
         "canonical_urls": _q_canonical_urls,
         "training_mix": _q_training_mix,
         "lang_percentiles": _q_lang_percentiles,
@@ -1196,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "lm_score": _lm_score_sql(),
+        "bm25": _bm25_sql(),
         "char_entropy": """
             WITH ch AS (
               SELECT doc_id, unnest(string_split(text, '')) AS c

@@ -799,3 +799,29 @@ def test_adamic_adar_hand_scores(spark):
     # top_k per u
     top = adamic_adar(df, top_k=1).collect()
     assert len([r for r in top if r.u == "l1"]) == 1
+
+
+def test_bm25_hand_scores(spark):
+    """Hand-checked BM25 (Lucene idf) on a 3-doc corpus."""
+    import math
+    from climatemind_ontology_processing_spark.operators.retrieval import (
+        bm25_scores)
+    docs = spark.createDataFrame([
+        (0, "spark spark engine"),      # tf(spark)=2, dl=3
+        (1, "spark rdd"),               # tf(spark)=1, dl=2
+        (2, "duck db"),                 # no hit
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in bm25_scores(docs, ["spark"]).collect()}
+    assert set(got) == {0, 1}
+    n, total = 3.0, 7.0
+    avgdl = total / n
+    idf = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+    def s(tf, dl):
+        return round(idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+    assert got[0].bm25_micro == int(round(s(2, 3) * 1e6))
+    assert got[1].bm25_micro == int(round(s(1, 2) * 1e6))
+    # higher tf with comparable length ranks higher
+    assert got[0].bm25_micro > got[1].bm25_micro
+    assert got[0].n_hits == 1
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
