@@ -411,6 +411,110 @@ def _q_clean_corpus(spark, sf_dir):
             .orderBy("source"))
 
 
+def _q_curated_corpus(spark, sf_dir):
+    """The FULL training-data pipeline composed end-to-end in one
+    declarative plan: language filter (en) -> quality gate (q_score >=
+    0.7) -> exact dedup -> self-trained unigram LM cross-entropy ->
+    training-sequence packing over the survivors.  Every stage is an
+    engine operator already oracled in isolation; this query pins their
+    COMPOSITION (per-doc output: tokens, LM score, packed placement)."""
+    from climatemind_ontology_processing_spark.operators.dedup import dedup_exact
+    from climatemind_ontology_processing_spark.operators.lm import (
+        lm_cross_entropy)
+    from climatemind_ontology_processing_spark.operators.packing import (
+        packed_spans)
+    from climatemind_ontology_processing_spark.operators.textstats import (
+        language_id, quality_features)
+    docs = _read(spark, sf_dir, "documents")
+    en = docs.filter(language_id(F.col("text")) == "en")
+    good = quality_features(en).filter(F.col("q_score") >= 0.7) \
+        .select("doc_id", "text")
+    surv = dedup_exact(good)
+    lm = lm_cross_entropy(surv, top_v=500)
+    spans = packed_spans(lm, seq_len=128, bucket_size=64)
+    return (spans.join(lm.select("doc_id", "ce_nats"), "doc_id")
+            .select("doc_id", "n_tokens",
+                    F.col("ce_nats").cast("decimal(20,6)").cast("string")
+                     .alias("ce_nats"),
+                    "start_offset", "first_seq", "last_seq")
+            .orderBy("doc_id"))
+
+
+def _curated_corpus_sql() -> str:
+    return f"""
+        WITH toks0 AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+') AS t
+          FROM documents),
+        scores AS (
+          {" UNION ALL ".join(
+              "SELECT doc_id, '" + lang + "' AS lang, "
+              "len(list_filter(t, x -> x IN ("
+              + ", ".join("'" + w + "'" for w in words)
+              + "))) AS score FROM toks0"
+              for lang, words in sorted(_LANGS.items()))}
+        ),
+        best AS (
+          SELECT doc_id, lang, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, lang DESC) AS rn
+          FROM scores),
+        en AS (SELECT doc_id FROM best
+               WHERE rn = 1 AND score > 0 AND lang = 'en'),
+        q AS (
+          SELECT tk.doc_id, tk.text, length(tk.text) AS chars,
+                 len(list_filter(tk.t, x -> x <> '')) AS n_toks,
+                 len(list_filter(tk.t, x -> x IN ({", ".join(
+                     "'" + w + "'" for w in _LANGS["en"])}))) AS stop_hits
+          FROM toks0 tk JOIN en USING (doc_id)),
+        scoredq AS (
+          SELECT doc_id, text, round(
+            (CASE WHEN n_toks BETWEEN 10 AND 100000 THEN 0.4 ELSE 0 END)
+            + (CASE WHEN n_toks > 0
+                    AND chars * 1.0 / n_toks BETWEEN 3 AND 12
+                    THEN 0.3 ELSE 0 END)
+            + (CASE WHEN n_toks > 0
+                    AND stop_hits * 1.0 / n_toks >= 0.05
+                    THEN 0.3 ELSE 0 END), 6) AS q_score
+          FROM q),
+        good AS (SELECT doc_id, text FROM scoredq WHERE q_score >= 0.7),
+        keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text),
+        surv AS (SELECT g.doc_id, g.text FROM good g JOIN keep USING (doc_id)),
+        stoks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text),
+                                             '[^\\p{{L}}\\p{{N}}]+')) AS tok
+            FROM surv) WHERE tok <> ''),
+        counts AS (SELECT tok, count(*)::BIGINT AS cnt FROM stoks GROUP BY tok),
+        vocab AS (SELECT tok, cnt FROM counts
+                  ORDER BY cnt DESC, tok ASC LIMIT 500),
+        consts AS (SELECT (SELECT sum(cnt) FROM counts)::DOUBLE AS total,
+                          (SELECT sum(cnt) FROM vocab)::DOUBLE AS invocab,
+                          (SELECT count(*) FROM vocab)::DOUBLE AS v),
+        scoredlm AS (
+          SELECT t.doc_id,
+                 CAST(round(1e6 * round(ln(
+                   (coalesce(vb.cnt::DOUBLE, c.total - c.invocab) + 1.0)
+                   / (c.total + 1.0 * (c.v + 1.0))), 6)) AS BIGINT) AS lp
+          FROM stoks t LEFT JOIN vocab vb USING (tok) CROSS JOIN consts c),
+        lm AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                      round(-sum(lp) / (count(*) * 1e6), 6)
+                        ::DECIMAL(20,6)::VARCHAR AS ce_nats
+               FROM scoredlm GROUP BY doc_id),
+        pack AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens + 1) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS start_offset
+          FROM lm)
+        SELECT p.doc_id, p.n_tokens, lm.ce_nats, p.start_offset,
+               (p.start_offset // 128)::BIGINT AS first_seq,
+               ((p.start_offset + p.n_tokens) // 128)::BIGINT AS last_seq
+        FROM pack p JOIN lm USING (doc_id) ORDER BY p.doc_id
+    """
+
+
 def _q_winnow_fingerprints(spark, sf_dir):
     """MOSS winnowing fingerprints (k=5 grams, window 4) — rolling-hash
     document fingerprinting for partial-overlap detection
@@ -1064,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "salted_source_counts": _q_salted_source_counts,
         "clean_corpus": _q_clean_corpus,
+        "curated_corpus": _q_curated_corpus,
         "broadcast_lookup": _q_broadcast_lookup,
         "part_sets": _q_part_sets,
         "set_ops": _q_set_ops,
@@ -1507,6 +1612,7 @@ def oracle_sql() -> dict[str, str]:
             FROM good g JOIN keep USING (doc_id)
             GROUP BY g.source ORDER BY g.source
         """,
+        "curated_corpus": _curated_corpus_sql(),
         "winnow_fingerprints": """
             WITH toks AS (
               SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
