@@ -411,6 +411,16 @@ def _q_clean_corpus(spark, sf_dir):
             .orderBy("source"))
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment (operators/dedup.containment_pairs)
+    — quote/subset detection: pairs where either direction's containment
+    >= 0.5 (Jaccard misses short-in-long embeddings)."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        containment_pairs)
+    docs = _read(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=3, threshold=0.5).orderBy("a", "b")
+
+
 def _q_curated_corpus(spark, sf_dir):
     """The FULL training-data pipeline composed end-to-end in one
     declarative plan: language filter (en) -> quality gate (q_score >=
@@ -929,6 +939,65 @@ def _pagerank_sql(iters: int = 10, d: float = 0.85) -> str:
     """
 
 
+_PPR_SEEDS = [0, 7]
+
+
+def _q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from seed nations {0, 7} (operators/
+    pagerank.personalized_pagerank — seed-relatedness prior for entity
+    linking); oracle replays the identical unrolled iterations with the
+    seed teleport vector inlined."""
+    from climatemind_ontology_processing_spark.operators.pagerank import (
+        personalized_pagerank)
+    edges = _trade_edges(spark, sf_dir)
+    return (personalized_pagerank(edges, _PPR_SEEDS, iters=10, damping=0.85)
+            .select(F.col("id").cast("int").alias("id"),
+                    F.round("rank", 6).alias("rank"))
+            .orderBy("id"))
+
+
+def _ppr_sql(iters: int = 10, d: float = 0.85) -> str:
+    """Unrolled PPR oracle — same generator shape as _pagerank_sql with the
+    uniform teleport replaced by the seed vector (dangling mass teleports
+    back to the seeds)."""
+    w = 1.0 / len(set(_PPR_SEEDS))
+    seed_values = ", ".join(f"({s}, {w!r})" for s in sorted(set(_PPR_SEEDS)))
+    steps = []
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        cur = f"pr{i}"
+        steps.append(f"""
+        {cur} AS MATERIALIZED (
+          SELECT n.id,
+                 n.s * ((1 - {d})
+                        + {d} * (SELECT coalesce(sum(p.rank), 0) FROM {prev} p
+                                 WHERE p.id NOT IN (SELECT id FROM outdeg)))
+                 + {d} * coalesce(inf.flow, 0) AS rank
+          FROM nodes n
+          LEFT JOIN (
+            SELECT e.dst AS id, sum(p.rank / od.deg) AS flow
+            FROM {prev} p
+            JOIN edges e ON e.src = p.id
+            JOIN outdeg od ON od.id = p.id
+            GROUP BY 1) inf ON inf.id = n.id
+        )""")
+        prev = cur
+    return f"""
+        WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+        edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM all_edges),
+        seeds(id, w) AS (VALUES {seed_values}),
+        nodes AS MATERIALIZED (
+          SELECT n.id, coalesce(sd.w, 0.0) AS s FROM (
+            SELECT src AS id FROM edges UNION SELECT dst FROM edges) n
+          LEFT JOIN seeds sd USING (id)),
+        outdeg AS MATERIALIZED (
+          SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+        pr0 AS MATERIALIZED (SELECT id, s AS rank FROM nodes),
+        {",".join(steps)}
+        SELECT id, round(rank, 6) AS rank FROM {prev} ORDER BY id
+    """
+
+
 # ---------------------------------------------------------------------------
 # similarity family
 # ---------------------------------------------------------------------------
@@ -1168,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "salted_source_counts": _q_salted_source_counts,
         "clean_corpus": _q_clean_corpus,
+        "containment_pairs": _q_containment_pairs,
         "curated_corpus": _q_curated_corpus,
         "broadcast_lookup": _q_broadcast_lookup,
         "part_sets": _q_part_sets,
@@ -1191,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "adamic_adar": _q_adamic_adar,
         "pagerank": _q_pagerank,
+        "personalized_pagerank": _q_personalized_pagerank,
         "triangle_counts": _q_triangle_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "cosine_topk": _q_cosine_topk,
@@ -1612,6 +1683,36 @@ def oracle_sql() -> dict[str, str]:
             FROM good g JOIN keep USING (doc_id)
             GROUP BY g.source ORDER BY g.source
         """,
+        "containment_pairs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(t) - 2, 1)),
+                         i -> array_to_string(t[i : i + 2], ' '))) AS s
+                FROM toks
+              )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+              FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(i * 1.0 / sa.sz, 6) AS c_ab,
+                   round(i * 1.0 / sb.sz, 6) AS c_ba
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE round(i * 1.0 / sa.sz, 6) >= 0.5
+               OR round(i * 1.0 / sb.sz, 6) >= 0.5
+            ORDER BY a, b
+        """,
         "curated_corpus": _curated_corpus_sql(),
         "winnow_fingerprints": """
             WITH toks AS (
@@ -1883,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r1.a ORDER BY id
         """,
         "pagerank": _pagerank_sql(),
+        "personalized_pagerank": _ppr_sql(),
         "triangle_counts": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             sparse AS (SELECT src, dst FROM all_edges

@@ -486,3 +486,37 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))
+
+
+def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """ASYMMETRIC shingle containment — the partial-duplicate signal
+    Jaccard misses: a short quote A embedded in a long page B has
+    ``|A∩B|/|A∪B| ~ 0`` but ``containment(A in B) = |A∩B|/|A| = 1``.
+    Standard for quote/boilerplate/subset detection in training corpora
+    (Broder's containment, the same quantity MinHash was invented for).
+
+    Returns (a, b, c_ab, c_ba) with a < b, where ``c_ab`` = fraction of
+    a's n-gram shingles also in b (and vice versa), keeping pairs where
+    EITHER direction >= threshold.  Same shuffle shape as
+    ``jaccard_pairs`` (shingle-key self-join, then pair-key aggregation);
+    at web scale run it on LSH candidates, not all pairs."""
+    sh = with_shingles(docs, text_col, n).select(
+        F.col(id_col).alias("doc"), F.col("shingles"))
+    sizes = sh.select("doc", F.size("shingles").alias("sz"))
+    ex = sh.select("doc", F.explode("shingles").alias("s"))
+    inter = (ex.alias("l").join(ex.alias("r"),
+                                (F.col("l.s") == F.col("r.s")) &
+                                (F.col("l.doc") < F.col("r.doc")))
+             .groupBy(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc", "a")
+                       .withColumnRenamed("sz", "sz_a"), "a")
+            .join(sizes.withColumnRenamed("doc", "b")
+                       .withColumnRenamed("sz", "sz_b"), "b")
+            .withColumn("c_ab", F.round(F.col("inter") / F.col("sz_a"), 6))
+            .withColumn("c_ba", F.round(F.col("inter") / F.col("sz_b"), 6))
+            .filter((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))
+            .select("a", "b", "c_ab", "c_ba"))

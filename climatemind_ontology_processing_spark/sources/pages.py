@@ -95,9 +95,16 @@ def _pick_domain(rng: random.Random) -> str:
     return _DOMAIN_CUM[-1][1]
 
 
+_ALIAS_CACHE: dict[str, list[str]] = {}
+
+
 def _surface(rng: random.Random, label: str) -> str:
-    """Sometimes use an alias surface form (recall/canonicalization pressure)."""
-    variants = default_aliases(label)
+    """Sometimes use an alias surface form (recall/canonicalization pressure).
+    ``default_aliases`` is a pure function of the label — memoized (it was
+    ~14% of gen_row in profiling; identical output by construction)."""
+    variants = _ALIAS_CACHE.get(label)
+    if variants is None:
+        variants = _ALIAS_CACHE[label] = default_aliases(label)
     if len(variants) > 1 and rng.random() < 0.3:
         return rng.choice(variants[1:])
     return label
