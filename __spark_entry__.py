@@ -939,6 +939,63 @@ def _pagerank_sql(iters: int = 10, d: float = 0.85) -> str:
     """
 
 
+def _q_k_core(spark, sf_dir):
+    """4-core of the sparse undirected trade subgraph (operators/
+    graphstats.k_core — iterative peel; 21 of 25 nodes survive at
+    sf0.01).  Oracle unrolls the peel rounds as chained CTEs (fixpoint
+    within n rounds since every non-final round removes >= 1 node)."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        k_core)
+    edges = _trade_edges(spark, sf_dir) \
+        .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0)
+    return k_core(edges, k=4).orderBy("id")
+
+
+def _k_core_sql(k: int = 4, rounds: int = 25) -> str:
+    steps = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        cur = f"e{i}"
+        steps.append(f"""
+        {cur} AS MATERIALIZED (
+          SELECT lo, hi FROM {prev}
+          WHERE lo IN (SELECT id FROM (
+                  SELECT id, count(*) AS c FROM (
+                    SELECT lo AS id FROM {prev}
+                    UNION ALL SELECT hi FROM {prev}) GROUP BY id)
+                WHERE c >= {k})
+            AND hi IN (SELECT id FROM (
+                  SELECT id, count(*) AS c FROM (
+                    SELECT lo AS id FROM {prev}
+                    UNION ALL SELECT hi FROM {prev}) GROUP BY id)
+                WHERE c >= {k})
+        )""")
+        prev = cur
+    return f"""
+        WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+        sparse AS (SELECT src, dst FROM all_edges
+                   WHERE (src * 31 + dst) % 7 = 0),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+          FROM sparse WHERE least(src, dst) <> greatest(src, dst)),
+        {",".join(steps)}
+        SELECT DISTINCT id FROM (
+          SELECT lo AS id FROM {prev} UNION ALL SELECT hi FROM {prev})
+        ORDER BY id
+    """
+
+
+def _q_clustering_coefficients(spark, sf_dir):
+    """Local clustering coefficients over the sparse undirected trade
+    subgraph (operators/graphstats.clustering_coefficients) —
+    neighborhood-coherence quality signal; micro-BIGINT exact."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        clustering_coefficients)
+    edges = _trade_edges(spark, sf_dir) \
+        .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0)
+    return clustering_coefficients(edges).orderBy("id")
+
+
 _PPR_SEEDS = [0, 7]
 
 
@@ -1260,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "scc": _q_scc,
         "adamic_adar": _q_adamic_adar,
+        "k_core": _q_k_core,
+        "clustering_coefficients": _q_clustering_coefficients,
         "pagerank": _q_pagerank,
         "personalized_pagerank": _q_personalized_pagerank,
         "triangle_counts": _q_triangle_counts,
@@ -1982,6 +2041,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT r1.a AS id, min(r1.b)::INT AS component
             FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
             GROUP BY r1.a ORDER BY id
+        """,
+        "k_core": _k_core_sql(),
+        "clustering_coefficients": f"""
+            WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+            sparse AS (SELECT src, dst FROM all_edges
+                       WHERE (src * 31 + dst) % 7 = 0),
+            e AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+              FROM sparse WHERE least(src, dst) <> greatest(src, dst)),
+            deg AS (
+              SELECT id, count(*)::BIGINT AS degree FROM (
+                SELECT lo AS id FROM e UNION ALL SELECT hi FROM e)
+              GROUP BY id),
+            tri AS (
+              SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+              FROM e ab JOIN e bc ON bc.lo = ab.hi
+              WHERE EXISTS (SELECT 1 FROM e ac
+                            WHERE ac.lo = ab.lo AND ac.hi = bc.hi)),
+            member AS (
+              SELECT a AS id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri),
+            tc AS (
+              SELECT d.id, coalesce(m.n, 0)::BIGINT AS n_triangles
+              FROM deg d LEFT JOIN (
+                SELECT id, count(*) AS n FROM member GROUP BY 1) m USING (id))
+            SELECT d.id, d.degree, tc.n_triangles,
+                   CASE WHEN d.degree >= 2 THEN
+                     CAST(round(1e6 * round(
+                       2.0 * tc.n_triangles
+                       / (d.degree::DOUBLE * (d.degree - 1.0)), 6)) AS BIGINT)
+                   ELSE 0 END AS lcc_micro
+            FROM deg d JOIN tc ON tc.id = d.id
+            ORDER BY d.id
         """,
         "pagerank": _pagerank_sql(),
         "personalized_pagerank": _ppr_sql(),

@@ -108,3 +108,60 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
         out = (out.withColumn("_rk", F.row_number().over(w_rank))
                .filter(F.col("_rk") <= top_k).drop("_rk"))
     return out
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src",
+           dst: str = "dst", max_rounds: int = 100) -> DataFrame:
+    """Nodes of the undirected k-core: the maximal subgraph where every
+    node has degree >= k (iterative peeling).  Corpus-graph quality tool:
+    the dense core of the concept co-occurrence graph separates
+    well-attested concepts from extraction noise (spam/hub fringes peel
+    away).  Returns (id) — the surviving node set.
+
+    Each peel round is two keys-only steps over the CURRENT edge set:
+    degree aggregation (map-side combinable) + a semi-join of edges onto
+    surviving endpoints; the peeled edge table shrinks monotonically, so
+    per-round cost tracks the remaining graph, not the input.  Rounds are
+    bounded by the peel depth (<= max degree, typically tiny)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (undirected_canonical(edges, src, dst)
+         .select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+         .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        deg = (e.select(F.col("a").alias("id"))
+               .unionByName(e.select(F.col("b").alias("id")))
+               .groupBy("id").agg(F.count("*").alias("deg")))
+        keep = deg.filter(F.col("deg") >= k).select("id")
+        pruned = (e.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+                  .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+                  .localCheckpoint(eager=True))
+        if pruned.count() == e.count():
+            e = pruned
+            break
+        e = pruned
+    return (e.select(F.col("a").alias("id"))
+            .unionByName(e.select(F.col("b").alias("id")))
+            .distinct())
+
+
+def clustering_coefficients(edges: DataFrame, src: str = "src",
+                            dst: str = "dst") -> DataFrame:
+    """(id, degree, n_triangles, lcc_micro): local clustering coefficient
+    ``2*T(v) / (deg(v)*(deg(v)-1))`` in round-6 micro units (engine-exact
+    BIGINT, same convention as the other scored operators).  Nodes of
+    degree < 2 score 0.  Composes ``triangle_counts`` with the undirected
+    degree aggregation — one extra keys-only join."""
+    e = undirected_canonical(edges, src, dst).localCheckpoint(eager=True)
+    deg = (e.select(F.col("lo").alias("id"))
+           .unionByName(e.select(F.col("hi").alias("id")))
+           .groupBy("id").agg(F.count("*").alias("degree")))
+    tri = triangle_counts(e, src="lo", dst="hi")
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.round(F.round(
+            2.0 * F.col("n_triangles")
+            / (F.col("degree").cast("double") * (F.col("degree") - 1.0)),
+            6) * 1e6)).otherwise(F.lit(0.0)).cast("long")
+    return (deg.join(tri, "id")
+            .select("id", "degree", "n_triangles", lcc.alias("lcc_micro")))

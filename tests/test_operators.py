@@ -887,3 +887,36 @@ def test_personalized_pagerank_seed_concentration(spark):
     assert mass(fav_x, "xyz") > mass(fav_a, "xyz")
     with pytest.raises(ValueError):
         personalized_pagerank(df, [])
+
+
+def test_k_core_peeling(spark):
+    """Chain + clique: a 2-core strips the chain and keeps the triangle;
+    a 3-core of the triangle is empty; peeling cascades (removing a
+    fringe node can drop its neighbor below k)."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        k_core)
+    rows = [("a", "b"), ("b", "c"), ("c", "a"),          # triangle
+            ("c", "d"), ("d", "e")]                       # tail
+    df = spark.createDataFrame(rows, "src string, dst string")
+    core2 = {r.id for r in k_core(df, 2).collect()}
+    assert core2 == {"a", "b", "c"}   # d,e peel in cascade (e first, then d)
+    assert k_core(df, 3).count() == 0
+    core1 = {r.id for r in k_core(df, 1).collect()}
+    assert core1 == {"a", "b", "c", "d", "e"}
+    with pytest.raises(ValueError):
+        k_core(df, 0)
+
+
+def test_clustering_coefficients_hand(spark):
+    """Triangle + pendant: triangle nodes have lcc 1.0 except the one with
+    the pendant edge (deg 3, 1 triangle -> 2/6); the pendant scores 0."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        clustering_coefficients)
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {r.id: r for r in clustering_coefficients(df).collect()}
+    assert got["a"].lcc_micro == 1_000_000
+    assert got["b"].lcc_micro == 1_000_000
+    assert got["c"].degree == 3 and got["c"].n_triangles == 1
+    assert got["c"].lcc_micro == int(round(round(2 * 1 / 6.0, 6) * 1e6))
+    assert got["d"].lcc_micro == 0 and got["d"].degree == 1
