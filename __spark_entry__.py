@@ -104,6 +104,77 @@ def _q_cooccurrence_edges(spark, sf_dir):
             .orderBy(F.col("weight").desc(), F.col("subj").asc(), F.col("obj").asc()))
 
 
+def _q_pmi_edges(spark, sf_dir):
+    """PMI-weighted concept co-occurrence edges: pmi(a,b) =
+    ln(c_ab * N / (df_a * df_b)) over document-level mentions — the
+    statistically-normalized edge weight (raw co-occurrence counts favor
+    frequent terms; PMI surfaces genuinely associated pairs).  Same
+    broadcast-mentions shape as cooccurrence_edges plus two broadcast df
+    joins and the 1-row N crossJoin; micro-BIGINT exact."""
+    docs = _read(spark, sf_dir, "documents")
+    terms = spark.createDataFrame([(t,) for t in TERMS], "term string")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    mentions = (tokens.join(F.broadcast(terms), tokens.tok == terms.term)
+                .select("doc_id", "term").distinct())
+    nd = docs.agg(F.count("*").alias("_n"))
+    dfs = mentions.groupBy("term").agg(F.count("*").alias("df"))
+    a, b = mentions.alias("a"), mentions.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) &
+                    (F.col("a.term") < F.col("b.term")))
+             .groupBy(F.col("a.term").alias("subj"),
+                      F.col("b.term").alias("obj"))
+             .agg(F.count("*").alias("weight")))
+    pmi = F.round(F.round(F.log(
+        (F.col("weight") * F.col("_n"))
+        / (F.col("df_a") * F.col("df_b"))), 6) * 1e6).cast("long")
+    return (pairs
+            .join(F.broadcast(dfs.select(F.col("term").alias("subj"),
+                                         F.col("df").alias("df_a"))), "subj")
+            .join(F.broadcast(dfs.select(F.col("term").alias("obj"),
+                                         F.col("df").alias("df_b"))), "obj")
+            .crossJoin(F.broadcast(nd))
+            .select("subj", "obj", "weight", pmi.alias("pmi_micro"))
+            .orderBy("subj", "obj"))
+
+
+def _q_shortest_paths(spark, sf_dir):
+    """Weighted SSSP from nation 0 over the trade graph with derived
+    integer weights (operators/paths.shortest_paths — distributed
+    Bellman-Ford; min-plus over BIGINTs, no float wiggle).  Oracle
+    unrolls the relaxation rounds."""
+    from climatemind_ontology_processing_spark.operators.paths import (
+        shortest_paths)
+    edges = _trade_edges(spark, sf_dir) \
+        .withColumn("w", (F.col("src") * 7 + F.col("dst")) % 7 + 1)
+    return shortest_paths(edges, [0], weight="w").orderBy("id")
+
+
+def _shortest_paths_sql(rounds: int = 25) -> str:
+    steps = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        cur = f"d{i}"
+        steps.append(f"""
+        {cur} AS MATERIALIZED (
+          SELECT id, min(dist)::BIGINT AS dist FROM (
+            SELECT id, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS id, p.dist + e.w AS dist
+            FROM {prev} p JOIN edges e ON e.src = p.id)
+          GROUP BY id)""")
+        prev = cur
+    return f"""
+        WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+        edges AS MATERIALIZED (
+          SELECT src, dst, ((src * 7 + dst) % 7 + 1)::BIGINT AS w
+          FROM all_edges),
+        d0 AS (SELECT 0 AS id, 0::BIGINT AS dist),
+        {",".join(steps)}
+        SELECT id, dist FROM {prev} ORDER BY id
+    """
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -1271,6 +1342,8 @@ def _pq_topk_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cooccurrence_edges": _q_cooccurrence_edges,
+        "pmi_edges": _q_pmi_edges,
+        "shortest_paths": _q_shortest_paths,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh,       # md5_60 family: oracled
@@ -1392,6 +1465,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY weight DESC, subj ASC, obj ASC
         """,
+        "pmi_edges": f"""
+            WITH terms(term) AS (VALUES {terms_values}),
+            mentions AS (
+              SELECT DISTINCT d.doc_id, t.term
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents) d
+              JOIN terms t ON d.tok = t.term
+            ),
+            nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+            dfs AS (SELECT term, count(*)::BIGINT AS df FROM mentions
+                    GROUP BY term),
+            pairs AS (
+              SELECT a.term AS subj, b.term AS obj, count(*)::BIGINT AS weight
+              FROM mentions a JOIN mentions b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY 1, 2)
+            SELECT p.subj, p.obj, p.weight,
+                   CAST(round(1e6 * round(ln(
+                     (p.weight * nd.n) / (da.df * db.df)), 6)) AS BIGINT)
+                     AS pmi_micro
+            FROM pairs p
+            JOIN dfs da ON da.term = p.subj
+            JOIN dfs db ON db.term = p.obj
+            CROSS JOIN nd
+            ORDER BY p.subj, p.obj
+        """,
+        "shortest_paths": _shortest_paths_sql(),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
             ORDER BY doc_id

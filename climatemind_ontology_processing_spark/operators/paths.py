@@ -1,0 +1,62 @@
+"""Weighted shortest paths over the KG edge table.
+
+Distance-bounded relevance for entity linking and neighborhood ranking:
+BFS (`traversal.bfs_reachable`) gives hop counts; this gives WEIGHTED
+distances (edge weights = confidence/cost), the quantity path-relevance
+scoring actually wants.
+
+Algorithm: distributed Bellman-Ford (min-plus label relaxation) — the
+textbook Pregel SSSP expressed as DataFrame joins:
+
+    dist'(v) = min(dist(v), min over edges (u,v) of dist(u) + w(u,v))
+
+Each round is ONE shuffle (groupBy dst with map-side-combinable min) plus
+a keys-only change check; rounds are bounded by the shortest-path hop
+diameter.  Shuffle payload is (node, dist) pairs only.  Non-negative
+weights assumed (checked); integer weights recommended for engine-exact
+oracle comparison (min-plus over BIGINTs has no float wiggle at all).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .traversal import _checkpoint
+
+
+def shortest_paths(edges: DataFrame, seeds: DataFrame | list,
+                   src: str = "src", dst: str = "dst",
+                   weight: str | None = None,
+                   max_rounds: int = 100) -> DataFrame:
+    """(id, dist) for every node reachable from any seed; dist = weighted
+    shortest-path distance (seeds at 0).  ``weight=None`` means unit
+    weights (hop count).  Unreachable nodes produce no row."""
+    w = (F.col(weight).cast("long") if weight is not None
+         else F.lit(1).cast("long"))
+    e = _checkpoint(edges.select(F.col(src).alias("u"),
+                                 F.col(dst).alias("v"),
+                                 w.alias("w"))
+                    .filter(F.col("u").isNotNull() & F.col("v").isNotNull()))
+    if not e.filter(F.col("w") < 0).isEmpty():
+        raise ValueError("negative edge weights not supported")
+    spark = edges.sparkSession
+    if isinstance(seeds, list):
+        t = e.schema["u"].dataType.simpleString()
+        seeds = spark.createDataFrame([(s,) for s in sorted(set(seeds))],
+                                      f"id {t}")
+    dist = _checkpoint(seeds.select("id", F.lit(0).cast("long").alias("dist")))
+    for _ in range(max_rounds):
+        relaxed = (e.join(dist.withColumnRenamed("id", "u"), "u")
+                   .select(F.col("v").alias("id"),
+                           (F.col("dist") + F.col("w")).alias("d")))
+        new = (dist.unionByName(relaxed.withColumnRenamed("d", "dist"))
+               .groupBy("id").agg(F.min("dist").alias("dist")))
+        new = _checkpoint(new)
+        changed = (new.join(dist.withColumnRenamed("dist", "old"),
+                            "id", "left")
+                   .filter(F.col("old").isNull() |
+                           (F.col("dist") != F.col("old"))))
+        prev, dist = dist, new
+        if changed.isEmpty():
+            break
+    return dist

@@ -920,3 +920,26 @@ def test_clustering_coefficients_hand(spark):
     assert got["c"].degree == 3 and got["c"].n_triangles == 1
     assert got["c"].lcc_micro == int(round(round(2 * 1 / 6.0, 6) * 1e6))
     assert got["d"].lcc_micro == 0 and got["d"].degree == 1
+
+
+def test_shortest_paths_weighted_hand(spark):
+    """Weighted relaxation beats the greedy hop path; unreachable nodes
+    absent; unit weights = hop count; negative weights rejected."""
+    from climatemind_ontology_processing_spark.operators.paths import (
+        shortest_paths)
+    rows = [("s", "a", 1), ("a", "t", 1),     # s->a->t cost 2
+            ("s", "t", 5),                     # direct but heavier
+            ("t", "u", 2),
+            ("x", "y", 1)]                     # disconnected from s
+    df = spark.createDataFrame(rows, "src string, dst string, w int")
+    got = {r.id: r.dist for r in shortest_paths(df, ["s"], weight="w").collect()}
+    assert got == {"s": 0, "a": 1, "t": 2, "u": 4}
+    hops = {r.id: r.dist for r in shortest_paths(df, ["s"]).collect()}
+    assert hops["t"] == 1  # unit weights: the direct edge wins
+    # multi-seed: distance is min over seeds
+    multi = {r.id: r.dist for r in
+             shortest_paths(df, ["s", "x"], weight="w").collect()}
+    assert multi["y"] == 1 and multi["t"] == 2
+    neg = spark.createDataFrame([("a", "b", -1)], "src string, dst string, w int")
+    with pytest.raises(ValueError):
+        shortest_paths(neg, ["a"], weight="w")
