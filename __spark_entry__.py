@@ -394,6 +394,19 @@ def _q_training_mix(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def _q_eval_take_k(spark, sf_dir):
+    """EXACT-k-per-stratum sampling (operators/sampling.stratified_take_k)
+    — eval-set construction: exactly 30 docs per language, ranked by the
+    deterministic md5_60 sample bucket (reproducible across runs /
+    partitionings / retries, unlike df.sample)."""
+    from climatemind_ontology_processing_spark.operators.sampling import (
+        stratified_take_k)
+    docs = _read(spark, sf_dir, "documents")
+    return (stratified_take_k(docs, "lang", k=30, key="doc_id", seed=7,
+                              hash_family="md5_60")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 def _q_lang_percentiles(spark, sf_dir):
     """Per-language corpus profiling: exact n_chars percentiles (25/50/75/95)
     — the data-quality dashboard primitive.  Exact `percentile` (linear
@@ -1158,6 +1171,22 @@ def _q_ivf_topk(spark, sf_dir):
             .orderBy("qid", "rank"))
 
 
+def _q_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (operators/similarity.
+    int8_quantize) — the 4x ANN memory cut; pure JVM codegen expressions.
+    q stringified with '|' (driver hash cannot compare array columns)."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        int8_quantize)
+    emb = _read(spark, sf_dir, "embeddings")
+    out = int8_quantize(emb)
+    return (out.select(
+        "vec_id",
+        F.col("scale").cast("decimal(20,6)").cast("string").alias("scale"),
+        F.array_join(F.transform("q", lambda x: x.cast("string")), "|")
+         .alias("q"))
+        .orderBy("vec_id"))
+
+
 def _q_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-5: encode every vector to 8 codes (16
     codewords per subspace, seeded codebooks), score candidates from the
@@ -1354,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": _q_bm25,
         "canonical_urls": _q_canonical_urls,
         "training_mix": _q_training_mix,
+        "eval_take_k": _q_eval_take_k,
         "lang_percentiles": _q_lang_percentiles,
         "decontamination": _q_decontamination,
         "bpe_pair_counts": _q_bpe_pairs,
@@ -1398,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
+        "int8_quantize": _q_int8_quantize,
         "pq_topk": _q_pq_topk,
         "embedding_lsh_pairs": _q_embedding_lsh_pairs,
         "cosine_histogram": _q_cosine_histogram,
@@ -1606,6 +1637,17 @@ def oracle_sql() -> dict[str, str]:
                            ELSE '' END AS curl,
                    'https://host' || doc_id || '.org/' AS curl_bare
             FROM documents ORDER BY doc_id
+        """,
+        "eval_take_k": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY ('0x' || substring(
+                            md5('7' || chr(31) || doc_id::VARCHAR), 1, 15))
+                          ::BIGINT % 1000000 ASC,
+                         doc_id::VARCHAR ASC) AS rk
+              FROM documents) WHERE rk <= 30
+            ORDER BY doc_id
         """,
         "training_mix": """
             SELECT doc_id, lang FROM documents
@@ -2245,6 +2287,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5 ORDER BY qid, rank
         """,
         "ivf_topk": _ivf_topk_sql(),
+        "int8_quantize": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            s AS (SELECT vec_id, v,
+                         list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                           AS amax
+                  FROM e)
+            SELECT vec_id,
+                   (amax / 127.0)::DECIMAL(20,6)::VARCHAR AS scale,
+                   CASE WHEN amax > 0 THEN
+                     array_to_string(list_transform(
+                       v, x -> round(x / (amax / 127.0))::INT), '|')
+                   END AS q
+            FROM s ORDER BY vec_id
+        """,
         "pq_topk": _pq_topk_sql(),
         "embedding_lsh_pairs": _embedding_lsh_sql(),
         "cosine_histogram": """

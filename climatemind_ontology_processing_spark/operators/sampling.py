@@ -71,3 +71,27 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
                            F.lit(int(default_rate * _M)))
     return df.filter(
         sample_bucket(key_col.cast("string"), seed, hash_family) < threshold)
+
+
+def stratified_take_k(df: DataFrame, strata_col: str, k: int,
+                      key: str | Column, seed: int = 42,
+                      hash_family: str = "xxhash64") -> DataFrame:
+    """EXACT-k per stratum (rate-based sampling gives ~rate*n with binomial
+    wiggle; eval-set construction wants exactly k): rank rows within each
+    stratum by their deterministic sample bucket (ties broken by key) and
+    keep the first ``k``.
+
+    Still fully reproducible — the rank is a pure function of (seed, key) —
+    but unlike ``hash_sample`` it costs one per-stratum window (a shuffle
+    keyed on the stratum).  Strata are typically few and large; for skewed
+    mega-strata the window sort is the price of exactness — use
+    ``hash_sample`` when ~rate is acceptable."""
+    from pyspark.sql import Window
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    key_col = F.col(key) if isinstance(key, str) else key
+    bucket = sample_bucket(key_col.cast("string"), seed, hash_family)
+    w = Window.partitionBy(strata_col).orderBy(
+        bucket.asc(), key_col.cast("string").asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k).drop("_rk"))

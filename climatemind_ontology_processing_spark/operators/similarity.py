@@ -287,6 +287,30 @@ def kmeans_fit(vectors: DataFrame, dim: int, n_cells: int = 16,
     return cents
 
 
+def int8_quantize(vectors: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization — the 4x memory cut that
+    usually precedes ANN indexing (float32 768-dim 3 KB -> 768 B + one
+    scale): ``scale = max|x| / 127``, ``q_i = round(x_i / scale)``.
+
+    Pure JVM expressions (transform/aggregate — no UDF, stays in codegen);
+    deterministic, and exact to replay: round-half-up on both engines.
+    Returns (vec_id, scale, q) with ``q: array<int>`` in [-127, 127];
+    all-zero / empty vectors get scale 0 and null q (nothing to
+    reconstruct); null vectors get null scale and null q.  Dequantization
+    is ``q_i * scale``; see the reconstruction-error test for the
+    accuracy envelope."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.aggregate(v, F.lit(0.0),
+                       lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.when(
+        amax > 0.0,
+        F.transform(v, lambda x: F.round(x / (amax / F.lit(127.0)))
+                    .cast("int"))).alias("q")
+    return vectors.select(F.col(id_col).alias("vec_id"), scale, q)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — compressed-domain ANN
 #

@@ -465,3 +465,49 @@ def test_pq_lut_paths_identical(spark, vectors):
         "vec_id", pq_luts(F.col("embedding"), cbs, force="pandas").alias("l")
     ).collect()}
     assert lit == pnd
+
+
+def test_int8_quantize_roundtrip_and_edges(spark):
+    """Quantize/dequantize reconstruction error bounded by scale/2 per
+    element; all-zero, empty, and null vectors handled; determinism."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        int8_quantize)
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, []),
+            (4, None),
+            (5, [100.0, -100.0, 3.3, 0.7])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in int8_quantize(df).collect()}
+    assert got[1].q == [127, -64, 32, 0]          # 1.0/127 scale, round half-up
+    assert abs(got[1].scale - 1.0 / 127) < 1e-12
+    assert got[2].scale == 0.0 and got[2].q is None
+    assert got[3].scale == 0.0 and got[3].q is None
+    assert got[4].scale is None and got[4].q is None
+    # reconstruction error <= scale/2 per element
+    r5 = got[5]
+    orig = rows[4][1]
+    for q, x in zip(r5.q, orig):
+        assert abs(q * r5.scale - x) <= r5.scale / 2 + 1e-12
+        assert -127 <= q <= 127
+
+
+def test_stratified_take_k_exact_and_nested(spark):
+    """Exactly k per stratum; deterministic across invocations; the k=5
+    selection is a PREFIX of the k=10 selection (rank stability)."""
+    from climatemind_ontology_processing_spark.operators.sampling import (
+        stratified_take_k)
+    rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    k10 = {(r.lang, r.doc_id) for r in
+           stratified_take_k(df, "lang", 10, key="doc_id").collect()}
+    from collections import Counter
+    assert Counter(l for l, _ in k10) == {"en": 10, "de": 10}
+    k5 = {(r.lang, r.doc_id) for r in
+          stratified_take_k(df, "lang", 5, key="doc_id").collect()}
+    assert k5 <= k10
+    again = {(r.lang, r.doc_id) for r in
+             stratified_take_k(df, "lang", 10, key="doc_id").collect()}
+    assert again == k10
+    with pytest.raises(ValueError):
+        stratified_take_k(df, "lang", 0, key="doc_id")
