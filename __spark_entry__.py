@@ -407,6 +407,23 @@ def _q_eval_take_k(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def _q_windowed_event_counts(spark, sf_dir):
+    """Tumbling 1-day event-time windows by event type — the SAME
+    streaming.windows.windowed_counts expression the watermarked stream
+    runs (streaming == batch equivalence pinned in
+    tests/test_streaming_and_classes.py); window start emitted as epoch
+    seconds (whole-second boundaries, TIMESTAMP_NTZ-safe)."""
+    from climatemind_ontology_processing_spark.streaming.windows import (
+        windowed_counts)
+    ev = _read(spark, sf_dir, "events")
+    out = windowed_counts(ev, window="1 day", key_col="event_type")
+    return (out.select(
+        (F.unix_micros(F.col("window_start").cast("timestamp")) / F.lit(1e6))
+        .cast("long").alias("ws"),
+        "event_type", "n_events")
+        .orderBy("ws", "event_type"))
+
+
 def _q_lang_percentiles(spark, sf_dir):
     """Per-language corpus profiling: exact n_chars percentiles (25/50/75/95)
     — the data-quality dashboard primitive.  Exact `percentile` (linear
@@ -1384,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": _q_canonical_urls,
         "training_mix": _q_training_mix,
         "eval_take_k": _q_eval_take_k,
+        "windowed_event_counts": _q_windowed_event_counts,
         "lang_percentiles": _q_lang_percentiles,
         "decontamination": _q_decontamination,
         "bpe_pair_counts": _q_bpe_pairs,
@@ -1637,6 +1655,11 @@ def oracle_sql() -> dict[str, str]:
                            ELSE '' END AS curl,
                    'https://host' || doc_id || '.org/' AS curl_bare
             FROM documents ORDER BY doc_id
+        """,
+        "windowed_event_counts": """
+            SELECT epoch(time_bucket(INTERVAL '1 day', ts))::BIGINT AS ws,
+                   event_type, count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1, 2 ORDER BY ws, event_type
         """,
         "eval_take_k": """
             SELECT doc_id, lang FROM (

@@ -316,3 +316,65 @@ def test_stateful_sessionization_no_premature_close(spark, tmp_path):
            for r in spark.read.parquet(out).collect() if r.user_id == 1}
     e = lambda m: int(t(m).replace(tzinfo=dt.timezone.utc).timestamp())
     assert got == {(1, e(65), e(100), 3, "timeout")}, got
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    """Sliding-window counts: the streaming run (two micro-batches, one
+    late-but-in-watermark event) must equal the batch computation over the
+    union of all delivered events — the equivalence that makes the stream
+    a drop-in for incremental batch re-runs."""
+    import datetime as dt
+
+    from climatemind_ontology_processing_spark.streaming.windows import (
+        windowed_counts)
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 12, minute)
+
+    src = str(tmp_path / "wc_in")
+    out = str(tmp_path / "wc_out")
+    ckpt = str(tmp_path / "wc_ckpt")
+    schema = "user_id long, ts timestamp, kind string"
+
+    batch1 = [(1, t(0), "a"), (2, t(4), "a"), (1, t(12), "b")]
+    batch2 = [(3, t(21), "a"),
+              (2, t(7), "b")]       # late, within the 1h watermark
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (windowed_counts(stream, window="10 minutes", slide="5 minutes",
+                             watermark="1 hour", key_col="kind")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    run_stream()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    # a far-future event pushes the watermark past every earlier window so
+    # append mode finalizes them
+    spark.createDataFrame([(9, t(0) + dt.timedelta(hours=6), "z")], schema) \
+        .write.mode("append").parquet(src)
+    run_stream()
+
+    all_events = spark.createDataFrame(
+        batch1 + batch2 + [(9, t(0) + dt.timedelta(hours=6), "z")], schema)
+    want = {(r.window_start, r.window_end, r.kind, r.n_events)
+            for r in windowed_counts(all_events, window="10 minutes",
+                                     slide="5 minutes",
+                                     key_col="kind").collect()}
+    got = {(r.window_start, r.window_end, r.kind, r.n_events)
+           for r in spark.read.parquet(out).collect()}
+    # every finalized streamed window must match the batch answer exactly;
+    # the only admissible difference is the tail windows the watermark has
+    # not yet closed (the future 'z' event's own windows)
+    unfinalized = want - got
+    assert got <= want
+    assert all(k == "z" for _, _, k, _ in unfinalized), unfinalized
+    # the late event landed in its true windows: [12:00,12:10) alone (n=1)
+    # and [12:05,12:15) together with the 12:12 'b' event (n=2)
+    late_windows = {(ws.minute, we.minute): n for ws, we, k, n in got
+                    if k == "b" and ws <= t(7) < we}
+    assert late_windows == {(0, 10): 1, (5, 15): 2}
