@@ -519,7 +519,16 @@ def _q_containment_pairs(spark, sf_dir):
     from climatemind_ontology_processing_spark.operators.dedup import (
         containment_pairs)
     docs = _read(spark, sf_dir, "documents")
-    return containment_pairs(docs, n=3, threshold=0.5).orderBy("a", "b")
+    # decimal-string route: a small weak-direction value (e.g. 0.0005 for
+    # a short quote in a huge page) would stringify as '5.0E-4' on the
+    # Spark side but '0.0005' from DuckDB (CLAUDE.md float-hash rule)
+    return (containment_pairs(docs, n=3, threshold=0.5)
+            .select("a", "b",
+                    F.col("c_ab").cast("decimal(20,6)").cast("string")
+                     .alias("c_ab"),
+                    F.col("c_ba").cast("decimal(20,6)").cast("string")
+                     .alias("c_ba"))
+            .orderBy("a", "b"))
 
 
 def _q_curated_corpus(spark, sf_dir):
@@ -1110,7 +1119,8 @@ def _q_personalized_pagerank(spark, sf_dir):
     edges = _trade_edges(spark, sf_dir)
     return (personalized_pagerank(edges, _PPR_SEEDS, iters=10, damping=0.85)
             .select(F.col("id").cast("int").alias("id"),
-                    F.round("rank", 6).alias("rank"))
+                    F.round("rank", 6).cast("decimal(20,6)").cast("string")
+                     .alias("rank"))
             .orderBy("id"))
 
 
@@ -1152,7 +1162,8 @@ def _ppr_sql(iters: int = 10, d: float = 0.85) -> str:
           SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
         pr0 AS MATERIALIZED (SELECT id, s AS rank FROM nodes),
         {",".join(steps)}
-        SELECT id, round(rank, 6) AS rank FROM {prev} ORDER BY id
+        SELECT id, round(rank, 6)::DECIMAL(20,6)::VARCHAR AS rank
+        FROM {prev} ORDER BY id
     """
 
 
@@ -1928,8 +1939,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT a, b,
-                   round(i * 1.0 / sa.sz, 6) AS c_ab,
-                   round(i * 1.0 / sb.sz, 6) AS c_ba
+                   round(i * 1.0 / sa.sz, 6)::DECIMAL(20,6)::VARCHAR AS c_ab,
+                   round(i * 1.0 / sb.sz, 6)::DECIMAL(20,6)::VARCHAR AS c_ba
             FROM inter
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
@@ -2313,8 +2324,10 @@ def oracle_sql() -> dict[str, str]:
         "int8_quantize": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             s AS (SELECT vec_id, v,
-                         list_aggregate(list_transform(v, x -> abs(x)), 'max')
-                           AS amax
+                         CASE WHEN v IS NULL THEN NULL
+                              ELSE coalesce(list_aggregate(
+                                list_transform(v, x -> abs(x)), 'max'), 0.0)
+                         END AS amax
                   FROM e)
             SELECT vec_id,
                    (amax / 127.0)::DECIMAL(20,6)::VARCHAR AS scale,

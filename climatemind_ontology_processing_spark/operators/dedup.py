@@ -336,15 +336,12 @@ def oversized_lsh_buckets(docs: DataFrame, id_col: str = "doc_id",
             .filter(F.col("n_members") > max_bucket_size))
 
 
-def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", n: int = 3,
-                  threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
-
-    explode(shingles) -> self-join on shingle -> per-pair intersection count ->
-    |A ∪ B| = |A| + |B| − |A ∩ B|.  Shuffles on shingle hash then pair key; at
-    scale, run on LSH candidates instead of all pairs (``verify_pairs``).
-    """
+def _pair_intersections(docs: DataFrame, id_col: str, text_col: str,
+                        n: int) -> DataFrame:
+    """(a, b, inter, sz_a, sz_b) for every doc pair (a < b) sharing >= 1
+    n-gram shingle — the shared core of ``jaccard_pairs`` and
+    ``containment_pairs``: explode(shingles) -> self-join on the shingle
+    key -> per-pair intersection count joined with both set sizes."""
     sh = with_shingles(docs, text_col, n).select(
         F.col(id_col).alias("doc"), F.col("shingles"))
     sizes = sh.select("doc", F.size("shingles").alias("sz"))
@@ -358,7 +355,19 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             .join(sizes.withColumnRenamed("doc", "a")
                        .withColumnRenamed("sz", "sz_a"), "a")
             .join(sizes.withColumnRenamed("doc", "b")
-                       .withColumnRenamed("sz", "sz_b"), "b")
+                       .withColumnRenamed("sz", "sz_b"), "b"))
+
+
+def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    ``_pair_intersections`` + |A ∪ B| = |A| + |B| − |A ∩ B|.  Shuffles on
+    shingle hash then pair key; at scale, run on LSH candidates instead of
+    all pairs (``verify_pairs``).
+    """
+    return (_pair_intersections(docs, id_col, text_col, n)
             .withColumn("jaccard",
                         F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
             .filter(F.col("jaccard") >= threshold)
@@ -500,22 +509,9 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     Returns (a, b, c_ab, c_ba) with a < b, where ``c_ab`` = fraction of
     a's n-gram shingles also in b (and vice versa), keeping pairs where
     EITHER direction >= threshold.  Same shuffle shape as
-    ``jaccard_pairs`` (shingle-key self-join, then pair-key aggregation);
-    at web scale run it on LSH candidates, not all pairs."""
-    sh = with_shingles(docs, text_col, n).select(
-        F.col(id_col).alias("doc"), F.col("shingles"))
-    sizes = sh.select("doc", F.size("shingles").alias("sz"))
-    ex = sh.select("doc", F.explode("shingles").alias("s"))
-    inter = (ex.alias("l").join(ex.alias("r"),
-                                (F.col("l.s") == F.col("r.s")) &
-                                (F.col("l.doc") < F.col("r.doc")))
-             .groupBy(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
-             .agg(F.count("*").alias("inter")))
-    return (inter
-            .join(sizes.withColumnRenamed("doc", "a")
-                       .withColumnRenamed("sz", "sz_a"), "a")
-            .join(sizes.withColumnRenamed("doc", "b")
-                       .withColumnRenamed("sz", "sz_b"), "b")
+    ``jaccard_pairs`` (the shared ``_pair_intersections`` core); at web
+    scale run it on LSH candidates, not all pairs."""
+    return (_pair_intersections(docs, id_col, text_col, n)
             .withColumn("c_ab", F.round(F.col("inter") / F.col("sz_a"), 6))
             .withColumn("c_ba", F.round(F.col("inter") / F.col("sz_b"), 6))
             .filter((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))

@@ -128,6 +128,8 @@ def k_core(edges: DataFrame, k: int, src: str = "src",
     e = (undirected_canonical(edges, src, dst)
          .select(F.col("lo").alias("a"), F.col("hi").alias("b"))
          .localCheckpoint(eager=True))
+    n_edges = e.count()
+    converged = False
     for _ in range(max_rounds):
         deg = (e.select(F.col("a").alias("id"))
                .unionByName(e.select(F.col("b").alias("id")))
@@ -136,10 +138,16 @@ def k_core(edges: DataFrame, k: int, src: str = "src",
         pruned = (e.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
                   .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
                   .localCheckpoint(eager=True))
-        if pruned.count() == e.count():
-            e = pruned
-            break
+        n_pruned = pruned.count()       # one count/round: n_edges is known
         e = pruned
+        if n_pruned == n_edges:
+            converged = True
+            break
+        n_edges = n_pruned
+    if not converged:
+        # an unfinished peel would be returned as "the k-core" silently
+        raise RuntimeError(
+            f"k_core did not reach a fixpoint within max_rounds={max_rounds}")
     return (e.select(F.col("a").alias("id"))
             .unionByName(e.select(F.col("b").alias("id")))
             .distinct())

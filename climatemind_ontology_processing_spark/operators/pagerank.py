@@ -103,7 +103,14 @@ def personalized_pagerank(edges: DataFrame, seeds: list | dict,
     mass teleports BACK TO THE SEEDS (standard PPR), so rank stays a
     probability distribution concentrated around the seed neighborhood.
     Same plan shape and action count as ``pagerank`` (1 shuffle per
-    iteration, in-plan dangling scalar, periodic checkpoint)."""
+    iteration, in-plan dangling scalar, periodic checkpoint).
+
+    Deliberately a separate loop from ``pagerank`` even though uniform
+    ``s`` reduces to it algebraically: each function's float-op ORDER is
+    pinned bit-for-bit by its own unrolled-CTE oracle, and the two update
+    expressions group differently — merging them would silently change
+    one oracle's expected doubles.  Every seed must appear in the edge
+    set (checked; an absent seed would silently lose teleport mass)."""
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
     if not seeds:
@@ -123,6 +130,14 @@ def personalized_pagerank(edges: DataFrame, seeds: list | dict,
     t = nodes.schema["id"].dataType.simpleString()
     seed_df = edges.sparkSession.createDataFrame(
         seed_rows, f"id {t}, _w double")
+    # a seed absent from the edge set would silently vanish in the join
+    # below, losing its teleport mass (all-zero ranks for a fully-absent
+    # seed list) — fail loudly instead; seeds are tiny, one cheap action
+    present = seed_df.join(nodes, "id", "left_semi").count()
+    if present != len(seed_rows):
+        missing = [r[0] for r in seed_df.join(nodes, "id", "left_anti")
+                   .select("id").collect()]
+        raise ValueError(f"seeds absent from the edge set: {missing}")
     outdeg = e.groupBy("u").agg(F.count("*").alias("deg"))
     # teleport column pinned onto the node table once
     nds = (nodes.join(F.broadcast(seed_df), "id", "left")

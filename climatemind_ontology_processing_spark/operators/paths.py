@@ -45,6 +45,7 @@ def shortest_paths(edges: DataFrame, seeds: DataFrame | list,
         seeds = spark.createDataFrame([(s,) for s in sorted(set(seeds))],
                                       f"id {t}")
     dist = _checkpoint(seeds.select("id", F.lit(0).cast("long").alias("dist")))
+    converged = False
     for _ in range(max_rounds):
         relaxed = (e.join(dist.withColumnRenamed("id", "u"), "u")
                    .select(F.col("v").alias("id"),
@@ -56,7 +57,13 @@ def shortest_paths(edges: DataFrame, seeds: DataFrame | list,
                             "id", "left")
                    .filter(F.col("old").isNull() |
                            (F.col("dist") != F.col("old"))))
-        prev, dist = dist, new
+        dist = new
         if changed.isEmpty():
+            converged = True
             break
+    if not converged:
+        # a truncated relaxation is indistinguishable from a converged one
+        raise RuntimeError(
+            f"shortest_paths did not converge within max_rounds={max_rounds} "
+            "— the graph's hop diameter exceeds the cap; raise max_rounds")
     return dist

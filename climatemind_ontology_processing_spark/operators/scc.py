@@ -93,9 +93,14 @@ def _tarjan_components(edge_rows, nodes) -> list[tuple]:
 def strongly_connected_components(edges: DataFrame, src: str = "src",
                                   dst: str = "dst", max_outer: int = 50,
                                   max_inner: int = 50) -> DataFrame:
-    """Returns (id, component) over every node appearing in ``edges``,
-    component = min id of the node's SCC.  Self-loops are ignored (they
-    never change SCC membership)."""
+    """Returns (id, component) over every node incident to a NON-self-loop
+    edge, component = min id of the node's SCC.  Self-loops are dropped
+    before node extraction (they never change SCC membership), so a node
+    whose only edge is a self-loop produces no output row — callers
+    joining back to a node table should left-join and default to the node
+    itself.  The distributed path raises if the graph has not fully
+    decomposed within ``max_outer`` rounds (a truncated result would be
+    indistinguishable from a converged one)."""
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .filter(F.col("a") != F.col("b")).distinct())
     t = e.schema["a"].dataType.simpleString()
@@ -180,5 +185,11 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
             cur.join(found.withColumnRenamed("id", "a"), "a", "left_anti")
                .join(found.withColumnRenamed("id", "b"), "b", "left_anti"))
         nodes = _checkpoint(nodes.join(found, "id", "left_anti"))
-    assert done is not None
+    if not nodes.isEmpty():
+        raise RuntimeError(
+            f"SCC decomposition did not finish within max_outer={max_outer} "
+            "rounds — raise max_outer (each round peels at least one SCC "
+            "per color class)")
+    if done is None:                     # no non-self-loop edges at all
+        return spark.createDataFrame([], f"id {t}, component {t}")
     return done

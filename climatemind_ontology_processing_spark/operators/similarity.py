@@ -393,8 +393,16 @@ def _pq_codes_pandas(vec_col, codebooks, ccs):
             for s in range(m):
                 sub = mat[:, s * dsub:(s + 1) * dsub]
                 xx = (sub * sub).sum(axis=1)
-                d = np.round(xx[:, None] - 2.0 * (sub @ cbs[s].T)
-                             + ccs_np[s][None, :], 6)
+                raw = (xx[:, None] - 2.0 * (sub @ cbs[s].T)
+                       + ccs_np[s][None, :]) * 1e6
+                # HALF-AWAY-FROM-ZERO like Spark's round() (np.round is
+                # banker's half-even — would flip exact .5e-6 ties).  The
+                # residual divergence risk vs the literal path is numpy's
+                # blocked summation order shifting a value ACROSS a tie
+                # boundary (~1e-9/entry) — accepted, pinned by the
+                # path-equivalence test.
+                d = np.where(raw >= 0, np.floor(raw + 0.5),
+                             np.ceil(raw - 0.5)) / 1e6
                 codes[:, s] = d.argmin(axis=1)
             for row_i, i in enumerate(good):
                 out[i] = codes[row_i].tolist()
