@@ -407,6 +407,63 @@ def _q_eval_take_k(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def _q_hll_distinct_tokens(spark, sf_dir):
+    """HyperLogLog estimate of the corpus token-type cardinality
+    (operators/sketch.py — p=9, md5_60, integer-exact registers and
+    harmonic sum): the fixed-size mergeable alternative to the full
+    count-distinct shuffle at 10^12 docs.  Deterministic to the bit, so
+    the oracle replays registers AND estimate exactly."""
+    from climatemind_ontology_processing_spark.operators.lm import _doc_tokens
+    from climatemind_ontology_processing_spark.operators.sketch import (
+        hll_count_distinct)
+    docs = _read(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs, "doc_id", "text")
+    return (hll_count_distinct(toks, "tok", p=9)
+            .select("n_registers",
+                    F.col("estimate").cast("decimal(20,6)").cast("string")
+                     .alias("estimate")))
+
+
+def _hll_sql(p: int = 9) -> str:
+    from climatemind_ontology_processing_spark.operators.sketch import _alpha
+    m = 2 ** p
+    rem_bits = 60 - p
+    mask = 2 ** rem_bits - 1
+    s_exp = rem_bits + 1
+    alpha_m2 = _alpha(m) * m * m
+    return rf"""
+        WITH toks AS (
+          SELECT tok FROM (
+            SELECT unnest(string_split_regex(lower(text),
+                                             '[^\p{{L}}\p{{N}}]+')) AS tok
+            FROM documents) WHERE tok <> ''),
+        h AS (SELECT ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv
+              FROM toks),
+        rr AS (SELECT hv >> {rem_bits} AS register,
+                      CASE WHEN (hv & {mask}) > 0
+                           THEN {s_exp} - length(bin(hv & {mask}))
+                           ELSE {s_exp} END AS rho
+               FROM h),
+        regs AS (SELECT register, max(rho) AS max_rho FROM rr
+                 GROUP BY register),
+        agg AS (SELECT count(*)::BIGINT AS n_registers,
+                       sum(CAST(pow(2.0, {s_exp} - max_rho) AS BIGINT))
+                         ::BIGINT AS t
+                FROM regs)
+        SELECT n_registers,
+               (CASE WHEN ({alpha_m2!r} / ((t + ({m} - n_registers)
+                             * {2 ** s_exp})::DOUBLE / {float(2 ** s_exp)!r}))
+                          <= {2.5 * m!r}
+                      AND ({m} - n_registers) > 0
+                     THEN {float(m)!r} * ln({float(m)!r}
+                            / ({m} - n_registers)::DOUBLE)
+                     ELSE {alpha_m2!r} / ((t + ({m} - n_registers)
+                            * {2 ** s_exp})::DOUBLE / {float(2 ** s_exp)!r})
+                END)::DECIMAL(20,6)::VARCHAR AS estimate
+        FROM agg
+    """
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     """Tumbling 1-day event-time windows by event type — the SAME
     streaming.windows.windowed_counts expression the watermarked stream
@@ -1413,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": _q_training_mix,
         "eval_take_k": _q_eval_take_k,
         "windowed_event_counts": _q_windowed_event_counts,
+        "hll_distinct_tokens": _q_hll_distinct_tokens,
         "lang_percentiles": _q_lang_percentiles,
         "decontamination": _q_decontamination,
         "bpe_pair_counts": _q_bpe_pairs,
@@ -1667,6 +1725,7 @@ def oracle_sql() -> dict[str, str]:
                    'https://host' || doc_id || '.org/' AS curl_bare
             FROM documents ORDER BY doc_id
         """,
+        "hll_distinct_tokens": _hll_sql(),
         "windowed_event_counts": """
             SELECT epoch(time_bucket(INTERVAL '1 day', ts))::BIGINT AS ws,
                    event_type, count(*)::BIGINT AS n_events

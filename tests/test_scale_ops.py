@@ -511,3 +511,33 @@ def test_stratified_take_k_exact_and_nested(spark):
     assert again == k10
     with pytest.raises(ValueError):
         stratified_take_k(df, "lang", 0, key="doc_id")
+
+
+def test_hll_sketch_accuracy_merge_invariance(spark):
+    """HLL: ~2% error at p=9 on 10k distinct; linear counting on small
+    range; partition-invariant; registers from disjoint shards MERGE by
+    max to the whole-corpus sketch; in-plan == driver-side estimator."""
+    from climatemind_ontology_processing_spark.operators.sketch import (
+        hll_count_distinct, hll_estimate, hll_registers)
+    df = spark.range(10000).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("v"))
+    row = hll_count_distinct(df, "v", p=9).first()
+    assert abs(row.estimate - 10000) / 10000 < 0.05
+    assert hll_estimate(hll_registers(df, "v", p=9), p=9) == row.estimate
+    assert hll_count_distinct(df.repartition(13), "v", p=9) \
+        .first().estimate == row.estimate
+    # small range -> linear counting, near-exact
+    small = spark.range(40).select(
+        F.concat(F.lit("x-"), F.col("id")).alias("v"))
+    assert abs(hll_count_distinct(small, "v", p=9).first().estimate - 40) < 4
+    # mergeability: shard registers union + re-max == whole-corpus sketch
+    s1 = hll_registers(df.filter(F.col("v") < "item-5"), "v", p=9)
+    s2 = hll_registers(df.filter(F.col("v") >= "item-5"), "v", p=9)
+    merged = (s1.unionByName(s2).groupBy("register")
+              .agg(F.max("max_rho").alias("max_rho")))
+    assert hll_estimate(merged, p=9) == row.estimate
+    # duplicates don't change the sketch
+    dup = df.unionByName(df)
+    assert hll_count_distinct(dup, "v", p=9).first().estimate == row.estimate
+    with pytest.raises(ValueError):
+        hll_count_distinct(df, "v", p=2)
