@@ -464,6 +464,97 @@ def _hll_sql(p: int = 9) -> str:
     """
 
 
+_SKETCH_PROBES = ["hash", "join", "vector", "stream", "zzzabsent", "qqqabsent"]
+
+
+def _q_cms_token_counts(spark, sf_dir):
+    """Count-min frequency estimates for six probe tokens (4x1024 sketch
+    over ALL token occurrences — operators/sketch.cms_table/cms_lookup).
+    Exact BIGINT cells; shards would merge by (row, bucket) SUM."""
+    from climatemind_ontology_processing_spark.operators.lm import _doc_tokens
+    from climatemind_ontology_processing_spark.operators.sketch import (
+        cms_lookup, cms_table)
+    docs = _read(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs, "doc_id", "text")
+    sk = cms_table(toks, "tok", depth=4, width=1024)
+    return cms_lookup(sk, _SKETCH_PROBES, depth=4, width=1024).orderBy("item")
+
+
+def _q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership probes (k=5, m=8192 over the corpus token
+    types — operators/sketch.bloom_bits/bloom_contains): present terms
+    always hit; the absent probes show the (tiny at this load factor)
+    false-positive behavior deterministically."""
+    from climatemind_ontology_processing_spark.operators.lm import _doc_tokens
+    from climatemind_ontology_processing_spark.operators.sketch import (
+        bloom_bits, bloom_contains)
+    docs = _read(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs, "doc_id", "text")
+    bits = bloom_bits(toks, "tok", k=5, m_bits=8192)
+    return (bloom_contains(bits, _SKETCH_PROBES, k=5, m_bits=8192)
+            .select("item", F.col("maybe_present").cast("string")
+                    .alias("maybe_present"))
+            .orderBy("item"))
+
+
+def _sketch_tok_cte() -> str:
+    return r"""toks AS (
+          SELECT tok FROM (
+            SELECT unnest(string_split_regex(lower(text),
+                                             '[^\p{L}\p{N}]+')) AS tok
+            FROM documents) WHERE tok <> '')"""
+
+
+def _cms_sql(depth: int = 4, width: int = 1024) -> str:
+    probes = ", ".join(f"('{v}')" for v in sorted(set(_SKETCH_PROBES)))
+    rows = ", ".join(f"({j})" for j in range(depth))
+    return f"""
+        WITH {_sketch_tok_cte()},
+        cells AS (
+          SELECT r.j AS row,
+                 ('0x' || substring(md5('cms' || r.j::VARCHAR || chr(31)
+                                        || tok), 1, 15))::BIGINT
+                 % {width} AS bucket
+          FROM toks CROSS JOIN (VALUES {rows}) AS r(j)),
+        sk AS (SELECT row, bucket, count(*)::BIGINT AS cnt FROM cells
+               GROUP BY row, bucket),
+        pr AS (
+          SELECT p.item, r.j AS row,
+                 ('0x' || substring(md5('cms' || r.j::VARCHAR || chr(31)
+                                        || p.item), 1, 15))::BIGINT
+                 % {width} AS bucket
+          FROM (VALUES {probes}) AS p(item) CROSS JOIN (VALUES {rows}) AS r(j))
+        SELECT pr.item, min(coalesce(sk.cnt, 0))::BIGINT AS est
+        FROM pr LEFT JOIN sk ON sk.row = pr.row AND sk.bucket = pr.bucket
+        GROUP BY pr.item ORDER BY pr.item
+    """
+
+
+def _bloom_sql(k: int = 5, m_bits: int = 8192) -> str:
+    probes = ", ".join(f"('{v}')" for v in sorted(set(_SKETCH_PROBES)))
+    salts = ", ".join(f"({i})" for i in range(k))
+    return f"""
+        WITH {_sketch_tok_cte()},
+        bits AS (
+          SELECT DISTINCT
+                 ('0x' || substring(md5('bloom' || s.i::VARCHAR || chr(31)
+                                        || tok), 1, 15))::BIGINT
+                 % {m_bits} AS bit
+          FROM toks CROSS JOIN (VALUES {salts}) AS s(i)),
+        pr AS (
+          SELECT p.item,
+                 ('0x' || substring(md5('bloom' || s.i::VARCHAR || chr(31)
+                                        || p.item), 1, 15))::BIGINT
+                 % {m_bits} AS bit
+          FROM (VALUES {probes}) AS p(item) CROSS JOIN (VALUES {salts}) AS s(i))
+        SELECT item,
+               CASE WHEN count(*) FILTER (WHERE bits.bit IS NOT NULL) = {k}
+                    THEN 'true' ELSE 'false' END AS maybe_present
+        FROM pr LEFT JOIN bits ON bits.bit = pr.bit
+        GROUP BY item ORDER BY item
+    """
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     """Tumbling 1-day event-time windows by event type — the SAME
     streaming.windows.windowed_counts expression the watermarked stream
@@ -1471,6 +1562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_take_k": _q_eval_take_k,
         "windowed_event_counts": _q_windowed_event_counts,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
+        "cms_token_counts": _q_cms_token_counts,
+        "bloom_membership": _q_bloom_membership,
         "lang_percentiles": _q_lang_percentiles,
         "decontamination": _q_decontamination,
         "bpe_pair_counts": _q_bpe_pairs,
@@ -1726,6 +1819,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "hll_distinct_tokens": _hll_sql(),
+        "cms_token_counts": _cms_sql(),
+        "bloom_membership": _bloom_sql(),
         "windowed_event_counts": """
             SELECT epoch(time_bucket(INTERVAL '1 day', ts))::BIGINT AS ws,
                    event_type, count(*)::BIGINT AS n_events

@@ -113,3 +113,98 @@ def hll_count_distinct(df: DataFrame, col: str | Column, p: int = 9,
                  F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))) \
         .otherwise(est_raw)
     return agg.select("n_registers", est.alias("estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — frequency estimation / heavy hitters
+# ---------------------------------------------------------------------------
+def cms_table(df: DataFrame, col: str | Column, depth: int = 4,
+              width: int = 1024, hash_family: str = "md5_60") -> DataFrame:
+    """(row, bucket, cnt) — the count-min matrix as a sparse table (at most
+    depth * width rows after aggregation, regardless of corpus size).
+    Row j's hash is the shared ``token_hash`` salted with j; counts are
+    exact BIGINTs, so shards merge by (row, bucket) SUM and the whole
+    sketch replays engine-exactly.  Point estimate: min over rows of the
+    (row, h_j(x)) cell — see ``cms_lookup``."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
+    c = F.col(col) if isinstance(col, str) else col
+    rows = df.filter(c.isNotNull()).select(c.cast("string").alias("_v"))
+    cells = rows.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(j).alias("row"),
+            F.pmod(token_hash(F.concat_ws("\x1f", F.lit(f"cms{j}"),
+                                          F.col("_v")), hash_family),
+                   F.lit(width)).alias("bucket"))
+        for j in range(depth)])).alias("c")) \
+        .select("c.row", "c.bucket")
+    return cells.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_lookup(sketch: DataFrame, probes: list[str], depth: int = 4,
+               width: int = 1024, hash_family: str = "md5_60") -> DataFrame:
+    """(item, est) — upper-bound frequency estimates for ``probes`` from a
+    ``cms_table`` sketch: est = min over rows of the probed cell (absent
+    cell = 0).  The probe table is depth * |probes| rows and broadcasts;
+    overestimation is bounded by collisions (eps ~ e/width with prob
+    1 - 1/e^depth), never underestimation."""
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    spark = sketch.sparkSession
+    probe_rows = [(v, j) for v in sorted(set(probes)) for j in range(depth)]
+    pr = spark.createDataFrame(probe_rows, "item string, row int")
+    pr = pr.select(
+        "item", "row",
+        F.pmod(token_hash(F.concat_ws(
+            "\x1f", F.concat(F.lit("cms"), F.col("row").cast("string")),
+            F.col("item")), hash_family), F.lit(width)).alias("bucket"))
+    joined = (pr.join(sketch, ["row", "bucket"], "left")
+              .select("item", F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    return joined.groupBy("item").agg(F.min("cnt").alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — set membership
+# ---------------------------------------------------------------------------
+def bloom_bits(df: DataFrame, col: str | Column, k: int = 5,
+               m_bits: int = 8192, hash_family: str = "md5_60") -> DataFrame:
+    """(bit,) — the SET bit positions of a Bloom filter over ``col`` (sparse
+    representation; at most m_bits rows).  Shards merge by UNION DISTINCT
+    (bitwise OR).  False-positive rate ~ (1 - e^(-k*n/m))^k; never false
+    negatives."""
+    if k < 1 or m_bits < 2:
+        raise ValueError(f"need k >= 1, m_bits >= 2; got k={k}, m={m_bits}")
+    c = F.col(col) if isinstance(col, str) else col
+    rows = df.filter(c.isNotNull()).select(c.cast("string").alias("_v"))
+    return (rows.select(F.explode(F.array(*[
+        F.pmod(token_hash(F.concat_ws("\x1f", F.lit(f"bloom{i}"),
+                                      F.col("_v")), hash_family),
+               F.lit(m_bits))
+        for i in range(k)])).alias("bit"))
+        .distinct())
+
+
+def bloom_contains(bits: DataFrame, probes: list[str], k: int = 5,
+                   m_bits: int = 8192,
+                   hash_family: str = "md5_60") -> DataFrame:
+    """(item, maybe_present) — membership probes against ``bloom_bits``:
+    present iff ALL k probed bits are set (semi-join count == k)."""
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    spark = bits.sparkSession
+    pr = spark.createDataFrame(
+        [(v, i) for v in sorted(set(probes)) for i in range(k)],
+        "item string, i int")
+    pr = pr.select(
+        "item",
+        F.pmod(token_hash(F.concat_ws(
+            "\x1f", F.concat(F.lit("bloom"), F.col("i").cast("string")),
+            F.col("item")), hash_family), F.lit(m_bits)).alias("bit"))
+    hits = (pr.join(bits, "bit", "left_semi")
+            .groupBy("item").agg(F.count("*").alias("_hits")))
+    base = spark.createDataFrame([(v,) for v in sorted(set(probes))],
+                                 "item string")
+    return (base.join(hits, "item", "left")
+            .select("item",
+                    (F.coalesce("_hits", F.lit(0)) == k)
+                    .alias("maybe_present")))

@@ -541,3 +541,52 @@ def test_hll_sketch_accuracy_merge_invariance(spark):
     assert hll_count_distinct(dup, "v", p=9).first().estimate == row.estimate
     with pytest.raises(ValueError):
         hll_count_distinct(df, "v", p=2)
+
+
+def test_cms_upper_bound_and_merge(spark):
+    """Count-min never underestimates; at low load it is exact; shard
+    sketches merge by (row, bucket) sum."""
+    from climatemind_ontology_processing_spark.operators.sketch import (
+        cms_lookup, cms_table)
+    data = ["a"] * 50 + ["b"] * 7 + ["c"] * 1
+    df = spark.createDataFrame([(v,) for v in data], "v string")
+    sk = cms_table(df, "v", depth=4, width=64)
+    got = {r.item: r.est for r in
+           cms_lookup(sk, ["a", "b", "c", "nope"], depth=4, width=64).collect()}
+    assert got["a"] >= 50 and got["b"] >= 7 and got["c"] >= 1
+    # low load (3 distinct in 64 buckets): exact with high probability,
+    # and deterministic — pin the values
+    assert got == {"a": 50, "b": 7, "c": 1, "nope": 0}
+    # merge: two shards summed == whole (deterministic id-based split)
+    idx = spark.createDataFrame(list(enumerate(data)), "i long, v string")
+    s1 = cms_table(idx.filter(F.col("i") < 30), "v", depth=4, width=64)
+    s2 = cms_table(idx.filter(F.col("i") >= 30), "v", depth=4, width=64)
+    merged = (s1.unionByName(s2).groupBy("row", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    m = {r.item: r.est for r in
+         cms_lookup(merged, ["a", "b", "c"], depth=4, width=64).collect()}
+    assert m == {"a": 50, "b": 7, "c": 1}
+    with pytest.raises(ValueError):
+        cms_lookup(sk, [])
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted item probes present; shard bit-sets merge by union;
+    absent probes are deterministic."""
+    from climatemind_ontology_processing_spark.operators.sketch import (
+        bloom_bits, bloom_contains)
+    items = [f"key-{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in items], "v string")
+    bits = bloom_bits(df, "v", k=5, m_bits=4096)
+    got = {r.item: r.maybe_present for r in
+           bloom_contains(bits, items[:20] + ["absent-x"], k=5,
+                          m_bits=4096).collect()}
+    assert all(got[i] for i in items[:20])       # no false negatives, ever
+    # merged shards == whole corpus filter
+    b1 = bloom_bits(df.limit(100), "v", k=5, m_bits=4096)
+    b2 = bloom_bits(df.exceptAll(df.limit(100)), "v", k=5, m_bits=4096)
+    merged = b1.unionByName(b2).distinct()
+    got2 = {r.item: r.maybe_present for r in
+            bloom_contains(merged, items[:20], k=5, m_bits=4096).collect()}
+    assert all(got2.values())
+    assert merged.count() == bits.count()
