@@ -407,6 +407,50 @@ def _q_eval_take_k(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def _q_fuzzy_matches(spark, sf_dir):
+    """Blocked edit-distance entity linking (operators/linkage.py): corpus
+    token types fuzzy-joined against the concept term list at Levenshtein
+    <= 1 — catches plurals/typos the exact broadcast alias map misses.
+    The oracle mirrors the blocking exactly (DuckDB levenshtein agrees
+    integer-for-integer)."""
+    from climatemind_ontology_processing_spark.operators.linkage import (
+        fuzzy_matches)
+    from climatemind_ontology_processing_spark.operators.lm import _doc_tokens
+    docs = _read(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs, "doc_id", "text") \
+        .select(F.col("tok").alias("surface"))
+    terms = spark.createDataFrame([(t,) for t in TERMS], "term string")
+    return (fuzzy_matches(toks, terms, max_dist=1)
+            .orderBy("surface", "term"))
+
+
+def _fuzzy_sql() -> str:
+    terms_values = ", ".join(f"('{t}')" for t in sorted(TERMS))
+    return rf"""
+        WITH toks AS (
+          SELECT DISTINCT tok AS surface FROM (
+            SELECT unnest(string_split_regex(lower(text),
+                                             '[^\p{{L}}\p{{N}}]+')) AS tok
+            FROM documents) WHERE tok <> ''),
+        trm(term) AS (VALUES {terms_values}),
+        c AS (SELECT surface, substring(surface, 1, 1) AS b1,
+                     CAST(floor(length(surface) / 4.0) AS BIGINT) AS b2
+              FROM toks),
+        d AS (SELECT term, substring(term, 1, 1) AS b1,
+                     unnest(list_distinct([
+                       CAST(floor((length(term) - 1) / 4.0) AS BIGINT),
+                       CAST(floor(length(term) / 4.0) AS BIGINT),
+                       CAST(floor((length(term) + 1) / 4.0) AS BIGINT)]))
+                       AS b2
+              FROM trm)
+        SELECT DISTINCT surface, term,
+               levenshtein(surface, term)::INT AS dist
+        FROM c JOIN d ON c.b1 = d.b1 AND c.b2 = d.b2
+        WHERE levenshtein(surface, term) <= 1
+        ORDER BY surface, term
+    """
+
+
 def _q_hll_distinct_tokens(spark, sf_dir):
     """HyperLogLog estimate of the corpus token-type cardinality
     (operators/sketch.py — p=9, md5_60, integer-exact registers and
@@ -1561,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": _q_training_mix,
         "eval_take_k": _q_eval_take_k,
         "windowed_event_counts": _q_windowed_event_counts,
+        "fuzzy_matches": _q_fuzzy_matches,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_token_counts": _q_cms_token_counts,
         "bloom_membership": _q_bloom_membership,
@@ -1818,6 +1863,7 @@ def oracle_sql() -> dict[str, str]:
                    'https://host' || doc_id || '.org/' AS curl_bare
             FROM documents ORDER BY doc_id
         """,
+        "fuzzy_matches": _fuzzy_sql(),
         "hll_distinct_tokens": _hll_sql(),
         "cms_token_counts": _cms_sql(),
         "bloom_membership": _bloom_sql(),

@@ -943,3 +943,29 @@ def test_shortest_paths_weighted_hand(spark):
     neg = spark.createDataFrame([("a", "b", -1)], "src string, dst string, w int")
     with pytest.raises(ValueError):
         shortest_paths(neg, ["a"], weight="w")
+
+
+def test_fuzzy_matches_typos_and_blocking(spark):
+    """Levenshtein-1 links plurals/typos; the documented blocking recall
+    bound (shared first char, adjacent length bucket) is pinned both ways."""
+    from climatemind_ontology_processing_spark.operators.linkage import (
+        fuzzy_matches)
+    corpus = spark.createDataFrame(
+        [("joins",), ("hsah",), ("vektor",), ("stream",), ("xyzzy",),
+         ("oin",)],
+        "surface string")
+    terms = spark.createDataFrame(
+        [("join",), ("hash",), ("vector",), ("stream",)], "term string")
+    got = {(r.surface, r.term): r.dist
+           for r in fuzzy_matches(corpus, terms, max_dist=1).collect()}
+    assert got[("joins", "join")] == 1         # plural
+    assert got[("vektor", "vector")] == 1      # typo
+    assert got[("stream", "stream")] == 0      # exact included
+    assert ("xyzzy", "vector") not in got      # far
+    # blocking recall bounds, documented not hidden:
+    assert ("hsah", "hash") not in got         # dist 2 anyway
+    assert ("oin", "join") not in got          # first-char block miss
+    # dist-2 typo found when max_dist=2
+    got2 = {(r.surface, r.term)
+            for r in fuzzy_matches(corpus, terms, max_dist=2).collect()}
+    assert ("hsah", "hash") in got2
