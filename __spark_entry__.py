@@ -354,6 +354,77 @@ def _bm25_sql() -> str:
     """
 
 
+def _q_bigram_lm_score(spark, sf_dir):
+    """Interpolated bigram LM cross-entropy (operators/lm.py
+    bigram_cross_entropy — the CCNet-direction upgrade of lm_score):
+    top-500 vocab + UNK classes, BOS-conditioned, lambda=0.7
+    bigram/unigram interpolation, micro-BIGINT exact."""
+    from climatemind_ontology_processing_spark.operators.lm import (
+        bigram_cross_entropy)
+    docs = _read(spark, sf_dir, "documents")
+    return (bigram_cross_entropy(docs, top_v=500, alpha=1.0, lam=0.7)
+            .select("doc_id", "n_tokens",
+                    F.col("ce_nats").cast("decimal(20,6)").cast("string")
+                     .alias("ce_nats"))
+            .orderBy("doc_id"))
+
+
+def _bigram_lm_sql(top_v: int = 500, a: float = 1.0, lam: float = 0.7) -> str:
+    oml = 1.0 - lam
+    return rf"""
+        WITH toks0 AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^\p{{L}}\p{{N}}]+'),
+                             x -> x <> '') AS tf
+          FROM documents),
+        ptk AS (
+          SELECT doc_id, s['pos'] AS pos, s['tok'] AS tok FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, len(tf)),
+                     i -> struct_pack(pos := i, tok := tf[i]))) AS s
+            FROM toks0)),
+        counts AS (SELECT tok, count(*)::BIGINT AS cnt FROM ptk GROUP BY tok),
+        vocab AS (SELECT tok FROM counts ORDER BY cnt DESC, tok ASC
+                  LIMIT {top_v}),
+        cls AS (
+          SELECT doc_id, pos,
+                 CASE WHEN tok IN (SELECT tok FROM vocab) THEN tok
+                      ELSE chr(0) || 'UNK' END AS cur
+          FROM ptk),
+        pairs AS (
+          SELECT doc_id, pos, cur,
+                 coalesce(lag(cur) OVER (PARTITION BY doc_id ORDER BY pos),
+                          chr(0) || 'BOS') AS prev
+          FROM cls),
+        c2 AS (SELECT prev, cur, count(*)::BIGINT AS c2 FROM pairs
+               GROUP BY prev, cur),
+        ctx AS (SELECT prev, count(*)::BIGINT AS ctx FROM pairs GROUP BY prev),
+        c1 AS (SELECT cur, count(*)::BIGINT AS c1 FROM pairs GROUP BY cur),
+        consts AS (SELECT (SELECT count(*) FROM pairs)::DOUBLE AS t,
+                          (SELECT count(*) + 1.0 FROM vocab) AS vp1),
+        scored AS (
+          SELECT p.doc_id,
+                 CAST(round(1e6 * round(ln(
+                   {lam!r} * ((coalesce(c2.c2, 0)::DOUBLE + {a!r})
+                              / (coalesce(ctx.ctx, 0)::DOUBLE
+                                 + {a!r} * c.vp1))
+                   + {oml!r} * ((coalesce(c1.c1, 0)::DOUBLE + {a!r})
+                                / (c.t + {a!r} * c.vp1))), 6)) AS BIGINT)
+                   AS lp
+          FROM pairs p
+          LEFT JOIN c2 ON c2.prev = p.prev AND c2.cur = p.cur
+          LEFT JOIN ctx ON ctx.prev = p.prev
+          LEFT JOIN c1 ON c1.cur = p.cur
+          CROSS JOIN consts c)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               round(-sum(lp) / (count(*) * 1e6), 6)
+                 ::DECIMAL(20,6)::VARCHAR AS ce_nats
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _q_canonical_urls(spark, sf_dir):
     """URL canonicalization (functions/urlnorm.py) over deterministically
     CONSTRUCTED messy URLs (scheme/host case, default port, tracking
@@ -1600,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash,               # md5_60 family: oracled
         "char_entropy": _q_char_entropy,
         "lm_score": _q_lm_score,
+        "bigram_lm_score": _q_bigram_lm_score,
         "bm25": _q_bm25,
         "canonical_urls": _q_canonical_urls,
         "training_mix": _q_training_mix,
@@ -1839,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "lm_score": _lm_score_sql(),
+        "bigram_lm_score": _bigram_lm_sql(),
         "bm25": _bm25_sql(),
         "char_entropy": """
             WITH ch AS (

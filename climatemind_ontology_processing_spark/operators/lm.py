@@ -80,3 +80,83 @@ def lm_cross_entropy(docs: DataFrame, id_col: str = "doc_id",
             .agg(F.count("*").alias("n_tokens"),
                  F.round(-F.sum("_lp") / (F.count("*") * 1e6), 6)
                   .alias("ce_nats")))
+
+
+_UNK = "\x00UNK"
+_BOS = "\x00BOS"
+
+
+def _class_stream(docs: DataFrame, vocab: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+    """(doc_id, pos, prev, cur): the token stream mapped to vocabulary
+    classes (out-of-vocabulary -> the UNK class) with each token paired
+    with its predecessor class (position 0 conditions on BOS).  The lag
+    runs per-document (window partitioned by doc), so state never crosses
+    documents."""
+    from pyspark.sql import Window
+    toks = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.filter(_tokens(F.col(text_col)),
+                              lambda t: t != "")).alias("pos", "tok")))
+    classed = (toks.join(F.broadcast(vocab.select("tok").withColumn(
+        "_inv", F.lit(1))), "tok", "left")
+        .select(id_col, "pos",
+                F.when(F.col("_inv") == 1, F.col("tok"))
+                 .otherwise(F.lit(_UNK)).alias("cur")))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return classed.select(
+        id_col, "pos", "cur",
+        F.coalesce(F.lag("cur").over(w), F.lit(_BOS)).alias("prev"))
+
+
+def bigram_cross_entropy(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", top_v: int = 10000,
+                         alpha: float = 1.0, lam: float = 0.7,
+                         train: DataFrame | None = None) -> DataFrame:
+    """(doc_id, n_tokens, ce_nats): interpolated bigram cross-entropy —
+    the step from ``lm_cross_entropy`` toward CCNet's n-gram LM quality
+    filter:
+
+      p(w | prev) = lam * (c2(prev,w)+a)/(ctx(prev)+a*(V+1))
+                  + (1-lam) * (c1(w)+a)/(T+a*(V+1))
+
+    over vocabulary classes (top-``top_v`` types + UNK; position 0
+    conditions on BOS).  Counts c2/ctx/c1 are exact integers from the
+    training stream; unseen contexts/bigrams at scoring time coalesce to
+    0 and the additive smoothing keeps every probability finite.  Plan
+    shape: one positioned explode + per-doc lag window, keys-only count
+    aggregations, then joins keyed on the class pair (AQE broadcasts the
+    count tables while they are small; at web scale they shuffle-join on
+    their keys — never the text).  Engine-exact via the micro-BIGINT
+    log-prob convention."""
+    tr = train if train is not None else docs
+    vocab = (unigram_counts(tr, id_col, text_col)
+             .orderBy(F.desc("cnt"), F.asc("tok")).limit(top_v)
+             .localCheckpoint(eager=True))
+    pairs_tr = _class_stream(tr, vocab, id_col, text_col)
+    c2 = pairs_tr.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    ctx = pairs_tr.groupBy("prev").agg(F.count("*").alias("ctx"))
+    c1 = pairs_tr.groupBy("cur").agg(F.count("*").alias("c1"))
+    consts = (pairs_tr.agg(F.count("*").cast("double").alias("_T"))
+              .crossJoin(vocab.agg(
+                  (F.count("*") + 1.0).alias("_vp1"))))
+
+    score_pairs = (pairs_tr if train is None
+                   else _class_stream(docs, vocab, id_col, text_col))
+    p_bi = ((F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(alpha))
+            / (F.coalesce(F.col("ctx"), F.lit(0)).cast("double")
+               + F.lit(alpha) * F.col("_vp1")))
+    p_uni = ((F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(alpha))
+             / (F.col("_T") + F.lit(alpha) * F.col("_vp1")))
+    p = F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni
+    lp_micro = F.round(F.round(F.log(p), 6) * 1e6).cast("long")
+    scored = (score_pairs
+              .join(c2, ["prev", "cur"], "left")
+              .join(ctx, "prev", "left")
+              .join(c1, "cur", "left")
+              .crossJoin(F.broadcast(consts))
+              .select(id_col, lp_micro.alias("_lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(-F.sum("_lp") / (F.count("*") * 1e6), 6)
+                  .alias("ce_nats")))

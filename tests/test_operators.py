@@ -969,3 +969,28 @@ def test_fuzzy_matches_typos_and_blocking(spark):
     got2 = {(r.surface, r.term)
             for r in fuzzy_matches(corpus, terms, max_dist=2).collect()}
     assert ("hsah", "hash") in got2
+
+
+def test_bigram_lm_order_sensitivity(spark):
+    """The interpolated bigram model distinguishes token ORDER: two docs
+    with identical unigram counts score differently when one follows the
+    trained transition structure — unigram lm_cross_entropy provably
+    cannot (it scores them identically)."""
+    from climatemind_ontology_processing_spark.operators.lm import (
+        bigram_cross_entropy, lm_cross_entropy)
+    train = spark.createDataFrame(
+        [(i, "a b a b a b a b") for i in range(5)],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(100, "a b a b"), (101, "b b a a")],   # same unigrams
+        "doc_id long, text string")
+    uni = {r.doc_id: r.ce_nats for r in
+           lm_cross_entropy(test, top_v=10, train=train).collect()}
+    assert uni[100] == uni[101]
+    bi = {r.doc_id: r.ce_nats for r in
+          bigram_cross_entropy(test, top_v=10, train=train).collect()}
+    assert bi[100] < bi[101]        # in-pattern doc is more probable
+    # self-scored corpus: every doc present, tokens counted once each
+    self_scored = bigram_cross_entropy(train, top_v=10).collect()
+    assert len(self_scored) == 5
+    assert all(r.n_tokens == 8 for r in self_scored)
