@@ -670,6 +670,26 @@ def _bloom_sql(k: int = 5, m_bits: int = 8192) -> str:
     """
 
 
+def _q_attribution_pairs(spark, sf_dir):
+    """Time-bounded attribution join (streaming/joins.attribution_join —
+    the SAME expression the watermarked stream-stream join runs, batch
+    side): purchases matched to the same user's clicks within the 30
+    minutes before them.  Timestamps emitted as exact epoch micros."""
+    from climatemind_ontology_processing_spark.streaming.joins import (
+        attribution_join)
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+    out = attribution_join(clicks, purchases, horizon="30 minutes")
+    return (out.select(
+        "user_id", "l_click_id", "r_purchase_id",
+        F.unix_micros(F.col("l_ts").cast("timestamp")).alias("click_us"),
+        F.unix_micros(F.col("r_ts").cast("timestamp")).alias("purchase_us"))
+        .orderBy("user_id", "l_click_id", "r_purchase_id"))
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     """Tumbling 1-day event-time windows by event type — the SAME
     streaming.windows.windowed_counts expression the watermarked stream
@@ -1677,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": _q_training_mix,
         "eval_take_k": _q_eval_take_k,
         "windowed_event_counts": _q_windowed_event_counts,
+        "attribution_pairs": _q_attribution_pairs,
         "fuzzy_matches": _q_fuzzy_matches,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_token_counts": _q_cms_token_counts,
@@ -1940,6 +1961,20 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_tokens": _hll_sql(),
         "cms_token_counts": _cms_sql(),
         "bloom_membership": _bloom_sql(),
+        "attribution_pairs": """
+            WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+                  WHERE event_type = 'purchase')
+            SELECT c.user_id, c.click_id AS l_click_id,
+                   p.purchase_id AS r_purchase_id,
+                   epoch_us(c.ts)::BIGINT AS click_us,
+                   epoch_us(p.ts)::BIGINT AS purchase_us
+            FROM c JOIN p ON p.user_id = c.user_id
+                 AND p.ts >= c.ts
+                 AND p.ts <= c.ts + INTERVAL '30 minutes'
+            ORDER BY c.user_id, l_click_id, r_purchase_id
+        """,
         "windowed_event_counts": """
             SELECT epoch(time_bucket(INTERVAL '1 day', ts))::BIGINT AS ws,
                    event_type, count(*)::BIGINT AS n_events

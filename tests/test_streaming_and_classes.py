@@ -378,3 +378,56 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     late_windows = {(ws.minute, we.minute): n for ws, we, k, n in got
                     if k == "b" and ws <= t(7) < we}
     assert late_windows == {(0, 10): 1, (5, 15): 2}
+
+
+def test_attribution_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream watermarked join == batch join on the union of all
+    deliveries, including a right-side event arriving in a later
+    micro-batch than its matching left row."""
+    import datetime as dt
+
+    from climatemind_ontology_processing_spark.streaming.joins import (
+        attribution_join)
+
+    def t(minute):
+        return dt.datetime(2026, 3, 1, 9, minute)
+
+    lsrc = str(tmp_path / "aj_l")
+    rsrc = str(tmp_path / "aj_r")
+    out = str(tmp_path / "aj_out")
+    ckpt = str(tmp_path / "aj_ckpt")
+    lschema = "user_id long, ts timestamp, click string"
+    rschema = "user_id long, ts timestamp, purchase string"
+
+    l1 = [(1, t(0), "c1"), (2, t(5), "c2"), (1, t(50), "c3")]
+    r1 = [(1, t(10), "p1")]                      # matches c1 (within 30m)
+    r2 = [(2, t(20), "p2"),                      # matches c2, LATE batch
+          (1, t(55), "p3"),                      # matches c3
+          (3, t(30), "p4")]                      # no click -> no match
+
+    def run():
+        ls = spark.readStream.schema(lschema).parquet(lsrc)
+        rs = spark.readStream.schema(rschema).parquet(rsrc)
+        q = (attribution_join(ls, rs, horizon="30 minutes",
+                              watermark="2 hours")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    spark.createDataFrame(l1, lschema).write.mode("append").parquet(lsrc)
+    spark.createDataFrame(r1, rschema).write.mode("append").parquet(rsrc)
+    run()
+    spark.createDataFrame(r2, rschema).write.mode("append").parquet(rsrc)
+    run()
+
+    batch = attribution_join(
+        spark.createDataFrame(l1, lschema),
+        spark.createDataFrame(r1 + r2, rschema), horizon="30 minutes")
+    want = {(r.user_id, r.l_click, r.r_purchase) for r in batch.collect()}
+    got = {(r.user_id, r.l_click, r.r_purchase)
+           for r in spark.read.parquet(out).collect()}
+    assert got == want
+    assert (1, "c1", "p1") in got and (2, "c2", "p2") in got
+    assert (1, "c3", "p3") in got
+    assert not any(u == 3 for u, _, _ in got)
