@@ -1219,6 +1219,20 @@ def _q_connected_components(spark, sf_dir):
             .orderBy("id"))
 
 
+def _q_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the undirected trade graph
+    (operators/graphstats.degree_assortativity) — exact integer moment
+    sums, engine-exact final correlation."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        degree_assortativity)
+    edges = _trade_edges(spark, sf_dir) \
+        .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0)
+    return (degree_assortativity(edges)
+            .select("n_edges",
+                    F.col("assortativity").cast("decimal(20,6)")
+                     .cast("string").alias("assortativity")))
+
+
 def _q_adamic_adar(spark, sf_dir):
     """Common-neighbor link prediction (operators/graphstats.adamic_adar)
     over the sparse undirected trade subgraph: Adamic-Adar scores as
@@ -1738,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "scc": _q_scc,
         "adamic_adar": _q_adamic_adar,
+        "assortativity": _q_assortativity,
         "k_core": _q_k_core,
         "clustering_coefficients": _q_clustering_coefficients,
         "pagerank": _q_pagerank,
@@ -2483,6 +2498,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id::INT AS id, min(r)::INT AS component
             FROM reach GROUP BY id ORDER BY id
+        """,
+        "assortativity": f"""
+            WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+            sparse AS (SELECT src, dst FROM all_edges
+                       WHERE (src * 31 + dst) % 7 = 0),
+            e AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+              FROM sparse WHERE least(src, dst) <> greatest(src, dst)),
+            sym AS (SELECT lo AS u, hi AS v FROM e
+                    UNION ALL SELECT hi, lo FROM e),
+            deg AS (SELECT u AS n, count(*)::BIGINT AS d FROM sym GROUP BY u),
+            b AS (SELECT du.d AS du, dv.d AS dv
+                  FROM sym s JOIN deg du ON du.n = s.u
+                             JOIN deg dv ON dv.n = s.v),
+            a AS (SELECT count(*)::BIGINT AS n,
+                         sum(du)::BIGINT AS s1, sum(dv)::BIGINT AS s2,
+                         sum(du * dv)::BIGINT AS s11,
+                         sum(du * du)::BIGINT AS s20,
+                         sum(dv * dv)::BIGINT AS s02
+                  FROM b)
+            SELECT (n / 2)::BIGINT AS n_edges,
+                   (CASE WHEN sqrt((n * s20 - s1 * s1)::DOUBLE
+                                   * (n * s02 - s2 * s2)::DOUBLE) > 0
+                         THEN round((n * s11 - s1 * s2)::DOUBLE
+                                    / sqrt((n * s20 - s1 * s1)::DOUBLE
+                                           * (n * s02 - s2 * s2)::DOUBLE), 6)
+                         ELSE 0.0 END)::DECIMAL(20,6)::VARCHAR
+                     AS assortativity
+            FROM a
         """,
         "adamic_adar": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),

@@ -173,3 +173,43 @@ def clustering_coefficients(edges: DataFrame, src: str = "src",
             6) * 1e6)).otherwise(F.lit(0.0)).cast("long")
     return (deg.join(tri, "id")
             .select("id", "degree", "n_triangles", lcc.alias("lcc_micro")))
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """One row (n_edges, assortativity): Newman's degree assortativity —
+    the Pearson correlation of endpoint degrees over the symmetrized
+    undirected edge list.  Positive = hubs attach to hubs (social-like),
+    negative = hub-and-spoke (web/biology-like); a KG-structure health
+    signal next to triangles/clustering.
+
+    All moment sums (S1, S11, S20, ...) aggregate EXACT BIGINTs (degrees
+    are integers), so the correlation is a pure function of six integers
+    and the final double expression replays engine-exactly; only one
+    keys-only degree join and one 1-row aggregate."""
+    e = undirected_canonical(edges, src, dst).localCheckpoint(eager=True)
+    sym = (e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+           .unionByName(e.select(F.col("hi").alias("u"),
+                                 F.col("lo").alias("v"))))
+    deg = (sym.groupBy("u").agg(F.count("*").alias("d"))
+           .withColumnRenamed("u", "n"))
+    both = (sym.join(deg.select(F.col("n").alias("u"),
+                                F.col("d").alias("du")), "u")
+            .join(deg.select(F.col("n").alias("v"),
+                             F.col("d").alias("dv")), "v"))
+    agg = both.agg(
+        F.count("*").alias("n"),
+        F.sum("du").alias("s1"), F.sum("dv").alias("s2"),
+        F.sum(F.col("du") * F.col("dv")).alias("s11"),
+        F.sum(F.col("du") * F.col("du")).alias("s20"),
+        F.sum(F.col("dv") * F.col("dv")).alias("s02"))
+    num = (F.col("n") * F.col("s11") - F.col("s1") * F.col("s2")) \
+        .cast("double")
+    den = F.sqrt((F.col("n") * F.col("s20") - F.col("s1") * F.col("s1"))
+                 .cast("double")
+                 * (F.col("n") * F.col("s02") - F.col("s2") * F.col("s2"))
+                 .cast("double"))
+    return agg.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.when(den > 0.0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+         .alias("assortativity"))

@@ -994,3 +994,36 @@ def test_bigram_lm_order_sensitivity(spark):
     self_scored = bigram_cross_entropy(train, top_v=10).collect()
     assert len(self_scored) == 5
     assert all(r.n_tokens == 8 for r in self_scored)
+
+
+def test_degree_assortativity_hand_graphs(spark):
+    """Star graph -> strongly disassortative (r = -1 for a pure star);
+    regular graph -> zero-variance degenerate case returns 0; a clique
+    plus pendant mixes."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        degree_assortativity)
+    star = spark.createDataFrame(
+        [("hub", f"l{i}") for i in range(6)], "src string, dst string")
+    r_star = degree_assortativity(star).first()
+    assert r_star.n_edges == 6 and r_star.assortativity == -1.0
+    # 4-cycle: every node degree 2 -> no degree variance -> 0 by contract
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string")
+    r_cyc = degree_assortativity(cyc).first()
+    assert r_cyc.assortativity == 0.0
+    # python reference on an irregular graph
+    import math
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = degree_assortativity(df).first()
+    deg = {"a": 2, "b": 2, "c": 3, "d": 1}
+    pairs = [(deg[u], deg[v]) for u, v in rows] + \
+            [(deg[v], deg[u]) for u, v in rows]
+    n = len(pairs)
+    s1 = sum(u for u, _ in pairs); s2 = sum(v for _, v in pairs)
+    s11 = sum(u * v for u, v in pairs)
+    s20 = sum(u * u for u, _ in pairs); s02 = sum(v * v for _, v in pairs)
+    ref = (n * s11 - s1 * s2) / math.sqrt(
+        float(n * s20 - s1 * s1) * float(n * s02 - s2 * s2))
+    assert got.assortativity == round(ref, 6)
