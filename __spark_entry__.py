@@ -498,15 +498,12 @@ def _q_fuzzy_matches(spark, sf_dir):
 def _fuzzy_sql() -> str:
     terms_values = ", ".join(f"('{t}')" for t in sorted(TERMS))
     return rf"""
-        WITH toks AS (
-          SELECT DISTINCT tok AS surface FROM (
-            SELECT unnest(string_split_regex(lower(text),
-                                             '[^\p{{L}}\p{{N}}]+')) AS tok
-            FROM documents) WHERE tok <> ''),
+        WITH {_sketch_tok_cte()},
+        surfaces AS (SELECT DISTINCT tok AS surface FROM toks),
         trm(term) AS (VALUES {terms_values}),
         c AS (SELECT surface, substring(surface, 1, 1) AS b1,
                      CAST(floor(length(surface) / 4.0) AS BIGINT) AS b2
-              FROM toks),
+              FROM surfaces),
         d AS (SELECT term, substring(term, 1, 1) AS b1,
                      unnest(list_distinct([
                        CAST(floor((length(term) - 1) / 4.0) AS BIGINT),
@@ -547,11 +544,7 @@ def _hll_sql(p: int = 9) -> str:
     s_exp = rem_bits + 1
     alpha_m2 = _alpha(m) * m * m
     return rf"""
-        WITH toks AS (
-          SELECT tok FROM (
-            SELECT unnest(string_split_regex(lower(text),
-                                             '[^\p{{L}}\p{{N}}]+')) AS tok
-            FROM documents) WHERE tok <> ''),
+        WITH {_sketch_tok_cte()},
         h AS (SELECT ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv
               FROM toks),
         rr AS (SELECT hv >> {rem_bits} AS register,

@@ -186,13 +186,28 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
     All moment sums (S1, S11, S20, ...) aggregate EXACT BIGINTs (degrees
     are integers), so the correlation is a pure function of six integers
     and the final double expression replays engine-exactly; only one
-    keys-only degree join and one 1-row aggregate."""
+    keys-only degree join and one 1-row aggregate.
+
+    Overflow guard: ``n * S20`` must fit a signed 64-bit long — bounded by
+    ``2|E| * max_deg^2 * 2|E|``; the operator checks the bound from the
+    (already-computed) degree table and raises with guidance rather than
+    overflowing (ANSI mode would throw mid-query; non-ANSI would silently
+    wrap).  For hub-degree graphs beyond the bound, cap or sample degrees
+    upstream — a 10^6-degree hub dominates the correlation anyway."""
     e = undirected_canonical(edges, src, dst).localCheckpoint(eager=True)
     sym = (e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
            .unionByName(e.select(F.col("hi").alias("u"),
                                  F.col("lo").alias("v"))))
     deg = (sym.groupBy("u").agg(F.count("*").alias("d"))
            .withColumnRenamed("u", "n"))
+    bound = deg.agg(F.max("d").alias("maxd"),
+                    F.sum("d").alias("nsym")).first()
+    if bound["maxd"] is not None and \
+            bound["nsym"] * bound["maxd"] ** 2 * bound["nsym"] >= 2 ** 62:
+        raise ValueError(
+            "degree moments would overflow 64-bit integer sums "
+            f"(2|E|={bound['nsym']}, max_deg={bound['maxd']}); cap hub "
+            "degrees upstream before computing assortativity")
     both = (sym.join(deg.select(F.col("n").alias("u"),
                                 F.col("d").alias("du")), "u")
             .join(deg.select(F.col("n").alias("v"),

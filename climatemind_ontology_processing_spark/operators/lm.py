@@ -133,7 +133,13 @@ def bigram_cross_entropy(docs: DataFrame, id_col: str = "doc_id",
     vocab = (unigram_counts(tr, id_col, text_col)
              .orderBy(F.desc("cnt"), F.asc("tok")).limit(top_v)
              .localCheckpoint(eager=True))
-    pairs_tr = _class_stream(tr, vocab, id_col, text_col)
+    # materialized ONCE: four consumers (c2/ctx/c1 counts + the scoring
+    # branch when self-scoring) would otherwise re-run the tokenize +
+    # vocab-join + per-doc window subtree up to 4x (self-join attribute
+    # rewrites defeat exchange reuse); the stream is (id, pos, prev, cur)
+    # — small relative to the text it came from
+    pairs_tr = _class_stream(tr, vocab, id_col, text_col) \
+        .localCheckpoint(eager=True)
     c2 = pairs_tr.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
     ctx = pairs_tr.groupBy("prev").agg(F.count("*").alias("ctx"))
     c1 = pairs_tr.groupBy("cur").agg(F.count("*").alias("c1"))

@@ -54,6 +54,13 @@ def hll_registers(df: DataFrame, col: str | Column, p: int = 9,
     shards by unioning and re-aggregating."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
+    if hash_family != "md5_60":
+        # the register/rho bit math assumes a NON-NEGATIVE 60-bit hash;
+        # xxhash64's signed 64-bit output would sign-extend through
+        # shiftright into negative registers and a garbage estimate
+        raise ValueError("hll requires hash_family='md5_60' "
+                         f"(got {hash_family!r}: signed 64-bit hashes break "
+                         "the 60-bit register layout)")
     c = F.col(col) if isinstance(col, str) else col
     h = token_hash(c.cast("string"), hash_family)
     rem_bits = _HASH_BITS - p
@@ -104,7 +111,9 @@ def hll_count_distinct(df: DataFrame, col: str | Column, p: int = 9,
     term = F.pow(F.lit(2.0), F.lit(s_exp) - F.col("max_rho")).cast("long")
     agg = regs.agg(F.count("*").alias("n_registers"),
                    F.sum(term).alias("_t"))
-    total = (F.col("_t")
+    # empty input: sum is NULL but the m empty registers still contribute
+    # (matches hll_estimate's 0.0 on an empty register table)
+    total = (F.coalesce(F.col("_t"), F.lit(0).cast("long"))
              + (F.lit(m) - F.col("n_registers")) * F.lit(2 ** s_exp))
     harm = total.cast("double") / F.lit(float(2 ** s_exp))
     est_raw = F.lit(_alpha(m) * m * m) / harm
@@ -118,6 +127,19 @@ def hll_count_distinct(df: DataFrame, col: str | Column, p: int = 9,
 # ---------------------------------------------------------------------------
 # Count-min sketch — frequency estimation / heavy hitters
 # ---------------------------------------------------------------------------
+def _salted_bucket(value: Column, prefix: str, salt: Column | int,
+                   modulus: int, hash_family: str) -> Column:
+    """The ONE probe-key contract shared by sketch writers and readers:
+    ``pmod(hash("{prefix}{salt}\\x1f{value}"), modulus)``.  Writer and
+    reader MUST produce byte-identical salt strings or probes silently
+    miss their cells (an under-estimate for CMS) — hence a single
+    helper."""
+    salt_str = (F.lit(f"{prefix}{salt}") if isinstance(salt, int)
+                else F.concat(F.lit(prefix), salt.cast("string")))
+    return F.pmod(token_hash(F.concat_ws("\x1f", salt_str, value),
+                             hash_family), F.lit(modulus))
+
+
 def cms_table(df: DataFrame, col: str | Column, depth: int = 4,
               width: int = 1024, hash_family: str = "md5_60") -> DataFrame:
     """(row, bucket, cnt) — the count-min matrix as a sparse table (at most
@@ -133,9 +155,8 @@ def cms_table(df: DataFrame, col: str | Column, depth: int = 4,
     cells = rows.select(F.explode(F.array(*[
         F.struct(
             F.lit(j).alias("row"),
-            F.pmod(token_hash(F.concat_ws("\x1f", F.lit(f"cms{j}"),
-                                          F.col("_v")), hash_family),
-                   F.lit(width)).alias("bucket"))
+            _salted_bucket(F.col("_v"), "cms", j, width, hash_family)
+            .alias("bucket"))
         for j in range(depth)])).alias("c")) \
         .select("c.row", "c.bucket")
     return cells.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
@@ -155,9 +176,8 @@ def cms_lookup(sketch: DataFrame, probes: list[str], depth: int = 4,
     pr = spark.createDataFrame(probe_rows, "item string, row int")
     pr = pr.select(
         "item", "row",
-        F.pmod(token_hash(F.concat_ws(
-            "\x1f", F.concat(F.lit("cms"), F.col("row").cast("string")),
-            F.col("item")), hash_family), F.lit(width)).alias("bucket"))
+        _salted_bucket(F.col("item"), "cms", F.col("row"), width,
+                       hash_family).alias("bucket"))
     joined = (pr.join(sketch, ["row", "bucket"], "left")
               .select("item", F.coalesce("cnt", F.lit(0)).alias("cnt")))
     return joined.groupBy("item").agg(F.min("cnt").alias("est"))
@@ -177,9 +197,7 @@ def bloom_bits(df: DataFrame, col: str | Column, k: int = 5,
     c = F.col(col) if isinstance(col, str) else col
     rows = df.filter(c.isNotNull()).select(c.cast("string").alias("_v"))
     return (rows.select(F.explode(F.array(*[
-        F.pmod(token_hash(F.concat_ws("\x1f", F.lit(f"bloom{i}"),
-                                      F.col("_v")), hash_family),
-               F.lit(m_bits))
+        _salted_bucket(F.col("_v"), "bloom", i, m_bits, hash_family)
         for i in range(k)])).alias("bit"))
         .distinct())
 
@@ -197,9 +215,8 @@ def bloom_contains(bits: DataFrame, probes: list[str], k: int = 5,
         "item string, i int")
     pr = pr.select(
         "item",
-        F.pmod(token_hash(F.concat_ws(
-            "\x1f", F.concat(F.lit("bloom"), F.col("i").cast("string")),
-            F.col("item")), hash_family), F.lit(m_bits)).alias("bit"))
+        _salted_bucket(F.col("item"), "bloom", F.col("i"), m_bits,
+                       hash_family).alias("bit"))
     hits = (pr.join(bits, "bit", "left_semi")
             .groupBy("item").agg(F.count("*").alias("_hits")))
     base = spark.createDataFrame([(v,) for v in sorted(set(probes))],
