@@ -201,7 +201,12 @@ def _q_minhash_lsh(spark, sf_dir):
     side; the oracle joins on the slice string itself — identical up to
     64-bit band-hash collisions (~#buckets^2/2^64, zero at any tested SF)."""
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, hash_family="md5_60").orderBy("a", "b")
+    # max_bucket_size=None: the oracle enumerates EVERY band collision, so
+    # the registered query must model the same semantics — the production
+    # default cap (1000) is a guardrail pinned by the planted-10k-dup
+    # linearity pytest, not by this oracle
+    return minhash_lsh_pairs(docs, hash_family="md5_60",
+                             max_bucket_size=None).orderBy("a", "b")
 
 
 def _q_near_dup(spark, sf_dir):
@@ -210,7 +215,10 @@ def _q_near_dup(spark, sf_dir):
     see _q_minhash_lsh).  The exact-Jaccard subset relation vs
     `jaccard_pairs` is additionally pinned in pytest."""
     docs = _read(spark, sf_dir, "documents")
-    return (near_dup_pairs(docs, threshold=0.5, hash_family="md5_60")
+    # see _q_minhash_lsh: cap disabled so query == oracle semantics; the
+    # guardrails stay the production default, pinned by pytest
+    return (near_dup_pairs(docs, threshold=0.5, hash_family="md5_60",
+                           max_bucket_size=None)
             .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
             .orderBy("a", "b"))
 

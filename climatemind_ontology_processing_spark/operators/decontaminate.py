@@ -25,32 +25,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import let_bound, token_hash
+from .dedup import let_bound, shingle_hashes
 
-
-def _ngram_hashes(text_col, n: int, hash_family: str):
-    """array<long> of distinct word n-gram hashes of ``text_col`` — same
-    tokenization as dedup.with_shingles (lower + \\s+ split)."""
-    tokens = F.split(F.lower(text_col), r"\s+")
-    grams = let_bound(
-        tokens,
-        lambda t: F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
-            lambda i: token_hash(F.concat_ws(" ", F.slice(t, i + 1, n)),
-                                 hash_family)))
-    return F.array_distinct(grams)
+# the one shingling expression, imported from dedup so decontamination and
+# the dedup suite can never silently diverge on tokenization or hashing
+_ngram_hashes = shingle_hashes
 
 
 def benchmark_ngrams(benchmark_docs: DataFrame, text_col: str = "text",
                      n: int = 13,
                      hash_family: str = "xxhash64") -> DataFrame:
     """Distinct n-gram hash set of an evaluation benchmark ->
-    DataFrame[gram long].  Run once per benchmark and persist; the result
-    is the small broadcast side of every decontamination pass."""
+    DataFrame[gram long, hash_family string].  Run once per benchmark and
+    persist; the result is the small broadcast side of every
+    decontamination pass.  The ``hash_family`` marker column records which
+    family built the set — ``contaminated_docs`` validates it against its
+    own family, because a mismatch (e.g. an md5_60-built set probed with
+    the xxhash64 default) would match NOTHING and report every document
+    clean."""
     return (benchmark_docs
             .select(F.explode(_ngram_hashes(F.col(text_col), n,
                                             hash_family)).alias("gram"))
-            .distinct())
+            .distinct()
+            .withColumn("hash_family", F.lit(hash_family)))
 
 
 def contaminated_docs(docs: DataFrame, benchmark: DataFrame,
@@ -69,7 +66,21 @@ def contaminated_docs(docs: DataFrame, benchmark: DataFrame,
     pathological benchmark side (union of hundreds of suites beyond
     executor memory), ``broadcast_benchmark=False`` keeps a plain shuffled
     hash join keyed on the gram — the corpus side then shuffles its
-    (doc_id, gram) pairs once; still no document text in any exchange."""
+    (doc_id, gram) pairs once; still no document text in any exchange.
+
+    If the benchmark set carries ``benchmark_ngrams``' hash_family marker
+    column, it is validated against this call's ``hash_family`` — a
+    mismatch matches nothing and would silently report everything clean
+    (sets persisted before the marker existed skip the check)."""
+    if "hash_family" in benchmark.columns:
+        fams = [r[0] for r in
+                benchmark.select("hash_family").distinct().collect()]
+        if fams and fams != [hash_family]:
+            raise ValueError(
+                f"benchmark n-gram set was built with hash_family={fams} "
+                f"but this probe uses {hash_family!r} — the join would "
+                "match nothing and report every document clean")
+        benchmark = benchmark.drop("hash_family")
     grams = docs.select(
         F.col(id_col),
         F.explode(_ngram_hashes(F.col(text_col), n, hash_family))

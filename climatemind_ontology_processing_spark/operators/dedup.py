@@ -133,24 +133,29 @@ def let_bound(expr, fn):
     return F.element_at(F.transform(F.array(expr), fn), 1)
 
 
-def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
-                  out_col: str = "shingles",
-                  hash_family: str = "xxhash64") -> DataFrame:
-    """Word n-gram shingle set as an array<long> of hashes (``token_hash``
-    family; xxhash64 default, md5_60 for SQL-replayable variants).
-
-    Built entirely from JVM-side higher-order functions: tokenize ONCE
-    (let-bound), slide an n-window via transform over indices, hash each
-    shingle.
-    """
-    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+def shingle_hashes(text_col, n: int, hash_family: str = "xxhash64"):
+    """``array<long>`` of DISTINCT word n-gram hashes — THE shingling
+    contract (lower + ``\\s+`` tokenize ONCE via let-binding, n-window
+    slide, ``token_hash``).  Shared by the dedup suite and
+    ``decontaminate._ngram_hashes`` so the two can never silently diverge
+    on tokenization or hashing."""
+    tokens = F.split(F.lower(text_col), r"\s+")
     shingle = let_bound(
         tokens,
         lambda t: F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
             lambda i: token_hash(F.concat_ws(" ", F.slice(t, i + 1, n)),
                                  hash_family)))
-    return docs.withColumn(out_col, F.array_distinct(shingle))
+    return F.array_distinct(shingle)
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
+                  out_col: str = "shingles",
+                  hash_family: str = "xxhash64") -> DataFrame:
+    """Word n-gram shingle set as an array<long> of hashes (``token_hash``
+    family; xxhash64 default, md5_60 for SQL-replayable variants)."""
+    return docs.withColumn(out_col,
+                           shingle_hashes(F.col(text_col), n, hash_family))
 
 
 _MINHASH_P = (1 << 31) - 1   # Mersenne prime: a*x + b stays < 2^62 in long

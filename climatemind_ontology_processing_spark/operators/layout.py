@@ -72,8 +72,12 @@ def dag_layers(edges: DataFrame, src: str = "src", dst: str = "dst",
              .unionByName(ec.select(F.col("v").alias("id")))
              .distinct())
     layers = nodes.withColumn("layer", F.lit(0)).localCheckpoint(eager=True)
+    # true semi-naive: only nodes whose layer ROSE last round can raise a
+    # successor's layer, so each round joins edges against the (shrinking)
+    # frontier instead of the full layer table
+    frontier = layers
     for _ in range(max_iters):
-        prop = (ec.join(layers.withColumnRenamed("id", "u"), "u")
+        prop = (ec.join(frontier.withColumnRenamed("id", "u"), "u")
                 .groupBy(F.col("v").alias("id"))
                 .agg((F.max("layer") + 1).alias("_cand")))
         new = (layers.join(prop, "id", "left")
@@ -81,13 +85,18 @@ def dag_layers(edges: DataFrame, src: str = "src", dst: str = "dst",
                                         F.coalesce("_cand", F.lit(0)))
                        .alias("layer"))
                .localCheckpoint(eager=True))
-        changed = (new.join(layers.withColumnRenamed("layer", "_old"), "id")
-                   .filter(F.col("layer") != F.col("_old")))
+        frontier = (new.join(layers.withColumnRenamed("layer", "_old"), "id")
+                    .filter(F.col("layer") != F.col("_old"))
+                    .select("id", "layer")
+                    .localCheckpoint(eager=True))
         layers = new
-        if changed.isEmpty():
+        if frontier.isEmpty():
             return layers
-    raise ValueError("dag_layers did not converge — graph has a cycle "
-                     "(run make_acyclic first)")
+    raise RuntimeError(
+        f"dag_layers did not converge within max_iters={max_iters}: either "
+        "the graph has a cycle (run make_acyclic first) or its longest path "
+        "exceeds the cap on an ACYCLIC graph — raise max_iters for very "
+        "deep DAGs")
 
 
 def dot_layout(edges: DataFrame, src: str = "src", dst: str = "dst",

@@ -140,7 +140,11 @@ def encode_png(pixels: bytes, width: int, height: int,
                channels: int = 3) -> bytes:
     """Minimal matching encoder (filter 0 rows, one IDAT) — the round-trip
     partner of ``decode_png`` for tests and the PNG-in/PNG-out resize path."""
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    try:
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    except KeyError:
+        raise ValueError(f"unsupported channel count {channels} "
+                         "(expected 1, 2, 3, or 4)") from None
     stride = width * channels
     if len(pixels) != stride * height:
         raise ValueError("pixel buffer does not match dimensions")

@@ -28,6 +28,19 @@ from .dedup import token_hash
 _M = 1_000_000          # rate resolution: 1e-6
 
 
+def _rate_threshold(rate: float, what: str = "rate") -> int:
+    """Rate -> integer bucket threshold.  round(), not int(): float
+    truncation made 0.29 sample one-millionth low (0.29*1e6 =
+    289999.99999...), and sub-resolution positive rates silently kept
+    NOTHING — that case now raises."""
+    thr = int(round(rate * _M))
+    if rate > 0.0 and thr == 0:
+        raise ValueError(
+            f"{what}={rate} is below the 1e-6 sampling resolution "
+            "(would keep nothing); use 0.0 explicitly or a larger rate")
+    return thr
+
+
 def sample_bucket(key: Column, seed: int = 42,
                   hash_family: str = "xxhash64") -> Column:
     """Uniform bucket in [0, 1e6) derived from (seed, key) — the membership
@@ -46,7 +59,7 @@ def hash_sample(df: DataFrame, rate: float, key: str | Column,
     key_col = F.col(key) if isinstance(key, str) else key
     return df.filter(
         sample_bucket(key_col.cast("string"), seed, hash_family)
-        < F.lit(int(rate * _M)))
+        < F.lit(_rate_threshold(rate)))
 
 
 def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
@@ -66,9 +79,10 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
     key_col = F.col(key) if isinstance(key, str) else key
     rate_map = F.create_map(*[
         x for s, r in sorted(rates.items())
-        for x in (F.lit(s), F.lit(int(r * _M)))])
-    threshold = F.coalesce(F.element_at(rate_map, F.col(strata_col)),
-                           F.lit(int(default_rate * _M)))
+        for x in (F.lit(s), F.lit(_rate_threshold(r, f"rate[{s}]")))])
+    threshold = F.coalesce(
+        F.element_at(rate_map, F.col(strata_col)),
+        F.lit(_rate_threshold(default_rate, "default_rate")))
     return df.filter(
         sample_bucket(key_col.cast("string"), seed, hash_family) < threshold)
 

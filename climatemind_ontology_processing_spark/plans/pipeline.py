@@ -50,11 +50,18 @@ def write_triples(triples: DataFrame, path: str, fmt: str = "parquet") -> None:
         try:
             writer.format("iceberg").save(path)
         except Exception as exc:                     # pragma: no cover - env
-            raise RuntimeError(
-                "fmt='iceberg' needs the iceberg-spark-runtime jar on the "
-                "session classpath (absent in this environment); the parquet "
-                "default preserves the partitioning/overwrite/resume "
-                "semantics — see SURVEY §1.3") from exc
+            # only translate the missing-jar failure; an ordinary write
+            # error on a cluster that HAS Iceberg must propagate as-is
+            msg = str(exc)
+            if ("Failed to find data source" in msg
+                    or "ClassNotFoundException" in msg
+                    or "DATA_SOURCE_NOT_FOUND" in msg):
+                raise RuntimeError(
+                    "fmt='iceberg' needs the iceberg-spark-runtime jar on "
+                    "the session classpath (absent in this environment); "
+                    "the parquet default preserves the partitioning/"
+                    "overwrite/resume semantics — see SURVEY §1.3") from exc
+            raise
     elif fmt == "parquet":
         writer.parquet(path)
     else:

@@ -1027,3 +1027,28 @@ def test_degree_assortativity_hand_graphs(spark):
     ref = (n * s11 - s1 * s2) / math.sqrt(
         float(n * s20 - s1 * s1) * float(n * s02 - s2 * s2))
     assert got.assortativity == round(ref, 6)
+
+
+def test_decontamination_hash_family_mismatch_raises(spark):
+    """A benchmark n-gram set built with one hash family probed with
+    another would match nothing and report every document clean — the
+    marker column turns that silent miss into a ValueError."""
+    from climatemind_ontology_processing_spark.operators.decontaminate import (
+        benchmark_ngrams, contaminated_docs)
+    bench_docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today ok fine yes"),],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "prefix the quick brown fox jumps over the lazy dog today ok fine yes suffix")],
+        "doc_id long, text string")
+    bench = benchmark_ngrams(bench_docs, n=13, hash_family="md5_60")
+    with pytest.raises(ValueError, match="hash_family"):
+        contaminated_docs(corpus, bench, n=13, hash_family="xxhash64")
+    # matching family works and finds the planted overlap
+    got = contaminated_docs(corpus, bench, n=13,
+                            hash_family="md5_60").collect()
+    assert got and got[0].doc_id == 1 and got[0].n_hits >= 1
+    # a markerless (pre-marker persisted) set still probes
+    got2 = contaminated_docs(corpus, bench.drop("hash_family"), n=13,
+                             hash_family="md5_60").collect()
+    assert got2 and got2[0].n_hits == got[0].n_hits

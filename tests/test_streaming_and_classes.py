@@ -106,13 +106,17 @@ def test_stateful_sessionization_stream(spark, tmp_path):
     got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.closed_by)
            for r in spark.read.parquet(out).collect()}
     e = lambda m, h=10: int(t(m, h).replace(tzinfo=dt.timezone.utc).timestamp())
-    assert {
+    # EQUALITY for users 1-3 (a subset check would let duplicate or split
+    # sessions slip through — exactly the corruption class this targets);
+    # user 99 is the watermark driver and excluded
+    got_123 = {row for row in got if row[0] in (1, 2, 3)}
+    assert got_123 == {
         (1, e(0), e(10), 3, "gap"),
         (1, e(50), e(50), 1, "timeout"),
         (2, e(0), e(2), 2, "gap"),
         (2, e(37), e(39), 2, "timeout"),
         (3, e(0), e(1), 2, "timeout"),
-    } <= got, got
+    }, got
 
 
 def test_stateful_sessionization_timeout_flush(spark, tmp_path):
