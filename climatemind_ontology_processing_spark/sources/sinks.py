@@ -307,3 +307,59 @@ def save_subgraphs_pickle(bundle_nodes: DataFrame, bundle_edges: DataFrame,
         graphs[name] = g
     with open(path, "wb") as f:
         pickle.dump(graphs, f)
+
+
+# ---------------------------------------------------------------------------
+# N-Triples (RDF line format) — the DISTRIBUTED export, unlike the
+# driver-side parity sinks above: one formatted-line projection + write.text,
+# no collect, no shuffle; the canonical interchange format for handing the
+# KG to external RDF stores at 10^12-triple scale (line-oriented = trivially
+# splittable on re-read).
+# ---------------------------------------------------------------------------
+_NT_BASE = "https://example.org/kg/"
+
+
+def _iri(col, base: str):
+    """Label -> IRI term: percent-encode via url_encode, then fix the
+    form-encoding divergence (space -> '+') to RFC 3986 %20."""
+    from pyspark.sql import functions as F
+    return F.concat(F.lit("<" + base),
+                    F.regexp_replace(F.url_encode(col), r"\+", "%20"),
+                    F.lit(">"))
+
+
+def save_triples_ntriples(triples, path: str, base_iri: str = _NT_BASE,
+                          pred_base: str | None = None) -> None:
+    """Write (subj, pred, obj) rows as N-Triples lines
+    ``<s> <p> <o> .`` — subjects/objects under ``base_iri``, predicates
+    under ``pred_base`` (default ``base_iri + 'rel/'``)."""
+    from pyspark.sql import functions as F
+    pb = pred_base if pred_base is not None else base_iri + "rel/"
+    lines = triples.select(F.concat_ws(
+        " ",
+        _iri(F.col("subj"), base_iri),
+        _iri(F.col("pred"), pb),
+        _iri(F.col("obj"), base_iri),
+        F.lit(".")).alias("value"))
+    lines.write.mode("overwrite").text(path)
+
+
+def load_triples_ntriples(spark, path: str, base_iri: str = _NT_BASE,
+                          pred_base: str | None = None):
+    """Exact inverse of ``save_triples_ntriples`` (round-trip pinned in
+    test_sinks): parse the three IRI terms, strip the bases, and
+    percent-decode back to labels."""
+    from pyspark.sql import functions as F
+    pb = pred_base if pred_base is not None else base_iri + "rel/"
+
+    def term(i, base):
+        raw = F.regexp_extract(F.col("value"),
+                               r"^<([^>]*)> <([^>]*)> <([^>]*)> \.$", i)
+        return F.url_decode(
+            F.regexp_replace(raw, "^" + base, "").alias("t"))
+
+    return (spark.read.text(path)
+            .filter(F.length("value") > 0)
+            .select(term(1, base_iri).alias("subj"),
+                    term(2, pb).alias("pred"),
+                    term(3, base_iri).alias("obj")))

@@ -214,3 +214,28 @@ def test_p7_edge_type_display_filter(spark, artifacts):
     # None = display everything
     n3, e3 = filter_by_edge_type(nodes, edges, None)
     assert n3 is nodes and e3 is edges
+
+
+def test_ntriples_roundtrip(spark, tmp_path):
+    """Distributed N-Triples export: <s> <p> <o> . lines with RFC-3986
+    percent-encoded IRIs; load is the exact inverse, including labels
+    with spaces, '+', '/', '%', '&', and non-ASCII."""
+    from climatemind_ontology_processing_spark.sources.sinks import (
+        load_triples_ntriples, save_triples_ntriples)
+    rows = [("increase in greenhouse effect", "causes_or_promotes",
+             "sea level rise"),
+            ("a+b weird/label?", "is_a", "100% edge & case"),
+            ("ünïcode label", "rel", "ok")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    path = str(tmp_path / "nt")
+    save_triples_ntriples(df, path)
+    back = {(r.subj, r.pred, r.obj)
+            for r in load_triples_ntriples(spark, path).collect()}
+    assert back == set(rows)
+    # the on-disk lines are well-formed N-Triples with IRI terms
+    raw = spark.read.text(path).collect()
+    assert all(r.value.endswith(" .") and r.value.startswith("<")
+               for r in raw if r.value)
+    assert any("%20" in r.value for r in raw)      # spaces encoded
+    assert not any(" + " in r.value.split(" .")[0].replace("> <", "><")
+                   for r in raw)                   # no form-encoding '+'
