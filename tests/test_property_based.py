@@ -87,3 +87,46 @@ def test_merge_intervals_batch_associative(events, gap, data):
         batch = shuffled[i::k]
         acc = merge_intervals(list(acc) + [(t, t, 1) for t in batch], gap)
     assert acc == one_shot
+
+
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 500)),
+                max_size=60, unique_by=lambda t: t[0]),
+       st.integers(min_value=1, max_value=64),
+       st.integers(min_value=1, max_value=512))
+@settings(max_examples=200, deadline=None)
+def test_packing_bucket_decomposition_equals_global_cumsum(
+        docs, bucket_size, seq_len):
+    """The two-phase prefix sum packed_spans distributes (per-bucket
+    totals + within-bucket cumsum) must equal the naive global cumsum in
+    doc_id order, for ARBITRARY sparse/unsorted id sets and bucket sizes
+    — the decomposition is the scale-critical step, so pin it in pure
+    Python across the whole input space."""
+    eos = 1
+    ordered = sorted(docs)
+    # naive global prefix
+    naive = {}
+    acc = 0
+    for doc_id, n in ordered:
+        naive[doc_id] = acc
+        acc += n + eos
+    # two-phase: bucket totals in bucket order, then within-bucket prefix
+    from collections import defaultdict
+    buckets = defaultdict(list)
+    for doc_id, n in ordered:
+        buckets[doc_id // bucket_size].append((doc_id, n))
+    offsets = {}
+    running = 0
+    for b in sorted(buckets):
+        offsets[b] = running
+        running += sum(n + eos for _, n in buckets[b])
+    for b, members in buckets.items():
+        within = 0
+        for doc_id, n in sorted(members):
+            start = offsets[b] + within
+            within += n + eos
+            assert start == naive[doc_id], (doc_id, start, naive[doc_id])
+            # span arithmetic invariants
+            first, last = start // seq_len, (start + n + eos - 1) // seq_len
+            assert first <= last
+            assert first * seq_len <= start
+            assert start + n + eos - 1 < (last + 1) * seq_len
