@@ -185,9 +185,12 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_jaccard_pairs(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs (threshold 0.5) over documents."""
+    """n-gram Jaccard near-dup pairs (threshold 0.5) over documents.
+    Registered with max_shingle_df=None (guardrail OFF): the DuckDB oracle
+    replays exact all-pairs semantics; the cap stays ON as the operator
+    default and is pinned separately by the planted-boilerplate pytest."""
     docs = _read(spark, sf_dir, "documents")
-    return (jaccard_pairs(docs, n=3, threshold=0.5)
+    return (jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
             .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
             .orderBy("a", "b"))
 
@@ -220,6 +223,30 @@ def _q_near_dup(spark, sf_dir):
     return (near_dup_pairs(docs, threshold=0.5, hash_family="md5_60",
                            max_bucket_size=None)
             .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("a", "b"))
+
+
+def _q_lsh_probe(spark, sf_dir):
+    """Incremental-LSH probe (streaming/dedup.probe_lsh_buckets): documents
+    split into a persisted 'history' side (even doc_ids -> bucket table
+    with marker columns) and a probing 'new' side (odd doc_ids); emits the
+    cross near-dup candidates (a, b), a < b.  md5_60 family so the DuckDB
+    oracle replays every bucket; cap OFF so query == oracle semantics (the
+    cap is pinned by pytest, per the guardrail pattern).  The batch core of
+    near_dup_probe_stream — streaming==batch equivalence is pinned in
+    tests/test_streaming_and_classes.py."""
+    from climatemind_ontology_processing_spark.streaming.dedup import (
+        _doc_lsh_buckets, probe_lsh_buckets)
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    buckets = (_doc_lsh_buckets(old, "doc_id", "text", 3, 32, 8, "md5_60")
+               .withColumn("hash_family", F.lit("md5_60"))
+               .withColumn("shingle_n", F.lit(3))
+               .withColumn("num_hashes", F.lit(32))
+               .withColumn("bands", F.lit(8)))
+    return (probe_lsh_buckets(new, buckets, hash_family="md5_60",
+                              max_bucket_size=None)
             .orderBy("a", "b"))
 
 
@@ -806,7 +833,9 @@ def _q_containment_pairs(spark, sf_dir):
     # decimal-string route: a small weak-direction value (e.g. 0.0005 for
     # a short quote in a huge page) would stringify as '5.0E-4' on the
     # Spark side but '0.0005' from DuckDB (CLAUDE.md float-hash rule)
-    return (containment_pairs(docs, n=3, threshold=0.5)
+    # max_shingle_df=None: oracle replays exact semantics (cap pinned by
+    # pytest instead, per the established guardrail/oracle pattern)
+    return (containment_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
             .select("a", "b",
                     F.col("c_ab").cast("decimal(20,6)").cast("string")
                      .alias("c_ab"),
@@ -1695,7 +1724,37 @@ def _pq_topk_sql() -> str:
 # registry
 # ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER matters: the driver checks the first 50 entries each
+    # round.  Per the round-3 verdict, the graph/embedding families were
+    # appended at the end and fell outside the 50-slot window — so they now
+    # lead, with the 8 never-driver-checked queries first, followed by the
+    # rest of the round-3 additions, then the long-green round-1/2 block.
     return {
+        # -- never driver-checked (rounds 1-3) — must be in this round's window
+        "scc": _q_scc,
+        "k_core": _q_k_core,
+        "clustering_coefficients": _q_clustering_coefficients,
+        "adamic_adar": _q_adamic_adar,
+        "assortativity": _q_assortativity,
+        "personalized_pagerank": _q_personalized_pagerank,
+        "int8_quantize": _q_int8_quantize,
+        "pq_topk": _q_pq_topk,
+        # -- round-3 additions outside the r3 window
+        "bfs_reachable": _q_bfs_reachable,
+        "closure_counts": _q_closure_counts,
+        "induced_subgraph": _q_induced_subgraph,
+        "acyclic_cut": _q_acyclic_cut,
+        "connected_components": _q_connected_components,
+        "pagerank": _q_pagerank,
+        "triangle_counts": _q_triangle_counts,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "cosine_topk": _q_cosine_topk,
+        "ivf_topk": _q_ivf_topk,
+        "embedding_lsh_pairs": _q_embedding_lsh_pairs,
+        "cosine_histogram": _q_cosine_histogram,
+        # -- new this round (round-4): incremental-LSH probe
+        "lsh_probe_pairs": _q_lsh_probe,
+        # -- previously driver-green block (CORRECTNESS_r03: 50/50)
         "cooccurrence_edges": _q_cooccurrence_edges,
         "pmi_edges": _q_pmi_edges,
         "shortest_paths": _q_shortest_paths,
@@ -1746,26 +1805,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_event_counts": _q_interval_event_counts,
         "trade_edges": _q_trade_edges,
         "dag_layers": _q_dag_layers,
-        "bfs_reachable": _q_bfs_reachable,
-        "closure_counts": _q_closure_counts,
-        "induced_subgraph": _q_induced_subgraph,
-        "acyclic_cut": _q_acyclic_cut,
-        "connected_components": _q_connected_components,
-        "scc": _q_scc,
-        "adamic_adar": _q_adamic_adar,
-        "assortativity": _q_assortativity,
-        "k_core": _q_k_core,
-        "clustering_coefficients": _q_clustering_coefficients,
-        "pagerank": _q_pagerank,
-        "personalized_pagerank": _q_personalized_pagerank,
-        "triangle_counts": _q_triangle_counts,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "cosine_topk": _q_cosine_topk,
-        "ivf_topk": _q_ivf_topk,
-        "int8_quantize": _q_int8_quantize,
-        "pq_topk": _q_pq_topk,
-        "embedding_lsh_pairs": _q_embedding_lsh_pairs,
-        "cosine_histogram": _q_cosine_histogram,
     }
 
 
@@ -1893,6 +1932,13 @@ def oracle_sql() -> dict[str, str]:
             WITH docs AS (SELECT doc_id, text FROM documents),
             {minhash_cte}
             SELECT a, b FROM cand ORDER BY a, b
+        """,
+        "lsh_probe_pairs": f"""
+            -- probe = new(odd) x history(even) bucket collisions only:
+            -- all-pairs cand filtered to parity-mixed pairs
+            WITH docs AS (SELECT doc_id, text FROM documents),
+            {minhash_cte}
+            SELECT a, b FROM cand WHERE (a % 2) + (b % 2) = 1 ORDER BY a, b
         """,
         "near_dup_pairs": f"""
             WITH docs AS (

@@ -11,9 +11,17 @@ Runs the engine's headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
 * driver-table queries — co-occurrence KG, dedup suite, traversals,
   similarity top-k on the sf dir tables.
 
+Self-certifying (round-3 verdict #3): every query runs ``$SPARK_GRAFT_REPS``
+warm repetitions (default 2); the reported time is the MIN (the least
+co-tenant-contaminated pass), with the full per-rep list and
+``os.getloadavg()`` before/after in the JSON so a noisy-host run is
+distinguishable from a code regression at a glance — CLAUDE.md: rep spread
+is the trustworthiness signal.
+
 Output: {"metric": ..., "value": <total sec>, "unit": "sec",
-         "queries": {name: sec}, "sf": ..., "triples_per_sec": ...,
-         "pages_per_sec": ..., "cpus": ...}
+         "queries": {name: sec}, "reps_sec": {name: [..]},
+         "loadavg_start": [..], "loadavg_end": [..], "reps": N,
+         "sf": ..., "triples_per_sec": ..., "pages_per_sec": ..., "cpus": ...}
 """
 from __future__ import annotations
 
@@ -29,8 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = max(int(os.environ.get("SPARK_GRAFT_REPS", "2")), 1)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
 
     from climatemind_ontology_processing_spark.session import get_spark
 
@@ -43,6 +53,18 @@ def main() -> None:
     from climatemind_ontology_processing_spark.sources.pages import pages_df
 
     timings: dict[str, float] = {}
+    reps_sec: dict[str, list[float]] = {}
+
+    def timed(name: str, thunk) -> None:
+        """MIN of `reps` warm passes; thunk rebuilds the plan each pass so
+        analysis cost is included and nothing is accidentally cached."""
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            thunk()
+            ts.append(round(time.time() - t0, 3))
+        reps_sec[name] = ts
+        timings[name] = min(ts)
 
     # warm-up: fork python workers / heat codegen so the first timed query
     # doesn't absorb session startup
@@ -50,11 +72,12 @@ def main() -> None:
 
     # --- core pipeline: pages -> triples ------------------------------------
     n_pages = max(int(500_000 * sf), 1000)
-    pages = pages_df(spark, n_pages, seed=42, partitions=cpus * 2)
-    t0 = time.time()
-    n_triples = triples_from_pages(pages).count()
-    dt = time.time() - t0
-    timings["triples_pipeline"] = round(dt, 3)
+    counts: list[int] = []
+    timed("triples_pipeline", lambda: counts.append(
+        triples_from_pages(
+            pages_df(spark, n_pages, seed=42, partitions=cpus * 2)).count()))
+    n_triples = counts[-1]
+    dt = timings["triples_pipeline"]
     triples_per_sec = round(n_triples / dt, 1)
     pages_per_sec = round(n_pages / dt, 1)
 
@@ -71,11 +94,13 @@ def main() -> None:
     triples_fixture = spark.createDataFrame(
         [(e["src"], e["type"], e["dst"]) for e in golden["edges"]],
         "subj string, pred string, obj string")
-    t0 = time.time()
-    bundle = build_graph(triples_fixture, concepts_df(spark))
-    bundle.subgraph_nodes.count()
-    bundle.nodes.count()
-    timings["graph_build"] = round(time.time() - t0, 3)
+
+    def run_graph_build() -> None:
+        bundle = build_graph(triples_fixture, concepts_df(spark))
+        bundle.subgraph_nodes.count()
+        bundle.nodes.count()
+
+    timed("graph_build", run_graph_build)
 
     # --- driver-table headline queries ---------------------------------------
     headline = [
@@ -89,9 +114,7 @@ def main() -> None:
     ]
     qs = entrymod.queries()
     for name in headline:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        timed(name, lambda name=name: qs[name](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -99,6 +122,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reps_sec": reps_sec,
+        "reps": reps,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "sf": sf,
         "n_pages": n_pages,
         "n_triples": n_triples,

@@ -43,10 +43,11 @@ def canonical_url(url: Column) -> Column:
     # external oracle can mirror the pattern verbatim)
     u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#].*)?$", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#].*)?$", r"$1$2")
-    # 4. tracking params: three passes handle runs of adjacent tracked
-    # params (each pass removes one per position), then the trailing form
-    for _ in range(3):
-        u = F.regexp_replace(u, r"([?&])" + _TRACKING + r"=[^&#]*&", r"$1")
+    # 4. tracking params: ONE pattern consumes an entire run of adjacent
+    # tracked params (a fixed number of alternating passes leaves residue
+    # past ~8 adjacent params — round-3 ADVICE, low), then the trailing
+    # form handles the last param (no '&' after it)
+    u = F.regexp_replace(u, r"([?&])(?:" + _TRACKING + r"=[^&#]*&)+", r"$1")
     u = F.regexp_replace(u, r"[?&]" + _TRACKING + r"=[^&#]*$", "")
     u = F.regexp_replace(u, r"\?&", "?")
     # 5. dangling '?'

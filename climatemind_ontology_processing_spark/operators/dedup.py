@@ -342,15 +342,36 @@ def oversized_lsh_buckets(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _pair_intersections(docs: DataFrame, id_col: str, text_col: str,
-                        n: int) -> DataFrame:
+                        n: int,
+                        max_shingle_df: int | None = 1000) -> DataFrame:
     """(a, b, inter, sz_a, sz_b) for every doc pair (a < b) sharing >= 1
     n-gram shingle — the shared core of ``jaccard_pairs`` and
     ``containment_pairs``: explode(shingles) -> self-join on the shingle
-    key -> per-pair intersection count joined with both set sizes."""
+    key -> per-pair intersection count joined with both set sizes.
+
+    SKEW GUARDRAIL (``max_shingle_df``): the shingle-key self-join is
+    quadratic in documents-per-shingle — one boilerplate shingle shared by
+    10^5 docs emits ~10^10 pair rows from a single key, the same megabucket
+    failure ``minhash_lsh_pairs`` caps via ``max_bucket_size``.  Shingles
+    with document frequency above the cap are therefore DROPPED from pair
+    generation (keys-only df census + semi-join on the same shingle key the
+    self-join shuffles on — no document data moves; inspect the drops with
+    ``oversized_shingles``).  A dropped hot shingle under-counts ``inter``
+    for pairs sharing it by AT MOST the number of dropped shingles — a
+    near-universal shingle carries ~zero similarity signal, exactly the
+    stop-word logic of SimHash's idf weighting.  ``None`` disables the cap
+    (the registered oracle queries do, so DuckDB replays exact semantics;
+    production defaults keep it ON).
+    """
     sh = with_shingles(docs, text_col, n).select(
         F.col(id_col).alias("doc"), F.col("shingles"))
     sizes = sh.select("doc", F.size("shingles").alias("sz"))
     ex = sh.select("doc", F.explode("shingles").alias("s"))
+    if max_shingle_df is not None:
+        allowed = (ex.groupBy("s").agg(F.count("*").alias("_df"))
+                   .filter(F.col("_df") <= max_shingle_df)
+                   .select("s"))
+        ex = ex.join(allowed, "s", "left_semi")
     inter = (ex.alias("l").join(ex.alias("r"),
                                 (F.col("l.s") == F.col("r.s")) &
                                 (F.col("l.doc") < F.col("r.doc")))
@@ -363,16 +384,34 @@ def _pair_intersections(docs: DataFrame, id_col: str, text_col: str,
                        .withColumnRenamed("sz", "sz_b"), "b"))
 
 
+def oversized_shingles(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       max_shingle_df: int = 1000) -> DataFrame:
+    """The hot shingles ``jaccard_pairs``/``containment_pairs`` would DROP
+    under their document-frequency guardrail — (s, doc_freq) with
+    doc_freq > max_shingle_df.  Run this to log/audit what the cap
+    excluded; on boilerplate-free corpora it is empty."""
+    ex = (with_shingles(docs, text_col, n)
+          .select(F.col(id_col).alias("doc"), F.explode("shingles").alias("s")))
+    return (ex.groupBy("s").agg(F.count("*").alias("doc_freq"))
+            .filter(F.col("doc_freq") > max_shingle_df))
+
+
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  max_shingle_df: int | None = 1000) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
     ``_pair_intersections`` + |A ∪ B| = |A| + |B| − |A ∩ B|.  Shuffles on
     shingle hash then pair key; at scale, run on LSH candidates instead of
-    all pairs (``verify_pairs``).
+    all pairs (``verify_pairs``).  ``max_shingle_df`` (default ON) drops
+    boilerplate shingles shared by more docs than the cap before the
+    quadratic self-join — see ``_pair_intersections``; Jaccard values for
+    pairs sharing a dropped shingle are then LOWER bounds.
     """
-    return (_pair_intersections(docs, id_col, text_col, n)
+    return (_pair_intersections(docs, id_col, text_col, n,
+                                max_shingle_df=max_shingle_df)
             .withColumn("jaccard",
                         F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
             .filter(F.col("jaccard") >= threshold)
@@ -504,7 +543,8 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_shingle_df: int | None = 1000) -> DataFrame:
     """ASYMMETRIC shingle containment — the partial-duplicate signal
     Jaccard misses: a short quote A embedded in a long page B has
     ``|A∩B|/|A∪B| ~ 0`` but ``containment(A in B) = |A∩B|/|A| = 1``.
@@ -514,9 +554,11 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     Returns (a, b, c_ab, c_ba) with a < b, where ``c_ab`` = fraction of
     a's n-gram shingles also in b (and vice versa), keeping pairs where
     EITHER direction >= threshold.  Same shuffle shape as
-    ``jaccard_pairs`` (the shared ``_pair_intersections`` core); at web
-    scale run it on LSH candidates, not all pairs."""
-    return (_pair_intersections(docs, id_col, text_col, n)
+    ``jaccard_pairs`` (the shared ``_pair_intersections`` core, including
+    its ``max_shingle_df`` boilerplate guardrail); at web scale run it on
+    LSH candidates, not all pairs."""
+    return (_pair_intersections(docs, id_col, text_col, n,
+                                max_shingle_df=max_shingle_df)
             .withColumn("c_ab", F.round(F.col("inter") / F.col("sz_a"), 6))
             .withColumn("c_ba", F.round(F.col("inter") / F.col("sz_b"), 6))
             .filter((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))

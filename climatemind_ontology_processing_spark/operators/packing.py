@@ -41,8 +41,24 @@ def packed_spans(docs: DataFrame, id_col: str = "doc_id",
     ``floor(start/seq_len) .. floor((start + n + eos - 1)/seq_len)``
     (its EOS included — EOS crossing a boundary drags the doc into the
     next sequence, the standard concat-then-chunk semantics).
+
+    A NULL or negative ``n_tokens`` raises AT EXECUTION TIME (lazy
+    ``raise_error`` inside the projection — no extra validation job): a
+    NULL row would otherwise vanish from both prefix-sum aggregations and
+    silently shift every later document's offset.  Zero-width documents
+    (``n_tokens + eos_tokens == 0``, only possible with ``eos_tokens=0``)
+    occupy no sequence: ``first_seq``/``last_seq`` are NULL, ``n_seqs`` 0.
     """
-    w = (F.col(tokens_col).cast("long") + F.lit(eos_tokens)).alias("_w")
+    if eos_tokens < 0:
+        raise ValueError(f"eos_tokens must be >= 0, got {eos_tokens}")
+    tok = F.col(tokens_col).cast("long")
+    checked = F.when(
+        F.col(tokens_col).isNull() | (tok < 0),
+        F.raise_error(F.concat(
+            F.lit(f"packed_spans: NULL or negative {tokens_col} at "
+                  f"{id_col}="),
+            F.col(id_col).cast("string"))).cast("long")).otherwise(tok)
+    w = (checked + F.lit(eos_tokens)).alias("_w")
     d = docs.select(F.col(id_col), F.col(tokens_col), w,
                     F.floor(F.col(id_col) / bucket_size).alias("_bkt"))
     totals = d.groupBy("_bkt").agg(F.sum("_w").alias("_bt"))
@@ -55,19 +71,25 @@ def packed_spans(docs: DataFrame, id_col: str = "doc_id",
              + F.coalesce(F.sum("_w").over(in_w), F.lit(0))).alias("start_offset")
     out = (d.join(F.broadcast(offsets), "_bkt")
            .select(id_col, tokens_col, "_w", start))
+    nonzero = F.col("_w") > 0
     return out.select(
         id_col, tokens_col,
         "start_offset",
-        F.floor(F.col("start_offset") / seq_len).alias("first_seq"),
-        F.floor((F.col("start_offset") + F.col("_w") - 1) / seq_len)
+        F.when(nonzero, F.floor(F.col("start_offset") / seq_len))
+         .alias("first_seq"),
+        F.when(nonzero,
+               F.floor((F.col("start_offset") + F.col("_w") - 1) / seq_len))
          .alias("last_seq")) \
-        .withColumn("n_seqs", F.col("last_seq") - F.col("first_seq") + 1)
+        .withColumn("n_seqs",
+                    F.coalesce(F.col("last_seq") - F.col("first_seq") + 1,
+                               F.lit(0)))
 
 
 def sequence_membership(spans: DataFrame) -> DataFrame:
     """Explode ``packed_spans`` output to (seq_id, doc_id) rows — which
     documents each training sequence reads from.  Row count = total doc
-    span coverage (each doc appears in n_seqs rows)."""
-    return spans.select(
+    span coverage (each doc appears in n_seqs rows; zero-width docs with
+    NULL spans appear in none)."""
+    return spans.filter(F.col("first_seq").isNotNull()).select(
         F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
         spans.columns[0])

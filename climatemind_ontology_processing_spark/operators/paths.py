@@ -13,8 +13,9 @@ textbook Pregel SSSP expressed as DataFrame joins:
 Each round is ONE shuffle (groupBy dst with map-side-combinable min) plus
 a keys-only change check; rounds are bounded by the shortest-path hop
 diameter.  Shuffle payload is (node, dist) pairs only.  Non-negative
-weights assumed (checked); integer weights recommended for engine-exact
-oracle comparison (min-plus over BIGINTs has no float wiggle at all).
+INTEGRAL weights are REQUIRED (both checked, loudly): min-plus runs over
+BIGINTs so every distance is engine-exact with zero float wiggle —
+fractional confidences must be pre-scaled (e.g. ``round(conf * 1e6)``).
 """
 from __future__ import annotations
 
@@ -35,8 +36,23 @@ def shortest_paths(edges: DataFrame, seeds: DataFrame | list,
          else F.lit(1).cast("long"))
     e = _checkpoint(edges.select(F.col(src).alias("u"),
                                  F.col(dst).alias("v"),
-                                 w.alias("w"))
+                                 w.alias("w"),
+                                 *([F.col(weight).cast("double").alias("_wraw")]
+                                   if weight is not None else []))
                     .filter(F.col("u").isNotNull() & F.col("v").isNotNull()))
+    if weight is not None:
+        # min-plus runs over BIGINTs for engine-exact determinism; a silent
+        # cast('long') would truncate 0.9 -> 0 and corrupt every distance
+        # (round-3 ADVICE, medium) — reject non-integral weights loudly.
+        bad = e.filter(F.col("w").isNull() & F.col("_wraw").isNotNull()
+                       | (F.col("_wraw") != F.col("w").cast("double")))
+        if not bad.isEmpty():
+            raise ValueError(
+                f"shortest_paths requires integral, castable weights in "
+                f"'{weight}' (min-plus over BIGINTs is engine-exact; "
+                "fractional weights would be silently truncated) — "
+                "pre-scale, e.g. round(confidence * 1e6) as a long column")
+        e = e.drop("_wraw")
     if not e.filter(F.col("w") < 0).isEmpty():
         raise ValueError("negative edge weights not supported")
     spark = edges.sparkSession

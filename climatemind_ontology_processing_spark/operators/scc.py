@@ -160,6 +160,12 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
             color = jump
             if changed.isEmpty():
                 break
+        else:  # pragma: no cover - loud cap-exhaustion guard
+            raise RuntimeError(
+                f"SCC coloring did not reach fixpoint within max_inner="
+                f"{max_inner} rounds — a truncated coloring would emit "
+                "wrong color classes; raise max_inner (pointer jumping "
+                "needs ~log2(diameter) rounds)")
         # --- 3. collect SCC(root) by backward BFS within each color class
         members = _checkpoint(
             color.filter(F.col("id") == F.col("comp"))
@@ -178,6 +184,12 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
                 break
             members = _checkpoint(members.unionByName(fresh))
             frontier = fresh
+        else:  # pragma: no cover - loud cap-exhaustion guard
+            raise RuntimeError(
+                f"SCC backward collect did not converge within max_inner="
+                f"{max_inner} rounds — an SCC with backward hop-depth > "
+                "max_inner would be emitted PARTIALLY and its remainder "
+                "mis-trimmed as singletons; raise max_inner")
         emit(members.select("id", F.col("root").alias("component")))
         # --- 4. peel the found SCCs and iterate
         found = members.select("id").distinct()

@@ -39,14 +39,30 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+BRUTE_FORCE_MAX_VECTORS = 5_000_000
+
+
 def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     qid_col: str = "qid") -> DataFrame:
+                     qid_col: str = "qid", force: bool = False) -> DataFrame:
     """(qid, vec_id, cos_sim, rank<=k), excluding self-matches when ids align.
 
     queries: DataFrame[qid, embedding].  The query side is broadcast; the big
     vector table streams through one narrow pass + a per-qid top-k shuffle.
+
+    This is the documented EXACTNESS BASELINE: cost is |vectors| x |queries|
+    dot products with no pruning.  Above ``BRUTE_FORCE_MAX_VECTORS`` rows it
+    raises unless ``force=True`` — at corpus scale use ``ivf_topk`` /
+    ``pq_topk`` (loud-failure philosophy: a silent 10^12-dot-product plan is
+    a stuck cluster, not a slow query).
     """
+    if not force:
+        n = vectors.limit(BRUTE_FORCE_MAX_VECTORS + 1).count()
+        if n > BRUTE_FORCE_MAX_VECTORS:
+            raise ValueError(
+                f"brute_force_topk over >{BRUTE_FORCE_MAX_VECTORS} vectors "
+                "is the O(N*Q) exactness baseline, not a scale path — use "
+                "ivf_topk/pq_topk, or pass force=True to insist")
     q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qvec"))
     pairs = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col)) \
         .crossJoin(F.broadcast(q)) \

@@ -355,8 +355,16 @@ def load_triples_ntriples(spark, path: str, base_iri: str = _NT_BASE,
     def term(i, base):
         raw = F.regexp_extract(F.col("value"),
                                r"^<([^>]*)> <([^>]*)> <([^>]*)> \.$", i)
-        return F.url_decode(
-            F.regexp_replace(raw, "^" + base, "").alias("t"))
+        # Strip the base by LENGTH after a startswith check — never as a
+        # regex pattern: a base containing regex metacharacters ('+', '?',
+        # '(', and '.' in the default) would corrupt the round-trip
+        # (round-3 ADVICE, low).  A term outside the base raises loudly.
+        stripped = F.when(
+            raw.startswith(base), F.substring(raw, len(base) + 1, 1 << 30)
+        ).otherwise(F.raise_error(F.concat(
+            F.lit(f"load_triples_ntriples: IRI not under base '{base}': "),
+            raw)).cast("string"))
+        return F.url_decode(stripped)
 
     return (spark.read.text(path)
             .filter(F.length("value") > 0)

@@ -190,3 +190,61 @@ def test_residual_cycle_detector_self_loop(spark):
         [("a", "a", "t"), ("a", "b", "t")], "src string, dst string, type string")
     pairs = {(r.u, r.v) for r in residual_cycle_pairs(edges).collect()}
     assert pairs == {("a", "a")}
+
+
+def test_figure_data_golden_subgraph(bundle):
+    """EP3 closure (round-3 verdict #7): the figure-data builder must hand
+    the (absent) Plotly layer everything `get_figure` consumes, computed
+    over the golden annotated graph — positions from the deterministic
+    Sugiyama layout, straight-cubic Bézier control points whose sampled
+    path starts/ends exactly on the endpoint nodes, per-type adornment
+    geometry, and the reference's hovertext shape (visualize.py:53-232,
+    248-264 semantics)."""
+    from climatemind_ontology_processing_spark.operators.figure_data import (
+        CAUSES_TYPE, figure_data)
+
+    nodes, edges = bundle.annotated_nodes, bundle.annotated_edges
+    fn, fe = figure_data(nodes, edges, edge_type=None, num_samples=10)
+    frows = fn.collect()
+    erows = fe.collect()
+    assert len(frows) == nodes.count()
+    assert len(erows) == edges.count()
+    pos = {r.name: (r.x, r.y) for r in frows}
+
+    for r in erows:
+        # sampled path endpoints == control polygon endpoints == layout
+        assert (r.path_x[0], r.path_y[0]) == (r.ctrl_x[0], r.ctrl_y[0])
+        assert (r.path_x[-1], r.path_y[-1]) == (r.ctrl_x[3], r.ctrl_y[3])
+        assert pos[r.node1] == (r.ctrl_x[0], r.ctrl_y[0])
+        assert pos[r.node2] == (pytest.approx(r.ctrl_x[3]),
+                                pytest.approx(r.ctrl_y[3]))
+        assert len(r.path_x) == 10
+        if r.edge_type == CAUSES_TYPE:
+            assert r.adornment == "arrow" and len(r.adorn_x) == 3
+            # arrowhead vertex sits ON the source endpoint (visualize.py
+            # anchors at path[0])
+            assert r.adorn_x[1] == r.ctrl_x[0] and r.adorn_y[1] == r.ctrl_y[0]
+        elif r.adornment == "tee":
+            assert len(r.adorn_x) == 2
+        else:
+            assert r.adorn_x is None
+
+    # hovertext shape
+    assert all(r.node_hovertext.startswith("<b>Node classes:</b><br>")
+               for r in frows)
+    assert all(r.edge_hovertext.startswith("<b>Edge properties:</b><br>")
+               for r in erows)
+    assert all(r.width >= 0.75 and r.height == 0.5 for r in frows)
+
+    # edge-type display filter: only that type's edges, only their endpoints
+    fn_c, fe_c = figure_data(nodes, edges, edge_type=CAUSES_TYPE)
+    ec = fe_c.collect()
+    assert ec and all(r.edge_type == CAUSES_TYPE for r in ec)
+    endpoints = {r.node1 for r in ec} | {r.node2 for r in ec}
+    assert {r.name for r in fn_c.collect()} == endpoints
+
+    # deterministic across runs
+    again = {(r.node1, r.node2, tuple(r.ctrl_x), tuple(r.ctrl_y))
+             for r in figure_data(nodes, edges, num_samples=10)[1].collect()}
+    assert again == {(r.node1, r.node2, tuple(r.ctrl_x), tuple(r.ctrl_y))
+                     for r in erows}

@@ -239,6 +239,45 @@ def test_near_dup_guardrails_planted_dups(spark):
     assert dropped and all(r.n_members == 10_000 for r in dropped)
 
 
+def test_jaccard_hot_shingle_df_cap(spark):
+    """Hot-shingle guardrail (round-3 verdict #3): 10k UNIQUE docs sharing
+    one boilerplate sentence must not send ~5*10^7 pair rows through the
+    shingle self-join.  Exact-dedup-first can't help (texts differ), so the
+    max_shingle_df census must drop the boilerplate shingles; pairs whose
+    only overlap is boilerplate disappear, genuine near-dups survive, and
+    oversized_shingles reports exactly what was dropped."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        jaccard_pairs, containment_pairs, oversized_shingles)
+    boiler = "standard cookie banner text appears here"
+    # 10k docs: unique body + the same boilerplate sentence -> every
+    # boilerplate-only shingle has df=10_000 (cap default 1000 drops them)
+    rows = [(i, f"unique body sentence number {i} {boiler}")
+            for i in range(10_000)]
+    # one genuine near-dup pair whose overlap is NOT boilerplate
+    rows += [(20_000, "alpha beta gamma delta epsilon zeta eta theta"),
+             (20_001, "alpha beta gamma delta epsilon zeta eta iota")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(8)
+    got = jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    pairs = {(r.a, r.b) for r in got}
+    assert (20_000, 20_001) in pairs
+    assert len(pairs) < 50, f"df cap failed: {len(pairs)} pairs"
+    assert not any(a < 10_000 and b < 10_000 for a, b in pairs), \
+        "boilerplate-only overlap must not produce pairs under the cap"
+    cont = containment_pairs(docs, n=3, threshold=0.9).collect()
+    assert not any(r.a < 10_000 and r.b < 10_000 for r in cont)
+    dropped = oversized_shingles(docs, n=3, max_shingle_df=1000).collect()
+    assert dropped and all(r.doc_freq == 10_000 for r in dropped)
+    # capped == uncapped when no shingle exceeds the cap
+    clean = spark.createDataFrame(rows[-2:], "doc_id long, text string")
+    capped = {(r.a, r.b, r.jaccard)
+              for r in jaccard_pairs(clean, n=3, threshold=0.3).collect()}
+    uncapped = {(r.a, r.b, r.jaccard)
+                for r in jaccard_pairs(clean, n=3, threshold=0.3,
+                                       max_shingle_df=None).collect()}
+    assert capped == uncapped
+
+
 def test_dedup_exact_assert_unique_ids(spark):
     from climatemind_ontology_processing_spark.operators.dedup import dedup_exact
     dup_ids = spark.createDataFrame(
@@ -363,6 +402,14 @@ def test_canonical_url(spark):
         ("http://a.b/p?fbclid=x", "http://a.b/p"),
         ("http://a.b/p?ref=tw&x=2&msclkid=9", "http://a.b/p?x=2"),
         ("http://a.b/p#only-fragment", "http://a.b/p"),
+        # a 12-long run of adjacent tracked params must strip completely
+        # (the old fixed-pass loop left residue past ~8 — round-3 ADVICE)
+        ("http://a.b/p?" + "&".join(f"utm_p{i}={i}" for i in range(12))
+         + "&keep=1", "http://a.b/p?keep=1"),
+        ("http://a.b/p?" + "&".join(f"utm_p{i}={i}" for i in range(12)),
+         "http://a.b/p"),
+        ("http://a.b/p?keep=0&" + "&".join(f"utm_p{i}={i}" for i in range(12))
+         + "&keep=1", "http://a.b/p?keep=0&keep=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c"))
@@ -751,6 +798,36 @@ def test_packed_spans_hand_and_naive_equivalence(spark):
     assert len(mem) == sum(r.n_seqs for r in got.values())
 
 
+def test_packed_spans_null_and_zero_width_guards(spark):
+    """NULL / negative n_tokens raise at execution (a NULL row silently
+    dropping out of the prefix sums would shift every later offset);
+    zero-width docs (eos_tokens=0, n_tokens=0) occupy no sequence and get
+    NULL span columns with n_seqs=0 (round-3 ADVICE, low)."""
+    from climatemind_ontology_processing_spark.operators.packing import (
+        packed_spans, sequence_membership)
+    bad_null = spark.createDataFrame([(0, 5), (1, None), (2, 3)],
+                                     "doc_id long, n_tokens int")
+    with pytest.raises(Exception, match="NULL or negative"):
+        packed_spans(bad_null, seq_len=10).collect()
+    bad_neg = spark.createDataFrame([(0, 5), (1, -2)],
+                                    "doc_id long, n_tokens int")
+    with pytest.raises(Exception, match="NULL or negative"):
+        packed_spans(bad_neg, seq_len=10).collect()
+    with pytest.raises(ValueError, match="eos_tokens"):
+        packed_spans(bad_neg, seq_len=10, eos_tokens=-1)
+    zero = spark.createDataFrame([(0, 4), (1, 0), (2, 6)],
+                                 "doc_id long, n_tokens int")
+    got = {r.doc_id: r for r in
+           packed_spans(zero, seq_len=10, eos_tokens=0).collect()}
+    assert got[1].n_seqs == 0
+    assert got[1].first_seq is None and got[1].last_seq is None
+    assert got[2].start_offset == 4        # zero-width doc shifts nothing
+    assert got[2].first_seq == 0 and got[2].last_seq == 0
+    mem = sequence_membership(
+        packed_spans(zero, seq_len=10, eos_tokens=0)).collect()
+    assert {r.doc_id for r in mem} == {0, 2}
+
+
 def test_packed_spans_window_is_bucket_partitioned(spark):
     """Scale guard: the corpus-side window must be PARTITIONED BY the
     prefix-sum bucket — only the tiny bucket-totals table may use a
@@ -943,6 +1020,16 @@ def test_shortest_paths_weighted_hand(spark):
     neg = spark.createDataFrame([("a", "b", -1)], "src string, dst string, w int")
     with pytest.raises(ValueError):
         shortest_paths(neg, ["a"], weight="w")
+    # fractional weights must raise, not silently truncate 0.9 -> 0
+    frac = spark.createDataFrame([("a", "b", 0.9), ("b", "c", 2.0)],
+                                 "src string, dst string, w double")
+    with pytest.raises(ValueError, match="integral"):
+        shortest_paths(frac, ["a"], weight="w")
+    # integral-valued doubles are fine (2.0 == 2)
+    ok = spark.createDataFrame([("a", "b", 2.0)], "src string, dst string, w double")
+    assert {r.id: r.dist
+            for r in shortest_paths(ok, ["a"], weight="w").collect()} == \
+        {"a": 0, "b": 2}
 
 
 def test_fuzzy_matches_typos_and_blocking(spark):

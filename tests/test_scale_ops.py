@@ -61,6 +61,20 @@ def test_brute_force_topk(spark, vectors):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_brute_force_topk_size_guard(spark, vectors, monkeypatch):
+    """The exactness baseline refuses vector tables above its documented
+    cap unless force=True (round-3 verdict #6: nothing stopped a caller
+    launching an O(N*Q) crossJoin at corpus scale)."""
+    import climatemind_ontology_processing_spark.operators.similarity as sim
+    monkeypatch.setattr(sim, "BRUTE_FORCE_MAX_VECTORS", 10)
+    queries = vectors.filter(F.col("vec_id") == 0) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    with pytest.raises(ValueError, match="force=True"):
+        sim.brute_force_topk(vectors, queries, k=5)
+    got = sim.brute_force_topk(vectors, queries, k=5, force=True).collect()
+    assert len(got) == 5 and got[0].vec_id == 100
+
+
 def test_lsh_topk_finds_identical(spark, vectors):
     queries = vectors.filter(F.col("vec_id") == 0) \
         .select(F.col("vec_id").alias("qid"), "embedding")
@@ -168,6 +182,62 @@ def test_ivf_topk_probe_recall(spark, vectors):
     assert got[0].vec_id == 100 and got[0].cos_sim == pytest.approx(1.0)
     brute = {r.vec_id for r in brute_force_topk(vectors, queries, k=50).collect()}
     assert {r.vec_id for r in got} <= brute
+
+
+def test_ann_recall_pins(spark):
+    """Retrieval QUALITY pins (round-3 verdict #4): on a seeded clustered
+    corpus (40 clusters x 15 members, unit-norm, the neighbors-separated
+    ANN-benchmark shape), each approximate path must recover the exact
+    brute-force top-10.  Everything is seeded/deterministic, so these are
+    stable pins, not flaky statistical tests.  Measured (tools/ann_recall.py):
+    ivf(p=2)=1.000, lsh(16/8)=1.000, pq(m=8) direct ADC=0.725,
+    pq shortlist@50 containing exact top-10=1.000 — pins sit below with
+    margin.  The speed/recall trade is documented in BENCH.md."""
+    import math
+    import random as _random
+
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        brute_force_topk, ivf_topk, kmeans_fit, lsh_topk, pq_fit, pq_topk)
+
+    n_clusters, per_cluster, dim, k = 40, 15, 32, 10
+    rng = _random.Random(7)
+    centers = [[rng.gauss(0, 1) for _ in range(dim)]
+               for _ in range(n_clusters)]
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(per_cluster):
+            vec = [x + 0.25 * rng.gauss(0, 1) for x in c]
+            nv = math.sqrt(sum(x * x for x in vec)) or 1.0
+            rows.append((ci * per_cluster + j, [x / nv for x in vec]))
+    qids = [ci * per_cluster for ci in range(n_clusters)]
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = vectors.filter(F.col("vec_id").isin(qids)) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.qid, set()).add(r.vec_id)
+        return out
+
+    def recall(approx, exact):
+        return sum(len(exact[q] & approx.get(q, set())) / k
+                   for q in exact) / len(exact)
+
+    exact = topsets(brute_force_topk(vectors, queries, k=k))
+    cents = kmeans_fit(vectors, dim=dim, n_cells=n_clusters, iters=3, seed=42)
+    ivf = topsets(ivf_topk(vectors, queries, dim=dim, k=k,
+                           n_cells=n_clusters, n_probe=2, centroids=cents))
+    assert recall(ivf, exact) >= 0.95
+    lsh = topsets(lsh_topk(vectors, queries, dim=dim, k=k, bits=16, bands=8))
+    assert recall(lsh, exact) >= 0.95
+    cbs = pq_fit(vectors, dim=dim, m=8, n_codes=16, iters=3, seed=42)
+    pq = topsets(pq_topk(vectors, queries, dim=dim, codebooks=cbs, k=k,
+                         m=8, n_codes=16))
+    assert recall(pq, exact) >= 0.60          # direct ADC@10: coarse codes
+    pq50 = topsets(pq_topk(vectors, queries, dim=dim, codebooks=cbs, k=5 * k,
+                           m=8, n_codes=16))
+    assert recall(pq50, exact) >= 0.95        # ADC shortlist for exact rerank
 
 
 def test_multimodal_stub_and_plumbing(spark):

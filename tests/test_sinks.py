@@ -239,3 +239,24 @@ def test_ntriples_roundtrip(spark, tmp_path):
     assert any("%20" in r.value for r in raw)      # spaces encoded
     assert not any(" + " in r.value.split(" .")[0].replace("> <", "><")
                    for r in raw)                   # no form-encoding '+'
+
+
+def test_ntriples_roundtrip_regex_meta_base(spark, tmp_path):
+    """A base IRI containing regex metacharacters ('+', '?', '(', '.')
+    must round-trip exactly — the base is stripped by LENGTH, never used
+    as a regex pattern (round-3 ADVICE, low).  And a file whose IRIs are
+    NOT under the declared base fails loudly instead of passing terms
+    through undecoded."""
+    from climatemind_ontology_processing_spark.sources.sinks import (
+        load_triples_ntriples, save_triples_ntriples)
+    base = "http://ex.org/a+b(c)?/kg#"
+    rows = [("node one", "causes", "node two")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    path = str(tmp_path / "ntmeta")
+    save_triples_ntriples(df, path, base_iri=base)
+    back = {(r.subj, r.pred, r.obj)
+            for r in load_triples_ntriples(spark, path, base_iri=base).collect()}
+    assert back == set(rows)
+    with pytest.raises(Exception, match="not under base"):
+        load_triples_ntriples(spark, path,
+                              base_iri="http://other.example/").collect()

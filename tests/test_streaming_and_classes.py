@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from climatemind_ontology_processing_spark.functions.triples import (
@@ -209,6 +210,81 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     texts = sorted(r.text for r in got)
     assert texts == ["alpha text", "beta text", "gamma text"], texts
     assert len(got) == 3, "each distinct text exactly once"
+
+
+def test_incremental_lsh_stream_equals_batch(spark, tmp_path):
+    """Incremental MinHash-LSH (round-3 verdict #5): history docs persist
+    their bucket table; each micro-batch probes it for cross-batch
+    candidates, self-joins for within-batch candidates, and appends its own
+    buckets.  The union over the stream must equal one big batch
+    minhash_lsh_pairs run MINUS the within-history pairs (history pre-dates
+    the stream)."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from climatemind_ontology_processing_spark.streaming.dedup import (
+        near_dup_probe_stream, persist_lsh_buckets)
+
+    def doc(i, a, b, c):
+        return (i, f"shared prefix words {a} {b} middle section {c} "
+                   f"tail portion stays mostly common across variants")
+
+    # history: 0-3; batch1: 10-13; batch2: 20-23 — near-dups span groups
+    hist = [doc(0, "x", "y", "z"), doc(1, "x", "y", "w"),
+            (2, "completely unrelated text about parquet file footers"),
+            (3, "another unrelated text mentioning shuffle partitions")]
+    b1 = [doc(10, "x", "y", "z2"), (11, "novel content in batch one only"),
+          doc(12, "x", "y", "w")]
+    b2 = [doc(20, "x", "y", "z2"), (21, "novel content in batch two only")]
+    schema = "doc_id long, text string"
+    all_docs = spark.createDataFrame(hist + b1 + b2, schema)
+    batch_pairs = {(r.a, r.b) for r in
+                   minhash_lsh_pairs(all_docs, max_bucket_size=None).collect()}
+    hist_df = spark.createDataFrame(hist, schema)
+    within_hist = {(r.a, r.b) for r in
+                   minhash_lsh_pairs(hist_df, max_bucket_size=None).collect()}
+
+    bkt = str(tmp_path / "lsh_buckets")
+    cand = str(tmp_path / "lsh_cands")
+    ckpt = str(tmp_path / "lsh_ckpt")
+    src = str(tmp_path / "lsh_src")
+    persist_lsh_buckets(hist_df, bkt)
+    # two files + maxFilesPerTrigger=1 -> two micro-batches in order
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = near_dup_probe_stream(stream, bkt, cand, ckpt,
+                              max_bucket_size=None)
+    q.awaitTermination(180)
+    got = {(r.a, r.b) for r in spark.read.parquet(cand).collect()}
+    assert got == batch_pairs - within_hist, (
+        f"missing={batch_pairs - within_hist - got} extra="
+        f"{got - (batch_pairs - within_hist)}")
+    # the planted cross-group near-dups actually crossed batch boundaries
+    assert (0, 10) in got and (10, 20) in got and (1, 12) in got
+
+
+def test_lsh_probe_marker_validation(spark, tmp_path):
+    """A persisted bucket table built with one hash family must refuse a
+    probe with another (the join would match nothing and silently report
+    zero near-dups), and a partial marker set is rejected too."""
+    from climatemind_ontology_processing_spark.streaming.dedup import (
+        persist_lsh_buckets, probe_lsh_buckets)
+    docs = spark.createDataFrame(
+        [(1, "some text body here for shingling purposes right now")],
+        "doc_id long, text string")
+    bkt = str(tmp_path / "bkt_md5")
+    persist_lsh_buckets(docs, bkt, hash_family="md5_60")
+    loaded = spark.read.parquet(bkt)
+    with pytest.raises(ValueError, match="match nothing"):
+        probe_lsh_buckets(docs, loaded, hash_family="xxhash64")
+    with pytest.raises(ValueError, match="match nothing"):
+        probe_lsh_buckets(docs, loaded, hash_family="md5_60", bands=4)
+    ok = probe_lsh_buckets(docs, loaded, hash_family="md5_60",
+                           max_bucket_size=None)
+    assert ok.count() == 0  # self pairs excluded (doc != doc)
+    with pytest.raises(ValueError, match="partial marker"):
+        probe_lsh_buckets(docs, loaded.drop("bands"), hash_family="md5_60")
 
 
 def test_stateful_sessionization_late_event(spark, tmp_path):

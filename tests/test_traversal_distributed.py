@@ -197,6 +197,30 @@ def test_scc_paths_agree_random(spark, force_distributed, seed):
     assert dist == exp
 
 
+def test_scc_distributed_raises_on_inner_cap(spark, force_distributed):
+    """CLAUDE.md invariant: iterative operators with round caps must RAISE
+    on cap exhaustion.  A 20-cycle has backward hop-depth 19, far beyond a
+    tiny max_inner — both the coloring loop (pointer-jumped, ~log2(d)
+    rounds) and the backward collect loop (plain BFS, d rounds) must fail
+    LOUDLY rather than emit a partial SCC that then mis-trims to
+    singletons (round-3 ADVICE, high)."""
+    from climatemind_ontology_processing_spark.operators.scc import (
+        strongly_connected_components)
+    n = 20
+    rows = [(f"c{i:02d}", f"c{(i + 1) % n:02d}") for i in range(n)]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    # coloring needs ~log2(19) ~ 5 rounds: max_inner=2 exhausts coloring
+    with pytest.raises(RuntimeError, match="coloring"):
+        strongly_connected_components(df, max_inner=2)
+    # coloring fits in 8 rounds but backward collect needs 19: exhausts there
+    with pytest.raises(RuntimeError, match="backward collect"):
+        strongly_connected_components(df, max_inner=8)
+    # adequate cap: the full cycle is one SCC rooted at its min member
+    got = {r.id: r.component
+           for r in strongly_connected_components(df, max_inner=25).collect()}
+    assert got == {f"c{i:02d}": "c00" for i in range(n)}
+
+
 def test_scc_hand_structure(spark):
     """Two 3-cycles bridged one-way + a dangling chain: the bridge must NOT
     merge the cycles, chain nodes are singletons, component = min member."""
