@@ -485,6 +485,135 @@ def _q_canonical_urls(spark, sf_dir):
         canonical_url(bare).alias("curl_bare")).orderBy("doc_id"))
 
 
+def _q_paragraph_dedup(spark, sf_dir):
+    """Cross-corpus paragraph dedup (operators/dedup.paragraph_dedup,
+    MassiveText/C4 line rule) over deterministically CONSTRUCTED
+    paragraph-structured text: each document = its own (unique) body, a
+    footer line shared by every third document (df~167 >> cap), and a
+    tail line shared by every seventh residue class (df~71 > cap).  Both
+    planted boilerplate lines must vanish from every document; unique
+    bodies survive."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        paragraph_dedup)
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    text2 = F.concat(
+        F.col("text"), F.lit("\n"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("standard footer boilerplate line"))
+         .otherwise(F.concat(F.lit("closing line "), d)),
+        F.lit("\ntail paragraph "), (F.col("doc_id") % 7).cast("string"))
+    built = docs.select("doc_id", text2.alias("text"))
+    return (paragraph_dedup(built, max_para_df=5, mode="drop")
+            .orderBy("doc_id"))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (functions/pii.py) over deterministically CONSTRUCTED
+    text with planted e-mails / IPv4s / phone numbers (each present for a
+    different doc_id residue class, so zero-count rows are exercised).
+    The patterns avoid lookarounds so Java regex (Spark) and RE2 (DuckDB)
+    agree — the oracle replays the same scrub chain with 'g'-flagged
+    regexp_replace."""
+    from climatemind_ontology_processing_spark.functions.pii import (
+        scrub_pii_docs)
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text2 = F.concat(
+        F.lit("note "),
+        F.when(d % 4 != 0,
+               F.concat(F.lit("reach user"), d.cast("string"), F.lit("@ex"),
+                        (d % 7).cast("string"), F.lit(".org "))
+               ).otherwise(F.lit("")),
+        F.when(d % 3 != 0,
+               F.concat(F.lit("from 10."), (d % 200).cast("string"),
+                        F.lit(".4."), (d % 250).cast("string"), F.lit(" "))
+               ).otherwise(F.lit("")),
+        F.when(d % 5 != 0,
+               F.concat(F.lit("call 415-867-"),
+                        F.lpad((d % 10000).cast("string"), 4, "0"),
+                        F.lit(" "))).otherwise(F.lit("")),
+        F.lit("end"))
+    built = docs.select("doc_id", text2.alias("text"))
+    return scrub_pii_docs(built).orderBy("doc_id")
+
+
+def _q_domain_stats(spark, sf_dir):
+    """Head-domain distribution (operators/domains.domain_stats) over
+    deterministically CONSTRUCTED urls: 40%% of pages on one head domain
+    (the Zipf head the salting guardrails exist for), a co.uk
+    second-level-suffix class (registrable domain = LAST THREE labels),
+    and two tail classes.  The oracle states the expected registrable
+    domains independently (canonical_urls style), then recomputes
+    counts/share/rank in SQL."""
+    from climatemind_ontology_processing_spark.operators.domains import (
+        domain_stats)
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 10 < 4, F.lit("www.bighead.com"))
+         .when(d % 10 < 6,
+               F.concat(F.lit("sub"), (d % 3).cast("string"),
+                        F.lit(".example.co.uk")))
+         .when(d % 10 < 8,
+               F.concat(F.lit("site"), (d % 20).cast("string"), F.lit(".org")))
+         .otherwise(F.concat(F.lit("blog"), (d % 50).cast("string"),
+                             F.lit(".net"))),
+        F.lit("/page/"), d.cast("string"))
+    pages = docs.select("doc_id", url.alias("url"))
+    return domain_stats(pages).orderBy("rank")
+
+
+def _q_duplicate_spans(spark, sf_dir):
+    """Exact-substring (windowed) dedup spans (operators/dedup.
+    duplicate_spans, Lee et al. 2022) over CONSTRUCTED text: every fourth
+    document gets the same 12-token license chunk appended, whose 8-token
+    windows repeat ~125x corpus-wide; gaps-and-islands merging must
+    recover each planted chunk as ONE maximal span.  The census is by
+    window hash on the Spark side and by window STRING in the oracle —
+    identical up to 64-bit collisions (zero at any tested SF)."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        duplicate_spans)
+    docs = _read(spark, sf_dir, "documents")
+    chunk = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+             "do eiusmod tempor")
+    built = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), F.lit(" " + chunk)))
+         .otherwise(F.col("text")).alias("text"))
+    return (duplicate_spans(built, window=8, min_count=2)
+            .orderBy("doc_id", "span_start"))
+
+
+def _q_domain_cap(spark, sf_dir):
+    """Per-domain quota sampling (operators/domains.domain_cap_sample)
+    over the same constructed url distribution as domain_stats: the two
+    over-cap classes (head domain, co.uk class) are cut to exactly 30
+    deterministic survivors each; under-cap domains pass untouched.
+    md5_60 rank so the oracle replays the selection exactly."""
+    from climatemind_ontology_processing_spark.operators.domains import (
+        domain_cap_sample)
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 10 < 4, F.lit("www.bighead.com"))
+         .when(d % 10 < 6,
+               F.concat(F.lit("sub"), (d % 3).cast("string"),
+                        F.lit(".example.co.uk")))
+         .when(d % 10 < 8,
+               F.concat(F.lit("site"), (d % 20).cast("string"), F.lit(".org")))
+         .otherwise(F.concat(F.lit("blog"), (d % 50).cast("string"),
+                             F.lit(".net"))),
+        F.lit("/page/"), d.cast("string"))
+    pages = docs.select("doc_id", url.alias("url"))
+    return (domain_cap_sample(pages, max_per_domain=30, seed=7,
+                              hash_family="md5_60")
+            .select("doc_id").orderBy("doc_id"))
+
+
 def _q_training_mix(spark, sf_dir):
     """Deterministic stratified training-mix sampling (operators/sampling.py):
     keep 50%% of en, 25%% of de, 10%% of fr, drop other languages — a pure
@@ -1752,8 +1881,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "embedding_lsh_pairs": _q_embedding_lsh_pairs,
         "cosine_histogram": _q_cosine_histogram,
-        # -- new this round (round-4): incremental-LSH probe
+        # -- new this round (round-4)
         "lsh_probe_pairs": _q_lsh_probe,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "pii_scrub": _q_pii_scrub,
+        "domain_stats": _q_domain_stats,
+        "duplicate_spans": _q_duplicate_spans,
+        "domain_cap_sample": _q_domain_cap,
         # -- previously driver-green block (CORRECTNESS_r03: 50/50)
         "cooccurrence_edges": _q_cooccurrence_edges,
         "pmi_edges": _q_pmi_edges,
@@ -1939,6 +2073,185 @@ def oracle_sql() -> dict[str, str]:
             WITH docs AS (SELECT doc_id, text FROM documents),
             {minhash_cte}
             SELECT a, b FROM cand WHERE (a % 2) + (b % 2) = 1 ORDER BY a, b
+        """,
+        "paragraph_dedup": """
+            WITH docs2 AS (
+              SELECT doc_id, text || chr(10) ||
+                CASE WHEN doc_id % 3 = 0
+                     THEN 'standard footer boilerplate line'
+                     ELSE 'closing line ' || doc_id END || chr(10) ||
+                'tail paragraph ' || (doc_id % 7) AS text
+              FROM documents
+            ),
+            paras AS (
+              SELECT doc_id, u.s['pos'] AS pos, u.s['para'] AS para
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ps
+                    FROM docs2),
+                   unnest(list_transform(generate_series(1, len(ps)),
+                          i -> {'pos': i, 'para': ps[i]})) AS u(s)
+            ),
+            boiler AS (
+              SELECT para FROM paras WHERE length(para) >= 1
+              GROUP BY para HAVING count(DISTINCT doc_id) > 5
+            ),
+            kept AS (
+              SELECT p.doc_id, p.pos, p.para FROM paras p
+              LEFT JOIN boiler b ON p.para = b.para
+              WHERE b.para IS NULL
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY pos) AS text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ),
+            totals AS (
+              SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id
+            )
+            SELECT t.doc_id, coalesce(r.text, '') AS text, t.n_paras,
+                   t.n_paras - coalesce(r.n_kept, 0) AS n_removed
+            FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY t.doc_id
+        """,
+        "pii_scrub": r"""
+            WITH built AS (
+              SELECT doc_id, 'note ' ||
+                CASE WHEN doc_id % 4 != 0
+                     THEN 'reach user' || doc_id || '@ex' || (doc_id % 7)
+                          || '.org ' ELSE '' END ||
+                CASE WHEN doc_id % 3 != 0
+                     THEN 'from 10.' || (doc_id % 200) || '.4.'
+                          || (doc_id % 250) || ' ' ELSE '' END ||
+                CASE WHEN doc_id % 5 != 0
+                     THEN 'call 415-867-'
+                          || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' '
+                     ELSE '' END || 'end' AS text
+              FROM documents
+            ),
+            stage AS (
+              SELECT doc_id, text,
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS after_email
+              FROM built
+            ),
+            stage2 AS (
+              SELECT *, regexp_replace(after_email,
+                  '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS after_ip
+              FROM stage
+            )
+            SELECT doc_id,
+                   regexp_replace(after_ip,
+                     '(?:\+[0-9]{1,2}[ -]?)?(?:\([0-9]{3}\)[ -]?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}',
+                     '<PHONE>', 'g') AS text,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS n_emails,
+                   len(regexp_extract_all(after_email,
+                     '(?:[0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+                   len(regexp_extract_all(after_ip,
+                     '(?:\+[0-9]{1,2}[ -]?)?(?:\([0-9]{3}\)[ -]?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}'))
+                     AS n_phones
+            FROM stage2 ORDER BY doc_id
+        """,
+        "duplicate_spans": """
+            WITH built AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0
+                     THEN text || ' lorem ipsum dolor sit amet consectetur'
+                          || ' adipiscing elit sed do eiusmod tempor'
+                     ELSE text END AS text
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+              FROM built
+            ),
+            wins AS (
+              -- aligned dual-unnest (DuckDB zips same-length unnests);
+              -- struct_pack with array_to_string inside a lambda hits a
+              -- DuckDB 1.0 binder bug, hence this shape
+              SELECT doc_id,
+                     unnest(generate_series(0, len(t) - 8)) AS st,
+                     unnest(list_transform(generate_series(1, len(t) - 7),
+                            i -> array_to_string(list_slice(t, i, i + 7),
+                                                 ' '))) AS w
+              FROM toks WHERE len(t) >= 8
+            ),
+            hot AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+            dup AS (SELECT doc_id, st FROM wins
+                    WHERE w IN (SELECT w FROM hot)),
+            flagged AS (
+              SELECT doc_id, st,
+                     CASE WHEN st - lag(st) OVER (
+                            PARTITION BY doc_id ORDER BY st) > 8
+                          THEN 1 ELSE 0 END AS newg
+              FROM dup
+            ),
+            grouped AS (
+              SELECT doc_id, st,
+                     sum(newg) OVER (PARTITION BY doc_id ORDER BY st
+                                     ROWS UNBOUNDED PRECEDING) AS g
+              FROM flagged
+            )
+            SELECT doc_id, min(st) AS span_start,
+                   max(st) + 8 AS span_end, count(*) AS n_windows
+            FROM grouped GROUP BY doc_id, g
+            ORDER BY doc_id, span_start
+        """,
+        "domain_cap_sample": """
+            WITH pages AS (
+              SELECT doc_id,
+                'https://' ||
+                CASE WHEN doc_id % 10 < 4 THEN 'www.bighead.com'
+                     WHEN doc_id % 10 < 6
+                       THEN 'sub' || (doc_id % 3) || '.example.co.uk'
+                     WHEN doc_id % 10 < 8
+                       THEN 'site' || (doc_id % 20) || '.org'
+                     ELSE 'blog' || (doc_id % 50) || '.net' END
+                || '/page/' || doc_id AS url,
+                CASE WHEN doc_id % 10 < 4 THEN 'bighead.com'
+                     WHEN doc_id % 10 < 6 THEN 'example.co.uk'
+                     WHEN doc_id % 10 < 8 THEN 'site' || (doc_id % 20) || '.org'
+                     ELSE 'blog' || (doc_id % 50) || '.net' END AS dom
+              FROM documents
+            ),
+            counts AS (SELECT dom, count(*) AS n FROM pages GROUP BY dom),
+            ranked AS (
+              SELECT p.doc_id, p.dom, c.n,
+                     row_number() OVER (
+                       PARTITION BY p.dom
+                       ORDER BY ('0x' || substring(
+                                   md5('7' || chr(31) || p.url), 1, 15))
+                                 ::BIGINT % 1000000 ASC,
+                                p.url ASC) AS rk
+              FROM pages p JOIN counts c ON p.dom = c.dom
+            )
+            SELECT doc_id FROM ranked WHERE n <= 30 OR rk <= 30
+            ORDER BY doc_id
+        """,
+        "domain_stats": """
+            -- expected registrable domains stated independently of the
+            -- engine's host/suffix logic (canonical_urls style)
+            WITH doms AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 10 < 4 THEN 'bighead.com'
+                     WHEN doc_id % 10 < 6 THEN 'example.co.uk'
+                     WHEN doc_id % 10 < 8 THEN 'site' || (doc_id % 20) || '.org'
+                     ELSE 'blog' || (doc_id % 50) || '.net' END AS domain
+              FROM documents
+            ),
+            counts AS (
+              SELECT domain, count(*)::BIGINT AS n_docs FROM doms
+              GROUP BY domain
+            ),
+            tot AS (SELECT sum(n_docs)::DOUBLE AS t FROM counts)
+            SELECT domain, n_docs,
+                   CAST(round(n_docs * 1e6 / tot.t) AS BIGINT) AS share_micro,
+                   row_number() OVER (ORDER BY n_docs DESC, domain ASC)
+                     AS rank
+            FROM counts CROSS JOIN tot
+            ORDER BY rank
         """,
         "near_dup_pairs": f"""
             WITH docs AS (

@@ -563,3 +563,164 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
             .withColumn("c_ba", F.round(F.col("inter") / F.col("sz_b"), 6))
             .filter((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))
             .select("a", "b", "c_ab", "c_ba"))
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus paragraph-level dedup (MassiveText / C4 line rule)
+# ---------------------------------------------------------------------------
+def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n",
+                    max_para_df: int = 1, min_para_chars: int = 1,
+                    mode: str = "drop") -> DataFrame:
+    """Remove boilerplate PARAGRAPHS across the whole corpus — the
+    line/paragraph-granularity dedup of the MassiveText (Rae et al. 2021)
+    and C4 (Raffel et al. 2020) cleaning recipes, which document-level
+    dedup cannot express: a footer shared by 10^5 pages never makes the
+    *documents* near-identical, yet should appear in the corpus at most
+    once (or never).
+
+    Each document splits on ``sep``; a paragraph's corpus document
+    frequency (DISTINCT docs containing it) above ``max_para_df`` marks it
+    boilerplate.  ``mode='drop'`` removes such paragraphs from EVERY
+    document; ``mode='keep_first'`` keeps them only in the lowest-id
+    document (the C4 flavor).  Paragraphs shorter than ``min_para_chars``
+    are exempt (they carry formatting, not content — and empty strings
+    would otherwise census as corpus-wide boilerplate).  Survivors
+    reassemble joined by ``sep`` in original order; a fully-scrubbed
+    document keeps its row with empty text.
+
+    100 TB shape (mirrors ``dedup_exact``): the df census aggregates a
+    map-side projection of fp128 paragraph fingerprints — paragraph TEXT
+    never enters the census exchange; the doomed set then comes back as a
+    keys-only (id, pos) anti-join.  Only the final reassembly groupBy
+    moves surviving text, and that is the output materialization itself.
+    Two distinct paragraphs merge only on a double-xxhash64 collision
+    (~2^-128/pair).
+
+    Returns (id_col, text_col, n_paras, n_removed).
+    """
+    if mode not in ("drop", "keep_first"):
+        raise ValueError(f"mode must be 'drop' or 'keep_first', got {mode!r}")
+    import re as _re
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1))
+         .alias("pos", "para"))
+    eligible = paras.filter(F.length("para") >= min_para_chars)
+    fp = eligible.select(
+        id_col, "pos",
+        F.xxhash64("para").alias("_f1"),
+        F.xxhash64(F.lit("para-seed-2"), F.col("para")).alias("_f2"))
+    census = (fp.groupBy("_f1", "_f2")
+              .agg(F.count_distinct(F.col(id_col)).alias("_df"),
+                   F.min(id_col).alias("_winner"))
+              .filter(F.col("_df") > max_para_df))
+    doomed = fp.join(census, ["_f1", "_f2"])
+    if mode == "keep_first":
+        doomed = doomed.filter(F.col(id_col) != F.col("_winner"))
+    doomed = doomed.select(id_col, "pos")
+    kept = paras.join(doomed, [id_col, "pos"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "para")))
+                     .alias("_ps"),
+                    F.count("*").alias("_n_kept")))
+    totals = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    return (totals
+            .join(rebuilt, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(
+                    F.concat_ws(sep, F.transform(F.col("_ps"),
+                                                 lambda s: s.getField("para"))),
+                    F.lit("")).alias(text_col),
+                "n_paras",
+                (F.col("n_paras") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+                .alias("n_removed")))
+
+
+def oversized_paragraphs(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", sep: str = "\n",
+                         max_para_df: int = 1,
+                         min_para_chars: int = 1) -> DataFrame:
+    """Audit for ``paragraph_dedup``: (para, doc_freq) for every paragraph
+    above the df threshold — what the scrub removed (or demoted to its
+    first document), with the text recovered via one min-per-fingerprint
+    pass."""
+    import re as _re
+    paras = (docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), _re.escape(sep), -1)).alias("para"))
+        .filter(F.length("para") >= min_para_chars))
+    return (paras.groupBy(
+        F.xxhash64("para").alias("_f1"),
+        F.xxhash64(F.lit("para-seed-2"), F.col("para")).alias("_f2"))
+        .agg(F.min("para").alias("para"),
+             F.count_distinct(F.col(id_col)).alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_para_df)
+        .select("para", "doc_freq"))
+
+
+# ---------------------------------------------------------------------------
+# exact substring (window) dedup — Lee et al. 2022 approximation
+# ---------------------------------------------------------------------------
+def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", window: int = 50,
+                    min_count: int = 2,
+                    hash_family: str = "xxhash64") -> DataFrame:
+    """Token spans repeated verbatim across the corpus — the windowed
+    approximation of exact-substring dedup ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022: repeated >=N-token
+    substrings are the memorization vector doc-level dedup misses, e.g.
+    licenses, templates, quoted passages pasted into otherwise-unique
+    pages).
+
+    Every ``window``-token sliding window is hashed; a window occurring
+    ``min_count``+ times corpus-wide (counting all occurrences, including
+    within one document) marks its token range duplicated; per document,
+    overlapping/adjacent duplicated ranges MERGE into maximal spans (any
+    repeated substring of length L >= window covers L-window+1 consecutive
+    duplicated windows, so merged spans recover the full substring, not
+    fragments).
+
+    100 TB shape: the occurrence census aggregates (hash) keys only — one
+    map-side-combinable shuffle, window text never leaves the mapper; the
+    merge is gaps-and-islands over (doc, start) integer pairs (lag +
+    running max flag + cumulative-sum group id), i.e. one window over
+    keys.  Returns (id_col, span_start, span_end, n_windows): token
+    offsets, end exclusive, ``n_windows`` = duplicated windows merged into
+    the span.  Callers scrub with a slice/rebuild or drop the documents.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("_t"))
+    wh = base.select(
+        id_col,
+        F.explode(F.when(
+            F.size("_t") >= window,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - window),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    token_hash(F.concat_ws(" ",
+                                           F.slice(F.col("_t"), i + 1, window)),
+                               hash_family).alias("h"))))
+            .otherwise(F.array().cast(
+                "array<struct<start:int,h:long>>"))).alias("w")) \
+        .select(id_col, "w.start", "w.h")
+    hot = (wh.groupBy("h").agg(F.count("*").alias("_c"))
+           .filter(F.col("_c") >= min_count).select("h"))
+    dup = wh.join(hot, "h", "left_semi").select(id_col, "start")
+    w_doc = Window.partitionBy(id_col).orderBy("start")
+    flagged = dup.withColumn(
+        "_new", F.when(
+            F.col("start") - F.lag("start").over(w_doc) > window,
+            1).otherwise(0))
+    grouped = flagged.withColumn(
+        "_g", F.sum("_new").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)))
+    return (grouped.groupBy(id_col, "_g")
+            .agg(F.min("start").alias("span_start"),
+                 (F.max("start") + window).alias("span_end"),
+                 F.count("*").alias("n_windows"))
+            .drop("_g"))

@@ -1139,3 +1139,164 @@ def test_decontamination_hash_family_mismatch_raises(spark):
     got2 = contaminated_docs(corpus, bench.drop("hash_family"), n=13,
                              hash_family="md5_60").collect()
     assert got2 and got2[0].n_hits == got[0].n_hits
+
+
+def test_paragraph_dedup_modes_and_reassembly(spark):
+    """Cross-corpus paragraph dedup: a footer shared by many docs is
+    removed under mode='drop' and kept only in the lowest doc under
+    'keep_first'; unique paragraphs survive in original order; short
+    paragraphs are exempt; a fully-boilerplate doc keeps an empty row."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        oversized_paragraphs, paragraph_dedup)
+    footer = "all rights reserved footer"
+    rows = [(1, f"alpha body\n{footer}\nunique one"),
+            (2, f"beta body\n{footer}"),
+            (3, f"{footer}"),                      # fully boilerplate
+            (4, "gamma body\nx"),                  # 'x' short but df=1
+            (5, f"delta body\nx\n{footer}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           paragraph_dedup(docs, max_para_df=2).collect()}
+    assert got[1].text == "alpha body\nunique one"
+    assert got[1].n_paras == 3 and got[1].n_removed == 1
+    assert got[2].text == "beta body"
+    assert got[3].text == "" and got[3].n_removed == 1
+    assert got[4].text == "gamma body\nx"          # df('x')=2 <= cap
+    assert got[5].text == "delta body\nx"
+    kf = {r.doc_id: r.text for r in
+          paragraph_dedup(docs, max_para_df=2, mode="keep_first").collect()}
+    assert kf[1] == f"alpha body\n{footer}\nunique one"  # winner keeps it
+    assert kf[2] == "beta body" and kf[3] == ""
+    aud = {(r.para, r.doc_freq) for r in
+           oversized_paragraphs(docs, max_para_df=2).collect()}
+    assert aud == {(footer, 4)}
+    with pytest.raises(ValueError, match="mode"):
+        paragraph_dedup(docs, mode="bogus")
+    # min_para_chars exemption: raise the floor and 'x' (len 1) is exempt
+    # even at df 2 > cap 1
+    exempt = {r.doc_id: r.text for r in
+              paragraph_dedup(docs, max_para_df=1,
+                              min_para_chars=2).collect()}
+    assert exempt[4] == "gamma body\nx"
+
+
+def test_pii_scrub_patterns_and_order(spark):
+    """Emails, IPv4s, and phones are redacted in the fixed chain order —
+    an IP's digit runs are never double-counted as a phone; clean text
+    passes through untouched."""
+    from climatemind_ontology_processing_spark.functions.pii import (
+        scrub_pii_docs)
+    rows = [
+        (1, "mail a.b+c@sub.example.org now"),
+        (2, "server at 192.168.1.100 port"),
+        (3, "call 415-867-5309 or (212) 555-0100 today"),
+        (4, "mixed u@d.io 10.0.0.1 +1 415-555-0199 end"),
+        (5, "clean text with numbers 12345 and dots a.b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii_docs(docs).collect()}
+    assert got[1].text == "mail <EMAIL> now"
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (1, 0, 0)
+    assert got[2].text == "server at <IP> port"
+    assert got[3].text == "call <PHONE> or <PHONE> today"
+    assert got[3].n_phones == 2
+    assert got[4].text == "mixed <EMAIL> <IP> <PHONE> end"
+    assert (got[4].n_emails, got[4].n_ips, got[4].n_phones) == (1, 1, 1)
+    assert got[5].text == rows[4][1]
+    assert (got[5].n_emails, got[5].n_ips, got[5].n_phones) == (0, 0, 0)
+
+
+def test_domain_stats_and_registrable_suffixes(spark):
+    """host_of strips scheme/userinfo/port; domain_of keeps three labels
+    for second-level suffixes; domain_stats ranks densest-first with
+    exact micro shares."""
+    from climatemind_ontology_processing_spark.operators.domains import (
+        domain_of, domain_stats, host_of)
+    rows = [(i, u) for i, u in enumerate(
+        ["https://www.Big.com/a", "http://big.com:8080/b?q=1",
+         "https://user:pw@sub.big.com/c",
+         "https://news.bbc.co.uk/x", "https://BBC.CO.UK/y",
+         "https://solo/z"])]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    doms = [r.d for r in pages.select(
+        host_of(F.col("url")).alias("h"),
+        domain_of(F.col("url")).alias("d")).collect()]
+    assert doms == ["big.com", "big.com", "big.com",
+                    "bbc.co.uk", "bbc.co.uk", "solo"]
+    stats = {r.domain: r for r in domain_stats(pages).collect()}
+    assert stats["big.com"].n_docs == 3 and stats["big.com"].rank == 1
+    assert stats["big.com"].share_micro == 500000
+    assert stats["bbc.co.uk"].n_docs == 2
+    assert stats["solo"].share_micro == 166667
+    top1 = domain_stats(pages, top_k=1).collect()
+    assert len(top1) == 1 and top1[0].domain == "big.com"
+
+
+def test_duplicate_spans_islands_and_merge(spark):
+    """Windowed exact-substring dedup: a repeated 6-token chunk inside two
+    otherwise-unique docs is recovered as ONE maximal span per doc (not
+    window fragments); two separated repeats in one doc give two islands;
+    unique docs and short docs emit nothing."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        duplicate_spans)
+    chunk = "one two three four five six"                   # 6 tokens
+    rows = [
+        (1, f"alpha beta {chunk} gamma delta"),             # chunk at 2..8
+        (2, f"{chunk} zeta eta theta iota kappa"),          # chunk at 0..6
+        (3, f"{chunk} x1 x2 x3 x4 x5 x6 x7 {chunk}"),       # two islands
+        (4, "totally unique text with many distinct tokens here now"),
+        (5, "short"),                                       # < window
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r.doc_id, r.span_start, r.span_end, r.n_windows)
+                 for r in duplicate_spans(docs, window=4,
+                                          min_count=2).collect())
+    # window=4: chunk has 3 hot windows (relative starts 0,1,2)
+    assert (1, 2, 8, 3) in got        # starts 2,3,4 -> span [2, 4+4)
+    assert (2, 0, 6, 3) in got
+    doc3 = [g for g in got if g[0] == 3]
+    assert len(doc3) == 2, doc3       # separated repeats stay two islands
+    assert not any(g[0] in (4, 5) for g in got)
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, window=0)
+
+
+def test_duplicate_spans_within_doc_repeat_counts(spark):
+    """min_count counts ALL occurrences (Lee et al. semantics), including
+    within one document — a doc repeating its own chunk is flagged even if
+    no other doc shares it."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        duplicate_spans)
+    docs = spark.createDataFrame(
+        [(1, "p q r s filler0 filler1 filler2 filler3 p q r s")],
+        "doc_id long, text string")
+    got = [(r.span_start, r.span_end) for r in
+           duplicate_spans(docs, window=4, min_count=2)
+           .orderBy("span_start").collect()]
+    assert got == [(0, 4), (8, 12)]
+
+
+def test_domain_cap_sample_quota_and_determinism(spark):
+    """Only over-cap domains are cut (to exactly k, deterministically);
+    under-cap domains pass untouched; repartitioning changes nothing;
+    a smaller cap selects a subset of a larger one."""
+    from climatemind_ontology_processing_spark.operators.domains import (
+        domain_cap_sample)
+    rows = ([(i, f"https://head.com/p{i}") for i in range(40)]
+            + [(100 + i, f"https://tail{i}.org/x") for i in range(5)])
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    got = domain_cap_sample(pages, max_per_domain=10).collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r.url.split("/")[2], []).append(r.doc_id)
+    assert len(by_dom["head.com"]) == 10
+    assert sum(len(v) for d, v in by_dom.items() if d != "head.com") == 5
+    again = {r.doc_id for r in
+             domain_cap_sample(pages.repartition(7),
+                               max_per_domain=10).collect()}
+    assert again == {r.doc_id for r in got}
+    smaller = {r.doc_id for r in
+               domain_cap_sample(pages, max_per_domain=5).collect()
+               if r.url.startswith("https://head")}
+    bigger = {r.doc_id for r in got if r.url.startswith("https://head")}
+    assert smaller < bigger           # nested-prefix selection
