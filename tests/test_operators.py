@@ -1300,3 +1300,47 @@ def test_domain_cap_sample_quota_and_determinism(spark):
                if r.url.startswith("https://head")}
     bigger = {r.doc_id for r in got if r.url.startswith("https://head")}
     assert smaller < bigger           # nested-prefix selection
+
+
+def test_paragraph_dedup_census_is_keys_only(spark):
+    """Scale pin: the boilerplate census exchange must carry fingerprints
+    and ids only — paragraph TEXT never enters the census aggregation
+    (the same keys-only contract dedup_exact pins in PLANS.md)."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        paragraph_dedup)
+    docs = spark.createDataFrame(
+        [(i, f"body {i}\nshared footer") for i in range(20)],
+        "doc_id long, text string")
+    plan = paragraph_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    import re
+    # every hash-aggregate over the fingerprint key must not carry 'para'
+    for m in re.finditer(r"HashAggregate \[?keys=\[_f1[^\n]*", plan):
+        assert "para#" not in m.group(0), m.group(0)
+
+
+def test_duplicate_spans_census_is_keys_only(spark):
+    """Scale pin: the window-occurrence census aggregates the hash column
+    alone — window text/token arrays stay out of that exchange."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        duplicate_spans)
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(4)],
+        "doc_id long, text string")
+    plan = duplicate_spans(docs, window=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re
+    for m in re.finditer(r"HashAggregate \[?keys=\[h#[^\n]*", plan):
+        assert "_t#" not in m.group(0) and "text#" not in m.group(0)
+
+
+def test_domain_cap_sample_single_window_on_big_side(spark):
+    """Scale pin: exactly ONE Window node in the plan (the over-cap side's
+    rank) — the under-cap pass-through must not sort."""
+    from climatemind_ontology_processing_spark.operators.domains import (
+        domain_cap_sample)
+    pages = spark.createDataFrame(
+        [(i, f"https://d{i % 3}.com/p{i}") for i in range(30)],
+        "doc_id long, url string")
+    plan = domain_cap_sample(pages, max_per_domain=5)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Window ") == 1, plan.count("Window ")

@@ -511,3 +511,64 @@ def test_attribution_join_stream_equals_batch(spark, tmp_path):
     assert (1, "c1", "p1") in got and (2, "c2", "p2") in got
     assert (1, "c3", "p3") in got
     assert not any(u == 3 for u, _, _ in got)
+
+
+def test_curation_pipeline_stage_resume(spark, tmp_path):
+    """plans/curate.run_curation: full recipe over a corpus with planted
+    boilerplate paragraphs, PII, exact dups, near dups, and junk docs;
+    a rerun with the same run_id skips every completed stage; killing a
+    mid-pipeline stage's lineage (crash simulation) reruns ONLY from that
+    stage; final outputs identical either way."""
+    from climatemind_ontology_processing_spark.plans.curate import (
+        STAGES, run_curation)
+    boiler = "subscribe to our newsletter today"
+    base = ("the quick brown fox jumps over the lazy dog and then the "
+            "fox runs into the green forest where it finds food and the "
+            "other animals watch it with great interest for a while")
+
+    def body(i):
+        # shared English-markered base (for language id) + 12 doc-unique
+        # tokens so distinct docs sit well BELOW the near-dup threshold
+        uniq = " ".join(f"tok{i}x{j}" for j in range(12))
+        return f"{base} {uniq}"
+
+    rows = [(i, f"{body(i)}\n{boiler}") for i in range(8)]
+    rows += [(100, f"{body(3)}\n{boiler}"),            # exact dup of 3
+             (101, f"{body(4)} extra\n{boiler}"),      # near-dup of 4
+             (102, "short junk"),                      # quality fail
+             (103, "der die das und ist nicht mit ein zu den "
+                   "der die das und ist nicht mit ein zu den "
+                   "der die das und ist nicht mit ein zu den")]  # german
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = str(tmp_path / "c1")
+    rep1 = run_curation(spark, docs, out1, "r1", max_para_df=4,
+                        near_threshold=0.7)
+    assert rep1.ran == list(STAGES) and not rep1.skipped
+    cleaned = {r.doc_id: r.text
+               for r in spark.read.parquet(f"{out1}/quality").collect()}
+    assert boiler not in " ".join(cleaned.values())   # paragraphs stage
+    assert 100 not in cleaned                         # exact stage (101 near)
+    assert 101 not in cleaned                         # near stage
+    assert 102 not in cleaned and 103 not in cleaned  # quality stage
+    assert set(cleaned) == set(range(8))
+    spans1 = {(r.doc_id, r.start_offset) for r in
+              spark.read.parquet(f"{out1}/pack").collect()}
+    assert {d for d, _ in spans1} == set(range(8))
+
+    # full rerun: everything skipped, outputs unchanged
+    rep2 = run_curation(spark, docs, out1, "r1", max_para_df=4,
+                        near_threshold=0.7)
+    assert rep2.skipped == list(STAGES) and not rep2.ran
+    assert {(r.doc_id, r.start_offset) for r in
+            spark.read.parquet(f"{out1}/pack").collect()} == spans1
+
+    # crash simulation: drop the 'near' stage's output dir -> rerun must
+    # redo near and every later stage, but skip the first three
+    import shutil
+    shutil.rmtree(f"{out1}/near")
+    rep3 = run_curation(spark, docs, out1, "r1", max_para_df=4,
+                        near_threshold=0.7)
+    assert rep3.skipped == ["paragraphs", "pii", "exact"]
+    assert rep3.ran == ["near", "quality", "pack"]
+    assert {(r.doc_id, r.start_offset) for r in
+            spark.read.parquet(f"{out1}/pack").collect()} == spans1
