@@ -614,6 +614,39 @@ def _q_domain_cap(spark, sf_dir):
             .select("doc_id").orderBy("doc_id"))
 
 
+def _q_curation_preview(spark, sf_dir):
+    """Composed curation pipeline (plans/curate.py stage order:
+    paragraph_dedup -> scrub_pii_docs -> dedup_exact) over CONSTRUCTED
+    text where the expected output is STATEABLE independently
+    (canonical_urls style): docs form groups of 5 sharing a base
+    paragraph and a group PII line; a footer (df~167) and a constant
+    closing line (df~333) exceed the paragraph cap and vanish, making
+    the 5 group members byte-identical; the PII line's e-mail is tagged;
+    exact dedup then keeps exactly the group leader.  The oracle simply
+    states that result — 100 leaders, text = base + scrubbed PII line,
+    counts (1,0,0) — with zero pipeline re-implementation."""
+    from climatemind_ontology_processing_spark.functions.pii import (
+        scrub_pii_docs)
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        dedup_exact, paragraph_dedup)
+    docs = _read(spark, sf_dir, "documents")
+    g = docs.select(F.col("doc_id").alias("gid"), F.col("text").alias("gtext"))
+    base = (docs.select("doc_id")
+            .withColumn("gid", F.col("doc_id") - F.col("doc_id") % 5)
+            .join(g, "gid"))
+    text2 = F.concat(
+        F.col("gtext"), F.lit("\n"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("standard footer boilerplate line"))
+         .otherwise(F.lit("closing block")),
+        F.lit("\nreach user"), F.col("gid").cast("string"),
+        F.lit("@ex"), (F.col("gid") % 7).cast("string"), F.lit(".org now"))
+    built = base.select("doc_id", text2.alias("text"))
+    step1 = paragraph_dedup(built, max_para_df=5).select("doc_id", "text")
+    step2 = scrub_pii_docs(step1)
+    return dedup_exact(step2).orderBy("doc_id")
+
+
 def _q_training_mix(spark, sf_dir):
     """Deterministic stratified training-mix sampling (operators/sampling.py):
     keep 50%% of en, 25%% of de, 10%% of fr, drop other languages — a pure
@@ -1416,6 +1449,48 @@ def _q_scc(spark, sf_dir):
     return strongly_connected_components(edges).orderBy("id")
 
 
+def _q_label_propagation(spark, sf_dir):
+    """Fixed-round synchronous label-propagation communities
+    (operators/graphstats.label_propagation, GraphX-LPA semantics: exactly
+    N rounds, ties toward the smallest label) over the sparse undirected
+    trade subgraph.  The oracle unrolls the 3 rounds as chained
+    vote/argmax CTEs."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        label_propagation)
+    edges = _trade_edges(spark, sf_dir) \
+        .filter((F.col("src") * 31 + F.col("dst")) % 13 == 0)
+    return label_propagation(edges, rounds=3).orderBy("id")
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    parts = [f"""
+        WITH base AS (
+          SELECT src, dst FROM ({_TRADE_SQL}) WHERE (src * 31 + dst) % 13 = 0
+        ),
+        und AS (
+          SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM base
+            UNION SELECT dst AS a, src AS b FROM base)
+          WHERE a <> b
+        ),
+        l0 AS (SELECT DISTINCT a AS id, a AS lab FROM und)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        v{r} AS (
+          SELECT u.a AS id, l.lab, count(*) AS c
+          FROM und u JOIN l{r-1} l ON l.id = u.b GROUP BY u.a, l.lab
+        ),
+        l{r} AS (
+          SELECT id, lab FROM (
+            SELECT id, lab, row_number() OVER (
+              PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+            FROM v{r}) t WHERE rn = 1
+        )""")
+    parts.append(f"""
+        SELECT id, lab AS community FROM l{rounds} ORDER BY id""")
+    return "".join(parts)
+
+
 def _q_triangle_counts(spark, sf_dir):
     """Per-node triangle counts over the undirected sparse trade subgraph
     (operators/graphstats.py) — the clustering-coefficient building block."""
@@ -1797,6 +1872,103 @@ def _ivf_topk_sql() -> str:
     """
 
 
+def _q_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ composed ANN (operators/similarity.ivfpq_topk — the
+    FAISS-IVFPQ scale shape): 8 seeded coarse cells prune the scan to each
+    query's 3 probed cells; within them only the 8-code PQ column is
+    ADC-scored (micro-BIGINT sums so the oracle replays hash-exactly).
+    The oracle composes the ivf_topk assignment/probe CTEs with the
+    pq_topk encode/LUT CTEs verbatim."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        ivfpq_topk)
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    return (ivfpq_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=3,
+                       m=8, n_codes=16, seed=42, micro=True)
+            .select("qid", "vec_id", "adc_micro", "rank")
+            .orderBy("qid", "rank"))
+
+
+def _ivfpq_topk_sql() -> str:
+    """Oracle for _q_ivfpq_topk: the _ivf_topk_sql assignment/probe CTEs
+    (same inlined centroids, rounded-argmax, ties -> highest cell)
+    composed with the _pq_topk_sql encode/LUT CTEs (same inlined
+    codebooks, round-6-before-argmin encode, micro-BIGINT ADC) — the
+    candidate set is cell-pruned, the scoring is code-only."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        pq_cc, pq_pseudo_codebooks, pseudo_centroids)
+    cents = pseudo_centroids(dim=64, n_cells=8, seed=42)
+    cent_values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    cbs = pq_pseudo_codebooks(dim=64, m=8, n_codes=16, seed=42)
+    ccs = pq_cc(cbs)
+    dsub = 64 // 8
+    cb_values = ", ".join(
+        f"({s}, {j}, [{', '.join(repr(x) for x in c)}]::DOUBLE[], {ccs[s][j]!r})"
+        for s in range(8) for j, c in enumerate(cbs[s]))
+    sub = (f"list_slice(e.v, cb.sub*{dsub}+1, cb.sub*{dsub}+{dsub})")
+    qsub = (f"list_slice(q.qv, cb.sub*{dsub}+1, cb.sub*{dsub}+{dsub})")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents(cell, c) AS (VALUES {cent_values}),
+        cb(sub, code, cw, cc) AS (VALUES {cb_values}),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, ct.cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round(list_dot_product(e.v, ct.c), 6) DESC,
+                              ct.cell DESC) AS rn
+            FROM e CROSS JOIN cents ct) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        probe AS (
+          SELECT qid, cell FROM (
+            SELECT q.qid, ct.cell,
+                   row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY round(list_dot_product(q.qv, ct.c), 6) DESC,
+                              ct.cell DESC) AS rn
+            FROM q CROSS JOIN cents ct) WHERE rn <= 3),
+        enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT e.vec_id, cb.sub, cb.code,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id, cb.sub
+                     ORDER BY round(
+                       list_dot_product({sub}, {sub})
+                       - 2*list_dot_product({sub}, cb.cw)
+                       + cb.cc, 6) ASC, cb.code ASC) AS rn
+            FROM e CROSS JOIN cb) WHERE rn = 1),
+        qd AS (
+          SELECT q.qid, cb.sub, cb.code,
+                 CAST(round(1e6 * round(
+                   list_dot_product({qsub}, {qsub})
+                   - 2*list_dot_product({qsub}, cb.cw)
+                   + cb.cc, 6)) AS BIGINT) AS ld
+          FROM q CROSS JOIN cb),
+        cand AS (
+          SELECT p.qid, a.vec_id
+          FROM assign a JOIN probe p ON a.cell = p.cell
+          WHERE a.vec_id <> p.qid),
+        scored AS (
+          SELECT c.qid, c.vec_id, sum(qd.ld)::BIGINT AS adc_micro
+          FROM cand c
+          JOIN enc ON enc.vec_id = c.vec_id
+          JOIN qd ON qd.qid = c.qid AND qd.sub = enc.sub
+                 AND qd.code = enc.code
+          GROUP BY c.qid, c.vec_id),
+        ranked AS (
+          SELECT qid, vec_id, adc_micro,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY adc_micro ASC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT qid, vec_id, adc_micro, rank FROM ranked
+        WHERE rank <= 5 ORDER BY qid, rank
+    """
+
+
 def _pq_topk_sql() -> str:
     """Oracle for _q_pq_topk: identical seeded codebooks (and their
     precomputed squared norms) inlined as literals, identical
@@ -1888,6 +2060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "duplicate_spans": _q_duplicate_spans,
         "domain_cap_sample": _q_domain_cap,
+        "curation_preview": _q_curation_preview,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "label_propagation": _q_label_propagation,
         # -- previously driver-green block (CORRECTNESS_r03: 50/50)
         "cooccurrence_edges": _q_cooccurrence_edges,
         "pmi_edges": _q_pmi_edges,
@@ -2229,6 +2404,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM ranked WHERE n <= 30 OR rk <= 30
             ORDER BY doc_id
+        """,
+        "curation_preview": """
+            -- independent statement of the composed pipeline's output:
+            -- boilerplate paragraphs gone, group members collapsed to the
+            -- leader, the PII line's e-mail tagged
+            SELECT doc_id,
+                   text || chr(10) || 'reach <EMAIL> now' AS text,
+                   1 AS n_emails, 0 AS n_ips, 0 AS n_phones
+            FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
         """,
         "domain_stats": """
             -- expected registrable domains stated independently of the
@@ -3033,6 +3217,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5 ORDER BY qid, rank
         """,
         "ivf_topk": _ivf_topk_sql(),
+        "ivfpq_topk": _ivfpq_topk_sql(),
+        "label_propagation": _lpa_sql(3),
         "int8_quantize": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             s AS (SELECT vec_id, v,

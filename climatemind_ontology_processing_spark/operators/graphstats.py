@@ -228,3 +228,44 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
         (F.col("n") / 2).cast("long").alias("n_edges"),
         F.when(den > 0.0, F.round(num / den, 6)).otherwise(F.lit(0.0))
          .alias("assortativity"))
+
+
+def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      rounds: int = 5) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007), run for EXACTLY ``rounds`` iterations — the fixed-step
+    semantics of GraphX's LabelPropagation: synchronous LPA has no
+    convergence guarantee (bipartite structures oscillate), so a fixpoint
+    loop would violate the loud-cap invariant; a fixed round count is the
+    standard scalable form and makes the result a pure function of
+    (graph, rounds), which an external oracle can replay via unrolled
+    per-round CTEs.
+
+    Labels start as node ids over the UNDIRECTED edge set (self-loops
+    dropped; isolated nodes never appear — same universe convention as
+    ``scc``).  Each round every node adopts the most frequent label among
+    its neighbors, ties toward the SMALLEST label (fully deterministic).
+
+    Shuffle shape per round: one (node, label) join + one
+    map-side-combinable count + one min_by argmax — keys only, O(E)
+    rows; labels localCheckpoint per round to keep lineage flat.
+    Returns (id, community).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a") != F.col("b")))
+    und = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b"))).distinct() \
+        .localCheckpoint(eager=True)
+    labels = und.select(F.col("a").alias("id")).distinct() \
+        .withColumn("lab", F.col("id"))
+    for _ in range(rounds):
+        votes = (und.join(labels.select(F.col("id").alias("b"), "lab"), "b")
+                 .groupBy(F.col("a").alias("id"), "lab")
+                 .agg(F.count("*").alias("c")))
+        labels = (votes.groupBy("id")
+                  .agg(F.min_by("lab", F.struct((-F.col("c")).alias("nc"),
+                                                F.col("lab").alias("l")))
+                        .alias("lab"))).localCheckpoint(eager=True)
+    return labels.select("id", F.col("lab").alias("community"))

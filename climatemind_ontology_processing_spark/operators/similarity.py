@@ -699,3 +699,66 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                                           F.col("vec_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivfpq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
+               k: int = 10, n_cells: int = 16, n_probe: int = 4,
+               m: int = 8, n_codes: int = 16, seed: int = 42,
+               centroids: list[list[float]] | None = None,
+               codebooks: list[list[list[float]]] | None = None,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               qid_col: str = "qid", micro: bool = False) -> DataFrame:
+    """IVF + PQ composed — the FAISS-IVFPQ shape, THE 10^9-vector scale
+    path: the coarse quantizer prunes the scan to ``n_probe``/``n_cells``
+    of the corpus, and within probed cells only the m-byte PQ code column
+    is read and ADC-scored (no full vector ever touched at query time).
+
+    One map-side projection computes BOTH the cell assignment and the PQ
+    codes from the raw vector column (no self-join between the two); the
+    query side explodes to (qid, probe_cell, luts) and is broadcast, so —
+    exactly like ``ivf_topk``/``pq_topk`` — the ONLY wide operation is the
+    per-qid top-k window over ADC-scored candidates.
+
+    Codes quantize the RAW vectors (IVFADC without residual encoding —
+    the residual variant needs per-cell codebooks, a training-time choice;
+    documented trade: ~1 bit/sub extra distortion for a single shared
+    codebook).  ``micro=True`` returns order-independent ``adc_micro``
+    BIGINT sums (engine-exact, the driver-oracle convention).
+
+    Returns (qid, vec_id, adc_dist|adc_micro, rank<=k), ascending
+    distance, ties toward low vec_id.
+    """
+    cents = centroids or pseudo_centroids(dim, n_cells, seed)
+    cbs = codebooks or pq_pseudo_codebooks(dim, m, n_codes, seed)
+    corpus = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.array_max(_cell_scores(F.col(vec_col), cents)).getField("cell")
+         .alias("cell"),
+        pq_codes(F.col(vec_col), cbs).alias("codes"))
+
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(vec_col).alias("qv"))
+    probe = q.select(
+        "qid",
+        pq_luts(F.col("qv"), cbs).alias("luts"),
+        F.explode(F.slice(
+            F.reverse(F.array_sort(_cell_scores(F.col("qv"), cents))),
+            1, n_probe).getField("cell")).alias("cell"))
+
+    if micro:
+        dist_col, score = "adc_micro", F.aggregate(
+            F.zip_with("codes", "luts",
+                       lambda c, lut: F.round(F.get(lut, c) * 1e6)
+                                       .cast("long")),
+            F.lit(0).cast("long"), lambda a, x: a + x)
+    else:
+        dist_col, score = "adc_dist", F.round(F.aggregate(
+            F.zip_with("codes", "luts", lambda c, lut: F.get(lut, c)),
+            F.lit(0.0), lambda a, x: a + x), 6)
+    cand = (corpus.join(F.broadcast(probe), "cell")
+            .filter(F.col("vec_id") != F.col("qid")))
+    scored = cand.select("qid", "vec_id", score.alias(dist_col))
+    w = Window.partitionBy("qid").orderBy(F.col(dist_col).asc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

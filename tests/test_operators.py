@@ -1344,3 +1344,51 @@ def test_domain_cap_sample_single_window_on_big_side(spark):
     plan = domain_cap_sample(pages, max_per_domain=5)._jdf \
         .queryExecution().executedPlan().toString()
     assert plan.count("Window ") == 1, plan.count("Window ")
+
+
+def test_paragraph_dedup_roundtrip_no_boilerplate(spark):
+    """IDENTITY property: when no paragraph exceeds the df cap, reassembly
+    must reproduce every input text BYTE-EXACTLY — including leading /
+    trailing / consecutive separators (empty paragraphs are exempt from
+    the census and must survive in place), whitespace-only paragraphs,
+    and single-paragraph docs."""
+    import random as _r
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        paragraph_dedup)
+    rng = _r.Random(11)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = ["", "\n", "\n\n", "a", "a\n", "\na", "a\n\nb", " \n  \nx",
+             "solo paragraph only"]
+    for i in range(40):
+        paras = [" ".join(rng.choice(vocab)
+                          for _ in range(rng.randrange(0, 8)))
+                 for _ in range(rng.randrange(1, 6))]
+        texts.append("\n".join(paras))
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_removed) for r in
+           paragraph_dedup(docs, max_para_df=10_000).collect()}
+    for i, t in rows:
+        assert got[i] == (t, 0), (i, repr(t), repr(got[i]))
+
+
+def test_label_propagation_two_cliques(spark):
+    """Fixed-round LPA: two 4-cliques joined by one bridge edge settle
+    into two communities labeled by each clique's min member; rounds is
+    exact (a 1-round run still has mixed provisional labels on the
+    bridge); deterministic across runs."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        label_propagation)
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    rows = c1 + c2 + [(3, 10)]                    # bridge
+    df = spark.createDataFrame(rows, "src int, dst int")
+    got = {r.id: r.community
+           for r in label_propagation(df, rounds=4).collect()}
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[i] for i in range(10, 14)} == {10}
+    again = {r.id: r.community
+             for r in label_propagation(df, rounds=4).collect()}
+    assert again == got
+    with pytest.raises(ValueError):
+        label_propagation(df, rounds=0)

@@ -660,3 +660,32 @@ def test_bloom_no_false_negatives_and_merge(spark):
             bloom_contains(merged, items[:20], k=5, m_bits=4096).collect()}
     assert all(got2.values())
     assert merged.count() == bits.count()
+
+
+def test_ivfpq_topk_composition(spark, vectors):
+    """IVF+PQ composed path: the planted identical vector is recovered at
+    rank 1 (same cell, zero ADC gap to itself-coded twin); every candidate
+    comes from the query's probed cells (subset of ivf_topk's candidate
+    universe); micro and float scoring agree on ranks."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        ivf_assign, ivfpq_topk, pq_fit)
+    queries = vectors.filter(F.col("vec_id") == 0) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    cbs = pq_fit(vectors, dim=16, m=4, n_codes=8, iters=2, seed=42)
+    got = ivfpq_topk(vectors, queries, dim=16, k=5, n_cells=4, n_probe=2,
+                     m=4, n_codes=8, codebooks=cbs).collect()
+    # the identical twin shares the query's codes, so its ADC distance is
+    # exactly the query's own quantization error — the minimum any
+    # candidate can achieve under asymmetric scoring -> rank 1
+    assert got and got[0].vec_id == 100
+    assert got[0].adc_dist <= min(r.adc_dist for r in got[1:])
+    # candidates never leave the n_probe=2 probed cells
+    cells = {r.vec_id: r.cell for r in ivf_assign(vectors, dim=16,
+                                                  n_cells=4).collect()}
+    assert len({cells[r.vec_id] for r in got}) <= 2
+    assert cells[0] in {cells[r.vec_id] for r in got}  # own cell probed
+    micro = ivfpq_topk(vectors, queries, dim=16, k=5, n_cells=4, n_probe=2,
+                       m=4, n_codes=8, codebooks=cbs, micro=True).collect()
+    assert [r.vec_id for r in micro] == [r.vec_id for r in got]
+    # per-term micro rounding vs sum-then-round: off by at most m ulps
+    assert abs(micro[0].adc_micro - round(got[0].adc_dist * 1e6)) <= 4
