@@ -1491,6 +1491,25 @@ def _lpa_sql(rounds: int = 3) -> str:
     return "".join(parts)
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/decontaminate.
+    bpe_train, Sennrich 2016): one corpus pass to the word-freq table,
+    then merge rounds over the vocabulary only.  NO SQL oracle — the
+    merge loop's argmax feeds the next round's tokenization, which an
+    unrolled CTE cannot express without scalar subqueries in lambdas
+    (DuckDB limitation, CLAUDE.md); correctness is pinned instead by the
+    pytest parity test against a pure-Python reference implementation
+    (test_bpe_train_matches_reference) — the driver records the weaker
+    rows-only check."""
+    from climatemind_ontology_processing_spark.operators.decontaminate import (
+        bpe_train)
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=6)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "step int, left string, right string").orderBy("step")
+
+
 def _q_triangle_counts(spark, sf_dir):
     """Per-node triangle counts over the undirected sparse trade subgraph
     (operators/graphstats.py) — the clustering-coefficient building block."""
@@ -2063,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_preview": _q_curation_preview,
         "ivfpq_topk": _q_ivfpq_topk,
         "label_propagation": _q_label_propagation,
+        "bpe_merges": _q_bpe_merges,          # rows-only: see docstring
         # -- previously driver-green block (CORRECTNESS_r03: 50/50)
         "cooccurrence_edges": _q_cooccurrence_edges,
         "pmi_edges": _q_pmi_edges,

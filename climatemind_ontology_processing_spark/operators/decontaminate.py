@@ -121,3 +121,135 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
         counts = (counts.orderBy(F.col("n").desc(), "left", "right")
                   .limit(top_k))
     return counts
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text",
+              n_merges: int = 10, end_marker: str = "</w>",
+              max_vocab_words: int | None = None) -> list[tuple[str, str]]:
+    """Train BPE merges on the corpus (Sennrich et al. 2016) — the
+    tokenizer-induction step of a training-data pipeline, distributed the
+    way the algorithm itself is shaped: ONE corpus pass builds the
+    (word, freq) table, and every merge round after that operates on the
+    distinct-word table only — vocabulary-sized, orders of magnitude
+    smaller than the corpus, the same reduction Sennrich's dict-based
+    reference exploits.
+
+    Per round: explode adjacent symbol pairs weighted by word freq
+    (map-side-combinable sum), pick the argmax pair (ties -> lexicographic
+    min — fully deterministic), then merge it in every word with a greedy
+    left-to-right fold (non-overlapping, standard BPE semantics) and
+    localCheckpoint.  Word symbols start as characters + ``end_marker``.
+    Rounds stop early when no pair occurs twice.
+
+    Returns the ordered merge list [(left, right), ...] — apply with
+    ``bpe_apply``.  Driver cost: one 1-row collect per round (the argmax),
+    n_merges rounds; all heavy work stays distributed.
+    ``max_vocab_words`` caps the word table to the most frequent words
+    (the standard truncation for web-scale tails).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    words = (docs.select(F.explode(toks).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("freq")))
+    if max_vocab_words is not None:
+        words = (words.orderBy(F.col("freq").desc(), F.col("w").asc())
+                 .limit(max_vocab_words))
+    syms = F.concat(
+        F.transform(F.split(F.col("w"), ""), lambda c: c),
+        F.array(F.lit(end_marker)))
+    vocab = words.select(F.col("freq"), syms.alias("s")) \
+        .localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            "freq",
+            F.explode(F.when(
+                F.size("s") >= 2,
+                F.transform(F.sequence(F.lit(1), F.size("s") - 1),
+                            lambda i: F.struct(
+                                F.element_at(F.col("s"), i).alias("a"),
+                                F.element_at(F.col("s"), i + 1).alias("b"))))
+                .otherwise(F.array().cast(
+                    "array<struct<a:string,b:string>>"))).alias("p"))
+        best = (pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1).collect())
+        if not best or best[0]["n"] < 2:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        # greedy left-to-right non-overlapping merge as an aggregate fold:
+        # append each symbol, replacing the accumulator's tail when it
+        # ends with `a` and the incoming symbol is `b` AND the tail was
+        # not itself just produced by this round's merge (tracked via the
+        # `fresh` flag so 'aaa' under (a,a) -> ['aa','a'], not ['aaa'])
+        merged = F.aggregate(
+            F.col("s"),
+            F.struct(F.array().cast("array<string>").alias("out"),
+                     F.lit(False).alias("fresh")),
+            lambda acc, x: F.when(
+                (F.size(acc.getField("out")) > 0)
+                & ~acc.getField("fresh")
+                & (F.element_at(acc.getField("out"), -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.struct(
+                    F.concat(
+                        F.slice(acc.getField("out"), 1,
+                                F.size(acc.getField("out")) - 1),
+                        F.array(F.lit(a + b))).alias("out"),
+                    F.lit(True).alias("fresh")))
+            .otherwise(F.struct(
+                F.concat(acc.getField("out"), F.array(x)).alias("out"),
+                F.lit(False).alias("fresh"))),
+            lambda acc: acc.getField("out"))
+        vocab = vocab.select("freq", merged.alias("s")) \
+            .localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
+              text_col: str = "text", id_col: str = "doc_id",
+              end_marker: str = "</w>") -> DataFrame:
+    """(id, tokens array<string>) — tokenize with a trained merge list:
+    per word, start from characters + ``end_marker`` and apply every merge
+    in training order (the exact inference rule of Sennrich BPE).  Pure
+    column expressions — the merge list rides the plan as literals; at
+    10k+ merges move the loop into a pandas_udf (same dual-path policy as
+    pq_codes/lsh_signature; literal budget unmeasured past ~1k merges)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+
+    def merge_word(word_syms):
+        cur = word_syms
+        for a, b in merges:
+            cur = _fold_merge(cur, a, b)
+        return cur
+
+    def _fold_merge(col, a, b):
+        return F.aggregate(
+            col,
+            F.struct(F.array().cast("array<string>").alias("out"),
+                     F.lit(False).alias("fresh")),
+            lambda acc, x: F.when(
+                (F.size(acc.getField("out")) > 0)
+                & ~acc.getField("fresh")
+                & (F.element_at(acc.getField("out"), -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.struct(
+                    F.concat(
+                        F.slice(acc.getField("out"), 1,
+                                F.size(acc.getField("out")) - 1),
+                        F.array(F.lit(a + b))).alias("out"),
+                    F.lit(True).alias("fresh")))
+            .otherwise(F.struct(
+                F.concat(acc.getField("out"), F.array(x)).alias("out"),
+                F.lit(False).alias("fresh"))),
+            lambda acc: acc.getField("out"))
+
+    word_syms = lambda w: F.concat(F.transform(F.split(w, ""), lambda c: c),
+                                   F.array(F.lit(end_marker)))
+    tokens = F.flatten(F.transform(toks, lambda w: merge_word(word_syms(w))))
+    return docs.select(F.col(id_col), tokens.alias("tokens"))

@@ -164,11 +164,14 @@ def near_dup_probe_stream(pages: DataFrame, bucket_path: str,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
-        try:
+        # explicit existence check — a bare try/except around the read
+        # would silently treat a CORRUPT bucket table as "no history" and
+        # drop every cross-batch candidate (loud-failure philosophy)
+        from ..plans.lineage import _hadoop_fs
+        fs, hpath = _hadoop_fs(spark, bucket_path)
+        have_history = fs.exists(hpath)
+        if have_history:
             buckets = spark.read.parquet(bucket_path)
-            have_history = True
-        except Exception:
-            have_history = False
         cands = None
         if have_history:
             cands = probe_lsh_buckets(

@@ -1392,3 +1392,74 @@ def test_label_propagation_two_cliques(spark):
     assert again == got
     with pytest.raises(ValueError):
         label_propagation(df, rounds=0)
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """Pure-Python Sennrich BPE on a word-frequency dict (greedy
+    left-to-right non-overlapping merges, ties -> lexicographic min)."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = \
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE training == the textbook dict-based algorithm on
+    the same corpus: identical merge list (order matters), identical
+    tokenization via bpe_apply, early stop when no pair repeats."""
+    from collections import Counter
+    from climatemind_ontology_processing_spark.operators.decontaminate import (
+        bpe_apply, bpe_train)
+    texts = ["low lower lowest low low",
+             "new newer newest new lower",
+             "wider wide wide new low"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    wf = Counter(w for t in texts for w in t.split())
+    exp = _bpe_reference(wf, 8)
+    got = bpe_train(docs, n_merges=8)
+    assert got == exp, (got, exp)
+    # apply: every 'low</w>' word becomes one token once (l,o)+(lo,w)
+    # -style merges cover it; spot-check full-word collapse consistency
+    toks = {r.doc_id: r.tokens for r in bpe_apply(docs, got).collect()}
+    # reference-apply one word through the same merges
+    def apply_word(w):
+        syms = list(w) + ["</w>"]
+        for a, b in got:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+    exp0 = [s for w in texts[0].split() for s in apply_word(w)]
+    assert toks[0] == exp0
+    # early stop: single-occurrence corpus trains zero merges
+    singles = spark.createDataFrame([(0, "abc xyz")], "doc_id long, text string")
+    assert bpe_train(singles, n_merges=5) == []
