@@ -602,9 +602,13 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     if mode not in ("drop", "keep_first"):
         raise ValueError(f"mode must be 'drop' or 'keep_first', got {mode!r}")
     import re as _re
+    # NULL text -> '' (one empty, census-exempt paragraph): posexplode of
+    # a null array would DROP the row and the document would silently
+    # vanish from the output
     paras = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1))
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             _re.escape(sep), -1))
          .alias("pos", "para"))
     eligible = paras.filter(F.length("para") >= min_para_chars)
     fp = eligible.select(

@@ -1370,6 +1370,12 @@ def test_paragraph_dedup_roundtrip_no_boilerplate(spark):
            paragraph_dedup(docs, max_para_df=10_000).collect()}
     for i, t in rows:
         assert got[i] == (t, 0), (i, repr(t), repr(got[i]))
+    # NULL text must not silently drop the document
+    with_null = spark.createDataFrame([(900, None), (901, "keep me")],
+                                      "doc_id long, text string")
+    gn = {r.doc_id: r.text
+          for r in paragraph_dedup(with_null, max_para_df=10).collect()}
+    assert gn == {900: "", 901: "keep me"}
 
 
 def test_label_propagation_two_cliques(spark):
