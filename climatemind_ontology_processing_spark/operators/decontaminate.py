@@ -22,6 +22,8 @@ defaults to xxhash64.
 """
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -210,15 +212,72 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
     return merges
 
 
+BPE_APPLY_LITERAL_MAX_MERGES = 64
+
+
+def _bpe_apply_pandas(docs: DataFrame, merges: list[tuple[str, str]],
+                      text_col: str, id_col: str,
+                      end_marker: str) -> DataFrame:
+    """Arrow path: merges applied in Python per DISTINCT word (per-batch
+    word cache — web text repeats words heavily), merge list rides the
+    task closure once.  Identical output to the literal path (pinned by
+    the path-equivalence test)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _tok(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def word_toks(w):
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + [end_marker]
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        res = []
+        for t in texts:
+            if t is None:
+                res.append(None)
+                continue
+            res.append([s for w in t.lower().split()
+                        for s in word_toks(w)])
+        return pd.Series(res)
+
+    return docs.select(F.col(id_col), _tok(F.col(text_col)).alias("tokens"))
+
+
 def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]],
               text_col: str = "text", id_col: str = "doc_id",
-              end_marker: str = "</w>") -> DataFrame:
+              end_marker: str = "</w>",
+              force: str | None = None) -> DataFrame:
     """(id, tokens array<string>) — tokenize with a trained merge list:
     per word, start from characters + ``end_marker`` and apply every merge
-    in training order (the exact inference rule of Sennrich BPE).  Pure
-    column expressions — the merge list rides the plan as literals; at
-    10k+ merges move the loop into a pandas_udf (same dual-path policy as
-    pq_codes/lsh_signature; literal budget unmeasured past ~1k merges)."""
+    in training order (the exact inference rule of Sennrich BPE).
+
+    Dual-path (same policy as pq_codes/lsh_signature): literal column
+    expressions below ``BPE_APPLY_LITERAL_MAX_MERGES`` (each merge is one
+    nested fold — measured ~70 ms of ANALYSIS time per merge, so a real
+    30k-merge tokenizer would spend half an hour in the analyzer), the
+    Arrow/Python path above (merge loop per distinct word per batch,
+    word-cached).  ``force`` overrides for tests."""
+    if force not in (None, "literal", "pandas"):
+        raise ValueError(f"force must be None|'literal'|'pandas', got {force!r}")
+    if force == "pandas" or (force is None
+                             and len(merges) > BPE_APPLY_LITERAL_MAX_MERGES):
+        return _bpe_apply_pandas(docs, merges, text_col, id_col, end_marker)
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                     lambda t: t != "")
 

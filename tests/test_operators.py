@@ -1469,3 +1469,31 @@ def test_bpe_train_matches_reference(spark):
     # early stop: single-occurrence corpus trains zero merges
     singles = spark.createDataFrame([(0, "abc xyz")], "doc_id long, text string")
     assert bpe_train(singles, n_merges=5) == []
+
+
+def test_bpe_apply_paths_identical(spark):
+    """The Arrow bpe_apply path (real-tokenizer merge counts) must produce
+    identical tokenizations to the literal fold path, including null /
+    empty / multi-whitespace texts; the auto switch engages above the
+    literal budget."""
+    from climatemind_ontology_processing_spark.operators.decontaminate import (
+        BPE_APPLY_LITERAL_MAX_MERGES, bpe_apply, bpe_train)
+    texts = [(0, "low lower lowest new newer wide wider"),
+             (1, "  low   newest  "), (2, ""), (3, None),
+             (4, "LOW LoWeR")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=6)
+    assert merges
+    lit = {r.doc_id: r.tokens
+           for r in bpe_apply(docs, merges, force="literal").collect()}
+    pnd = {r.doc_id: r.tokens
+           for r in bpe_apply(docs, merges, force="pandas").collect()}
+    assert lit == pnd, {k: (lit[k], pnd[k]) for k in lit if lit[k] != pnd[k]}
+    # auto switch: a long merge list routes to Arrow (no analysis blowup)
+    long_merges = merges * ((BPE_APPLY_LITERAL_MAX_MERGES // len(merges)) + 2)
+    out = bpe_apply(docs, long_merges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    assert {r.doc_id: r.tokens for r in out.collect()} == lit  # idempotent reapply
+    with pytest.raises(ValueError):
+        bpe_apply(docs, merges, force="bogus")

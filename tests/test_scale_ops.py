@@ -238,6 +238,13 @@ def test_ann_recall_pins(spark):
     pq50 = topsets(pq_topk(vectors, queries, dim=dim, codebooks=cbs, k=5 * k,
                            m=8, n_codes=16))
     assert recall(pq50, exact) >= 0.95        # ADC shortlist for exact rerank
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        ivfpq_topk)
+    ivfpq50 = topsets(ivfpq_topk(vectors, queries, dim=dim, k=5 * k,
+                                 n_cells=n_clusters, n_probe=2, m=8,
+                                 n_codes=16, centroids=cents,
+                                 codebooks=cbs))
+    assert recall(ivfpq50, exact) >= 0.95     # composed scale path (1.000)
 
 
 def test_multimodal_stub_and_plumbing(spark):

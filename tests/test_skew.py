@@ -56,3 +56,25 @@ def test_salt_is_deterministic(spark):
     a = {(r.url, r._salt) for r in with_salt(pages, "url", 8).collect()}
     b = {(r.url, r._salt) for r in with_salt(pages, "url", 8).collect()}
     assert a == b
+
+
+def test_paragraph_dedup_100k_boilerplate_linear(spark):
+    """Volume pin for the census design: 100k docs ALL sharing one
+    boilerplate paragraph (df=100k, the Zipf-head shape).  A pairwise
+    formulation would be 5*10^9 paragraph pairs; the fp128 census is one
+    keys-only aggregate, so this completes in seconds and removes the
+    paragraph from every document."""
+    from pyspark.sql import functions as F
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        paragraph_dedup)
+    n = 100_000
+    docs = (spark.range(n).withColumnRenamed("id", "doc_id")
+            .select("doc_id", F.concat(
+                F.lit("unique body "), F.col("doc_id").cast("string"),
+                F.lit("\nglobal cookie banner text")).alias("text")))
+    out = paragraph_dedup(docs, max_para_df=1000)
+    agg = out.agg(F.count("*").alias("n"),
+                  F.sum("n_removed").alias("rm"),
+                  F.sum(F.when(F.col("text").contains("cookie"), 1)
+                        .otherwise(0)).alias("leaks")).first()
+    assert agg.n == n and agg.rm == n and agg.leaks == 0

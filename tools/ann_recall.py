@@ -53,7 +53,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from climatemind_ontology_processing_spark.operators.similarity import (
-        brute_force_topk, ivf_topk, kmeans_fit, lsh_topk, pq_fit, pq_topk)
+        brute_force_topk, ivf_topk, ivfpq_topk, kmeans_fit, lsh_topk,
+        pq_fit, pq_topk)
     from climatemind_ontology_processing_spark.session import get_spark
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
@@ -95,6 +96,14 @@ def main() -> None:
                   "cos_sim")
     t_lsh = time.time() - t0
 
+    # the composed scale path: trained cells + trained codes, shortlist
+    t0 = time.time()
+    ivfpq_s = topsets(ivfpq_topk(vectors, queries, dim=dim, k=5 * k,
+                                 n_cells=n_clusters, n_probe=2, m=8,
+                                 n_codes=16, centroids=cents,
+                                 codebooks=cbs), "adc_dist")
+    t_ivfpq = time.time() - t0
+
     print(f"corpus: {len(rows)} vectors, dim {dim}, {n_clusters} clusters, "
           f"{len(qids)} queries, k={k}")
     print(f"exact     : recall 1.000  ({t_exact:.2f}s)")
@@ -102,6 +111,8 @@ def main() -> None:
     print(f"pq(m=8)   : recall {recall_at_k(exact, pq, k):.3f}  ({t_pq:.2f}s)")
     print(f"pq@{5*k} shortlist: recall {recall_at_k(exact, pq_short, k):.3f}")
     print(f"lsh(16/8) : recall {recall_at_k(exact, lsh, k):.3f}  ({t_lsh:.2f}s)")
+    print(f"ivfpq@{5*k} shortlist (p=2): recall "
+          f"{recall_at_k(exact, ivfpq_s, k):.3f}  ({t_ivfpq:.2f}s)")
     spark.stop()
 
 
