@@ -111,6 +111,10 @@ def main() -> None:
         # round-3 additions: compressed-domain ANN, LM quality scoring,
         # directed-cycle structure, training-sequence packing
         "pq_topk", "lm_score", "scc", "sequence_packing",
+        # round-4 additions: paragraph-level dedup, exact-substring spans,
+        # composed IVF+PQ ANN, label-propagation communities
+        "paragraph_dedup", "duplicate_spans", "ivfpq_topk",
+        "label_propagation",
     ]
     qs = entrymod.queries()
     for name in headline:

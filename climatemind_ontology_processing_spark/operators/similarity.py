@@ -707,7 +707,8 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
                centroids: list[list[float]] | None = None,
                codebooks: list[list[list[float]]] | None = None,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               qid_col: str = "qid", micro: bool = False) -> DataFrame:
+               qid_col: str = "qid", micro: bool = False,
+               residual: bool = False) -> DataFrame:
     """IVF + PQ composed — the FAISS-IVFPQ shape, THE 10^9-vector scale
     path: the coarse quantizer prunes the scan to ``n_probe``/``n_cells``
     of the corpus, and within probed cells only the m-byte PQ code column
@@ -719,31 +720,69 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
     exactly like ``ivf_topk``/``pq_topk`` — the ONLY wide operation is the
     per-qid top-k window over ADC-scored candidates.
 
-    Codes quantize the RAW vectors (IVFADC without residual encoding —
-    the residual variant needs per-cell codebooks, a training-time choice;
-    documented trade: ~1 bit/sub extra distortion for a single shared
-    codebook).  ``micro=True`` returns order-independent ``adc_micro``
-    BIGINT sums (engine-exact, the driver-oracle convention).
+    ``residual=False`` quantizes the RAW vectors; ``residual=True`` is the
+    authentic IVFADC: codes quantize ``v - centroid[cell]`` and each
+    (query, probed cell) pair builds its LUTs from ``q - centroid[cell]``
+    — residuals are smaller than raw vectors, so the same codebook budget
+    spends its codewords on finer structure (train the codebooks on
+    residuals via ``ivfpq_residuals`` + ``pq_fit``).  The LUT cost rises
+    from one to ``n_probe`` tables per query; corpus-side nothing changes
+    (still one code column).  Residual inputs to the Arrow encode path
+    are localCheckpointed first (the projection-collapse pitfall in
+    operators/dedup.py — a PythonUDF over a zip_with-derived column can
+    land in an interpreted projection).
 
-    Returns (qid, vec_id, adc_dist|adc_micro, rank<=k), ascending
-    distance, ties toward low vec_id.
+    ``micro=True`` returns order-independent ``adc_micro`` BIGINT sums
+    (engine-exact, the driver-oracle convention).  Returns
+    (qid, vec_id, adc_dist|adc_micro, rank<=k), ascending distance, ties
+    toward low vec_id.
     """
     cents = centroids or pseudo_centroids(dim, n_cells, seed)
     cbs = codebooks or pq_pseudo_codebooks(dim, m, n_codes, seed)
-    corpus = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.array_max(_cell_scores(F.col(vec_col), cents)).getField("cell")
-         .alias("cell"),
-        pq_codes(F.col(vec_col), cbs).alias("codes"))
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                         for c in cents])
+    cell_of = F.array_max(_cell_scores(F.col(vec_col), cents)) \
+        .getField("cell")
+
+    if residual:
+        res = F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.element_at(cent_arr, F.col("cell") + 1),
+            lambda x, c: x - c)
+        base = (vectors.select(F.col(id_col).alias("vec_id"),
+                               cell_of.alias("cell"),
+                               F.col(vec_col))
+                .withColumn("_res", res)
+                .select("vec_id", "cell", "_res")
+                .localCheckpoint(eager=True))
+        corpus = base.select("vec_id", "cell",
+                             pq_codes(F.col("_res"), cbs).alias("codes"))
+    else:
+        corpus = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            cell_of.alias("cell"),
+            pq_codes(F.col(vec_col), cbs).alias("codes"))
 
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(vec_col).alias("qv"))
-    probe = q.select(
-        "qid",
-        pq_luts(F.col("qv"), cbs).alias("luts"),
+    probe_cells = q.select(
+        "qid", "qv",
         F.explode(F.slice(
             F.reverse(F.array_sort(_cell_scores(F.col("qv"), cents))),
             1, n_probe).getField("cell")).alias("cell"))
+    if residual:
+        qres = F.zip_with(
+            F.transform(F.col("qv"), lambda x: x.cast("double")),
+            F.element_at(cent_arr, F.col("cell") + 1),
+            lambda x, c: x - c)
+        qbase = (probe_cells.withColumn("_qres", qres)
+                 .select("qid", "cell", "_qres")
+                 .localCheckpoint(eager=True))
+        probe = qbase.select(
+            "qid", "cell", pq_luts(F.col("_qres"), cbs).alias("luts"))
+    else:
+        probe = probe_cells.select(
+            "qid", "cell", pq_luts(F.col("qv"), cbs).alias("luts"))
 
     if micro:
         dist_col, score = "adc_micro", F.aggregate(
@@ -762,3 +801,25 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
                                           F.col("vec_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivfpq_residuals(vectors: DataFrame, dim: int,
+                    centroids: list[list[float]],
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell, embedding = v - centroid[cell]) — the training input
+    for residual-mode IVFPQ: fit codebooks with
+    ``pq_fit(ivfpq_residuals(...), ...)`` and pass them to
+    ``ivfpq_topk(..., residual=True)`` with the same centroids."""
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                         for c in centroids])
+    cell = F.array_max(_cell_scores(F.col(vec_col), centroids)) \
+        .getField("cell")
+    out = (vectors.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col))
+           .withColumn("cell", cell))
+    res = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.element_at(cent_arr, F.col("cell") + 1),
+        lambda x, c: x - c)
+    return out.select("vec_id", "cell", res.alias(vec_col))

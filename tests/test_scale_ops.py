@@ -696,3 +696,32 @@ def test_ivfpq_topk_composition(spark, vectors):
     assert [r.vec_id for r in micro] == [r.vec_id for r in got]
     # per-term micro rounding vs sum-then-round: off by at most m ulps
     assert abs(micro[0].adc_micro - round(got[0].adc_dist * 1e6)) <= 4
+
+
+def test_ivfpq_residual_mode(spark, vectors):
+    """Authentic IVFADC: codebooks fit on residuals (ivfpq_residuals +
+    pq_fit), corpus codes quantize v - centroid[cell], per-probed-cell
+    query LUTs.  The identical twin is rank 1, micro/float ranks agree,
+    and the residual fit reduces the mean quantization error vs fitting
+    the same-size codebooks on raw vectors (the reason IVFADC encodes
+    residuals at all)."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        ivfpq_residuals, ivfpq_topk, kmeans_fit, pq_fit, pq_objective)
+    cents = kmeans_fit(vectors, dim=16, n_cells=4, iters=2, seed=42)
+    res_df = ivfpq_residuals(vectors, dim=16, centroids=cents)
+    cbs_res = pq_fit(res_df, dim=16, m=4, n_codes=8, iters=2, seed=42)
+    queries = vectors.filter(F.col("vec_id") == 0) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    got = ivfpq_topk(vectors, queries, dim=16, k=5, n_cells=4, n_probe=2,
+                     m=4, n_codes=8, centroids=cents, codebooks=cbs_res,
+                     residual=True).collect()
+    assert got and got[0].vec_id == 100
+    micro = ivfpq_topk(vectors, queries, dim=16, k=5, n_cells=4, n_probe=2,
+                       m=4, n_codes=8, centroids=cents, codebooks=cbs_res,
+                       residual=True, micro=True).collect()
+    assert [r.vec_id for r in micro] == [r.vec_id for r in got]
+    # residual codebooks quantize residuals better than raw-fit codebooks
+    cbs_raw = pq_fit(vectors, dim=16, m=4, n_codes=8, iters=2, seed=42)
+    err_res = pq_objective(res_df, cbs_res)
+    err_raw = pq_objective(res_df, cbs_raw)
+    assert err_res <= err_raw
