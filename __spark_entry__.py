@@ -1988,6 +1988,109 @@ def _ivfpq_topk_sql() -> str:
     """
 
 
+def _q_ivfpq_residual(spark, sf_dir):
+    """Residual-mode IVFPQ (the authentic IVFADC): corpus codes quantize
+    v - centroid[cell], each (query, probed cell) builds LUTs from
+    q - centroid[cell].  Same seeded centroid/codebook literals as
+    ivfpq_topk so the oracle replays the whole composition including the
+    per-cell residual subtraction."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        ivfpq_topk)
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    return (ivfpq_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=3,
+                       m=8, n_codes=16, seed=42, micro=True, residual=True)
+            .select("qid", "vec_id", "adc_micro", "rank")
+            .orderBy("qid", "rank"))
+
+
+def _ivfpq_residual_sql() -> str:
+    """Oracle for _q_ivfpq_residual: the _ivfpq_topk_sql composition with
+    per-cell residual subtraction folded into both the encode and the LUT
+    CTEs (corpus residual = v - centroid[assigned cell]; query residual =
+    q - centroid[probed cell], so LUTs are per (qid, cell))."""
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        pq_cc, pq_pseudo_codebooks, pseudo_centroids)
+    cents = pseudo_centroids(dim=64, n_cells=8, seed=42)
+    cent_values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    cbs = pq_pseudo_codebooks(dim=64, m=8, n_codes=16, seed=42)
+    ccs = pq_cc(cbs)
+    dsub = 64 // 8
+    cb_values = ", ".join(
+        f"({s}, {j}, [{', '.join(repr(x) for x in c)}]::DOUBLE[], {ccs[s][j]!r})"
+        for s in range(8) for j, c in enumerate(cbs[s]))
+    sub = f"list_slice(r.rv, cb.sub*{dsub}+1, cb.sub*{dsub}+{dsub})"
+    qsub = f"list_slice(qr.rv, cb.sub*{dsub}+1, cb.sub*{dsub}+{dsub})"
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents(cell, c) AS (VALUES {cent_values}),
+        cb(sub, code, cw, cc) AS (VALUES {cb_values}),
+        assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, ct.cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round(list_dot_product(e.v, ct.c), 6) DESC,
+                              ct.cell DESC) AS rn
+            FROM e CROSS JOIN cents ct) WHERE rn = 1),
+        rese AS (
+          SELECT e.vec_id, a.cell,
+                 list_transform(generate_series(1, 64),
+                                i -> e.v[i] - ct.c[i]) AS rv
+          FROM e JOIN assign a ON a.vec_id = e.vec_id
+          JOIN cents ct ON ct.cell = a.cell),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        probe AS (
+          SELECT qid, cell FROM (
+            SELECT q.qid, ct.cell,
+                   row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY round(list_dot_product(q.qv, ct.c), 6) DESC,
+                              ct.cell DESC) AS rn
+            FROM q CROSS JOIN cents ct) WHERE rn <= 3),
+        resq AS (
+          SELECT q.qid, p.cell,
+                 list_transform(generate_series(1, 64),
+                                i -> q.qv[i] - ct.c[i]) AS rv
+          FROM q JOIN probe p ON p.qid = q.qid
+          JOIN cents ct ON ct.cell = p.cell),
+        enc AS (
+          SELECT vec_id, cell, sub, code FROM (
+            SELECT r.vec_id, r.cell, cb.sub, cb.code,
+                   row_number() OVER (
+                     PARTITION BY r.vec_id, cb.sub
+                     ORDER BY round(
+                       list_dot_product({sub}, {sub})
+                       - 2*list_dot_product({sub}, cb.cw)
+                       + cb.cc, 6) ASC, cb.code ASC) AS rn
+            FROM rese r CROSS JOIN cb) WHERE rn = 1),
+        qd AS (
+          SELECT qr.qid, qr.cell, cb.sub, cb.code,
+                 CAST(round(1e6 * round(
+                   list_dot_product({qsub}, {qsub})
+                   - 2*list_dot_product({qsub}, cb.cw)
+                   + cb.cc, 6)) AS BIGINT) AS ld
+          FROM resq qr CROSS JOIN cb),
+        scored AS (
+          SELECT qd.qid, enc.vec_id, sum(qd.ld)::BIGINT AS adc_micro
+          FROM enc
+          JOIN qd ON qd.cell = enc.cell AND qd.sub = enc.sub
+                 AND qd.code = enc.code
+          WHERE enc.vec_id <> qd.qid
+          GROUP BY qd.qid, enc.vec_id),
+        ranked AS (
+          SELECT qid, vec_id, adc_micro,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY adc_micro ASC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT qid, vec_id, adc_micro, rank FROM ranked
+        WHERE rank <= 5 ORDER BY qid, rank
+    """
+
+
 def _pq_topk_sql() -> str:
     """Oracle for _q_pq_topk: identical seeded codebooks (and their
     precomputed squared norms) inlined as literals, identical
@@ -2082,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_preview": _q_curation_preview,
         "ivfpq_topk": _q_ivfpq_topk,
         "label_propagation": _q_label_propagation,
+        "ivfpq_residual_topk": _q_ivfpq_residual,
         "bpe_merges": _q_bpe_merges,          # rows-only: see docstring
         # -- previously driver-green block (CORRECTNESS_r03: 50/50)
         "cooccurrence_edges": _q_cooccurrence_edges,
@@ -3238,6 +3342,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_topk": _ivf_topk_sql(),
         "ivfpq_topk": _ivfpq_topk_sql(),
+        "ivfpq_residual_topk": _ivfpq_residual_sql(),
         "label_propagation": _lpa_sql(3),
         "int8_quantize": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
