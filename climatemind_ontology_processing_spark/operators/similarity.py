@@ -765,12 +765,13 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
 
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(vec_col).alias("qv"))
-    probe_cells = q.select(
-        "qid", "qv",
-        F.explode(F.slice(
-            F.reverse(F.array_sort(_cell_scores(F.col("qv"), cents))),
-            1, n_probe).getField("cell")).alias("cell"))
+    probed = F.explode(F.slice(
+        F.reverse(F.array_sort(_cell_scores(F.col("qv"), cents))),
+        1, n_probe).getField("cell")).alias("cell")
     if residual:
+        # LUTs are cell-dependent (q - centroid[cell]): one table per
+        # (qid, probed cell) is inherent to residual ADC
+        probe_cells = q.select("qid", "qv", probed)
         qres = F.zip_with(
             F.transform(F.col("qv"), lambda x: x.cast("double")),
             F.element_at(cent_arr, F.col("cell") + 1),
@@ -781,8 +782,10 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
         probe = qbase.select(
             "qid", "cell", pq_luts(F.col("_qres"), cbs).alias("luts"))
     else:
-        probe = probe_cells.select(
-            "qid", "cell", pq_luts(F.col("qv"), cbs).alias("luts"))
+        # raw mode: LUTs are cell-independent — compute ONCE per query
+        # BEFORE the probe explode, not n_probe times after it
+        probe = q.select(
+            "qid", pq_luts(F.col("qv"), cbs).alias("luts"), probed)
 
     if micro:
         dist_col, score = "adc_micro", F.aggregate(
