@@ -67,6 +67,12 @@ def figure_nodes(nodes: DataFrame, edges: DataFrame,
     ``non_default_edge_type`` mirrors ``visualize.py:366-369``: the type of
     any OUT-edge of the node whose type is outside the two default causal
     types (used to paint the node orange), else NULL.
+
+    KNOWN LIMITATION: positions come from ``dot_layout`` over the edge
+    set, so a node with NO incident edges has no layout row and is not
+    drawn (the processed climate graph is connected; graphviz would place
+    isolated nodes arbitrarily anyway).  Callers with isolated nodes
+    should synthesize positions before joining.
     """
     f_nodes, _ = filter_by_edge_type(nodes, edges, edge_type)
     pos = dot_layout(edges)
