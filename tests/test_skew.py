@@ -78,3 +78,54 @@ def test_paragraph_dedup_100k_boilerplate_linear(spark):
                   F.sum(F.when(F.col("text").contains("cookie"), 1)
                         .otherwise(0)).alias("leaks")).first()
     assert agg.n == n and agg.rm == n and agg.leaks == 0
+
+
+def test_duplicate_spans_100k_license_linear(spark):
+    """Volume pin: 100k docs all embedding the same 10-token license
+    chunk.  Every chunk window has 100k occurrences, but the census is a
+    keys-only count and span output is ONE row per doc (never pairs) —
+    linear by construction."""
+    from pyspark.sql import functions as F
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        duplicate_spans)
+    n = 100_000
+    lic = "licensed under the creative commons attribution share alike terms"
+    docs = (spark.range(n).withColumnRenamed("id", "doc_id")
+            .select("doc_id", F.concat(
+                F.lit("intro words body "), F.col("doc_id").cast("string"),
+                F.lit(" " + lic)).alias("text")))
+    out = duplicate_spans(docs, window=8, min_count=2)
+    agg = out.agg(F.count("*").alias("rows"),
+                  F.count_distinct("doc_id").alias("docs")).first()
+    # one merged span per doc (the license region), no blowup
+    assert agg.docs == n and agg.rows == n
+
+
+def test_domain_cap_sample_head_domain_150k(spark):
+    """Volume pin for the census split: one head domain with 150k pages
+    (cap 100) + a 5k-domain tail.  Only the head's 150k rows enter the
+    rank window; the tail passes via semi-join.  Output = 100 head
+    survivors + the whole tail, deterministic."""
+    from pyspark.sql import functions as F
+    from climatemind_ontology_processing_spark.operators.domains import (
+        domain_cap_sample)
+    head = (spark.range(150_000)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat(F.lit("https://head.com/p"),
+                             F.col("id").cast("string")).alias("url")))
+    tail = (spark.range(5_000)
+            .select((F.col("id") + 1_000_000).alias("doc_id"),
+                    F.concat(F.lit("https://t"), F.col("id").cast("string"),
+                             F.lit(".org/x")).alias("url")))
+    pages = head.unionByName(tail)
+    got = domain_cap_sample(pages, max_per_domain=100)
+    agg = got.agg(
+        F.sum(F.when(F.col("url").contains("head.com"), 1).otherwise(0))
+         .alias("n_head"),
+        F.count("*").alias("n_all")).first()
+    assert agg.n_head == 100 and agg.n_all == 5_100
+    again = domain_cap_sample(pages.repartition(17), max_per_domain=100)
+    assert ({r.doc_id for r in got.filter(F.col("url").contains("head"))
+             .collect()} ==
+            {r.doc_id for r in again.filter(F.col("url").contains("head"))
+             .collect()})
