@@ -568,10 +568,41 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 # cross-corpus paragraph-level dedup (MassiveText / C4 line rule)
 # ---------------------------------------------------------------------------
+def paragraph_census(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", sep: str = "\n",
+                     min_para_chars: int = 1) -> DataFrame:
+    """(_f1, _f2, _df, _winner) — the corpus-wide paragraph document-
+    frequency census ``paragraph_dedup`` filters on, exposed so it can be
+    PERSISTED and merged into later incremental runs (the history side of
+    ``plans/curate.curate_increment``): paragraph df is additive across
+    disjoint doc sets, so ``union -> groupBy sum/min`` of two censuses
+    equals the census of the combined corpus."""
+    import re as _re
+    paras = (docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                          _re.escape(sep), -1)).alias("para"))
+        .filter(F.length("para") >= min_para_chars))
+    return (paras.groupBy(
+        F.xxhash64("para").alias("_f1"),
+        F.xxhash64(F.lit("para-seed-2"), F.col("para")).alias("_f2"))
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"),
+             F.min(id_col).alias("_winner")))
+
+
+def merge_paragraph_census(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Census of corpus A ∪ corpus B from the two censuses (doc sets must
+    be disjoint — dfs add)."""
+    return (a.unionByName(b)
+            .groupBy("_f1", "_f2")
+            .agg(F.sum("_df").alias("_df"), F.min("_winner").alias("_winner")))
+
+
 def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", sep: str = "\n",
                     max_para_df: int = 1, min_para_chars: int = 1,
-                    mode: str = "drop") -> DataFrame:
+                    mode: str = "drop",
+                    history_census: DataFrame | None = None) -> DataFrame:
     """Remove boilerplate PARAGRAPHS across the whole corpus — the
     line/paragraph-granularity dedup of the MassiveText (Rae et al. 2021)
     and C4 (Raffel et al. 2020) cleaning recipes, which document-level
@@ -597,6 +628,11 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     Two distinct paragraphs merge only on a double-xxhash64 collision
     (~2^-128/pair).
 
+    ``history_census`` (a persisted ``paragraph_census`` table over a
+    disjoint earlier corpus) merges into this run's census before the
+    threshold, so an increment sees corpus-wide dfs — the incremental
+    hook ``plans/curate.curate_increment`` uses.
+
     Returns (id_col, text_col, n_paras, n_removed).
     """
     if mode not in ("drop", "keep_first"):
@@ -617,8 +653,15 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
         F.xxhash64(F.lit("para-seed-2"), F.col("para")).alias("_f2"))
     census = (fp.groupBy("_f1", "_f2")
               .agg(F.count_distinct(F.col(id_col)).alias("_df"),
-                   F.min(id_col).alias("_winner"))
-              .filter(F.col("_df") > max_para_df))
+                   F.min(id_col).alias("_winner")))
+    if history_census is not None:
+        # incremental mode: the df threshold applies to HISTORY + increment
+        # combined (dfs add across disjoint doc sets); the winner is the
+        # overall min id, so under keep_first a history doc always beats
+        # an increment doc
+        census = merge_paragraph_census(
+            census, history_census.select("_f1", "_f2", "_df", "_winner"))
+    census = census.filter(F.col("_df") > max_para_df)
     doomed = fp.join(census, ["_f1", "_f2"])
     if mode == "keep_first":
         doomed = doomed.filter(F.col(id_col) != F.col("_winner"))

@@ -121,6 +121,194 @@ def run_curation(spark: SparkSession, docs: DataFrame, out_path: str,
             except Exception:
                 pass                  # lineage row without output: rerun
         upstream_reran = True
+        stage_input = cur
+        cur = transforms[stage](cur)
+        cur.write.mode("overwrite").parquet(stage_out)
+        cur = spark.read.parquet(stage_out)
+        n = cur.count()
+        _persist_stage_state(spark, out_path, stage, stage_input, cur,
+                             max_para_df)
+        report.ran.append(stage)
+        report.counts[stage] = n
+        append_lineage_rows(spark, lineage_path, [
+            {"run_id": run_id, "stage": stage, "bucket": i,
+             "n_pages": n, "n_triples": 0}])
+    return report
+
+
+def _persist_stage_state(spark: SparkSession, out_path: str, stage: str,
+                         stage_input: DataFrame, stage_output: DataFrame,
+                         max_para_df: int) -> None:
+    """Persist the per-stage state later INCREMENTS probe (see
+    ``curate_increment``): the raw-input paragraph census, the surviving
+    exact fingerprints, and the surviving-doc LSH bucket table.  Written
+    with the stage (so stage-resume keeps state consistent with outputs);
+    state for stages without cross-corpus memory is nothing."""
+    from ..operators.dedup import paragraph_census
+    from ..streaming.dedup import persist_lsh_buckets
+    state = f"{out_path}/state"
+    if stage == "paragraphs":
+        (paragraph_census(stage_input)
+         .write.mode("overwrite").parquet(f"{state}/paragraph_census"))
+    elif stage == "exact":
+        (stage_output.select(
+            F.xxhash64("text").alias("_f1"),
+            F.xxhash64(F.lit("dedup-seed-2"), F.col("text")).alias("_f2"))
+         .write.mode("overwrite").parquet(f"{state}/exact_fp"))
+    elif stage == "near":
+        persist_lsh_buckets(stage_output, f"{state}/lsh_buckets")
+
+
+def curate_increment(spark: SparkSession, new_docs: DataFrame,
+                     base_out: str, inc_id: str,
+                     min_quality: float = 0.3,
+                     langs: tuple[str, ...] = ("en",),
+                     seq_len: int = 2048, max_para_df: int = 100,
+                     near_threshold: float = 0.8) -> CurationReport:
+    """Curate an INCREMENT of new documents against a FROZEN completed
+    ``run_curation`` base — the lambda-architecture split: the batch run
+    owns the base, increments clean new arrivals against its persisted
+    state without reprocessing (or mutating) history.  Outputs land under
+    ``{base_out}/inc/{inc_id}/<stage>`` with the same stage-level resume.
+
+    Equivalence contract (pinned in tests): for monotonically increasing
+    doc ids (max base id < min increment id — checked loudly), the
+    increment's curated output and packed spans are IDENTICAL to what one
+    big ``run_curation`` over base+increment would produce, restricted to
+    the increment's documents:
+
+    * paragraphs — increment census MERGES the persisted base census, so
+      corpus-wide dfs decide the threshold (base docs emitted earlier are
+      not retro-scrubbed — forward-only, the lambda trade);
+    * exact — an increment doc duplicating any base survivor loses (fp128
+      anti-join against ``state/exact_fp``); within-increment dedup keeps
+      the min id, which is the global min by monotonicity;
+    * near — LSH-probe the persisted bucket table for increment-vs-base
+      candidates (marker-validated), EXACT-verify them by jaccard against
+      the base ``near`` stage's surviving text, and drop the increment
+      side (it always has the larger id); within-increment pairs via the
+      normal composed path.  SECOND forward-only trade: the bucket table
+      indexes base near-SURVIVORS, so an increment doc whose only base
+      near-dup was itself dropped in the base near stage escapes (the
+      full run would have caught it through that dropped doc) — bounded
+      by near-cluster structure, absent when base near-losers have a
+      surviving cluster representative the increment doc also matches;
+    * quality / pii — stateless;
+    * pack — increment spans continue the base token stream: offsets
+      shift by the base's total packed tokens (recomputed exactly from
+      the base ``pack`` table — no extra state).
+    """
+    from ..functions.pii import scrub_pii_docs
+    from ..operators.dedup import (dedup_exact, near_dup_pairs,
+                                   paragraph_dedup, with_shingles)
+    from ..operators.packing import packed_spans
+    from ..operators.textstats import (bpe_ish_token_count, language_id,
+                                       quality_features)
+    from ..streaming.dedup import probe_lsh_buckets
+
+    state = f"{base_out}/state"
+    out = f"{base_out}/inc/{inc_id}"
+    lineage_path = f"{out}/_lineage"
+    report = CurationReport()
+
+    base_all = spark.read.parquet(f"{base_out}/paragraphs")
+    max_base = base_all.agg(F.max("doc_id")).first()[0]
+    min_new = new_docs.agg(F.min("doc_id")).first()[0]
+    if max_base is not None and min_new is not None and min_new <= max_base:
+        raise ValueError(
+            f"curate_increment requires monotonically increasing doc ids "
+            f"(max base id {max_base} >= min increment id {min_new}) — "
+            "the dedup winner rules assume base docs always win")
+
+    def s_paragraphs(docs):
+        hist = spark.read.parquet(f"{state}/paragraph_census")
+        cleaned = paragraph_dedup(docs, max_para_df=max_para_df,
+                                  history_census=hist)
+        return (docs.drop("text")
+                .join(cleaned.select("doc_id", "text"), "doc_id"))
+
+    def s_pii(docs):
+        return scrub_pii_docs(docs).drop("n_emails", "n_ips", "n_phones")
+
+    def s_exact(docs):
+        within = dedup_exact(docs)
+        hist_fp = spark.read.parquet(f"{state}/exact_fp")
+        fp = within.select(
+            "doc_id",
+            F.xxhash64("text").alias("_f1"),
+            F.xxhash64(F.lit("dedup-seed-2"), F.col("text")).alias("_f2"))
+        losers = fp.join(hist_fp, ["_f1", "_f2"], "left_semi") \
+            .select("doc_id")
+        return within.join(losers, "doc_id", "left_anti")
+
+    def s_near(docs):
+        buckets = spark.read.parquet(f"{state}/lsh_buckets")
+        cand = probe_lsh_buckets(docs, buckets)
+        base_near = spark.read.parquet(f"{base_out}/near") \
+            .select("doc_id", "text")
+        # increment side is always `b` (larger id); verify with exact
+        # 3-gram jaccard between the increment text and the base text
+        sh_inc = with_shingles(docs, "text").select(
+            F.col("doc_id").alias("b"), F.col("shingles").alias("_sb"))
+        sh_base = with_shingles(base_near, "text").select(
+            F.col("doc_id").alias("a"), F.col("shingles").alias("_sa"))
+        inter = F.size(F.array_intersect("_sa", "_sb"))
+        union = F.size("_sa") + F.size("_sb") - inter
+        cross_losers = (cand.join(sh_base, "a").join(sh_inc, "b")
+                        .withColumn("_j", inter / union)
+                        .filter(F.col("_j") >= near_threshold)
+                        .select(F.col("b").alias("doc_id")).distinct())
+        within_losers = (near_dup_pairs(docs, threshold=near_threshold,
+                                        exact_dedup_first=False)
+                         .select(F.col("b").alias("doc_id")).distinct())
+        return (docs.join(cross_losers, "doc_id", "left_anti")
+                .join(within_losers, "doc_id", "left_anti"))
+
+    def s_quality(docs):
+        scored = quality_features(docs).select("doc_id", "q_score")
+        lang = docs.withColumn("_lang", language_id(F.col("text")))
+        return (lang.join(scored, "doc_id")
+                .filter(F.col("_lang").isin(*langs) &
+                        (F.col("q_score") >= min_quality))
+                .drop("_lang", "q_score"))
+
+    def s_pack(docs):
+        base_pack = spark.read.parquet(f"{base_out}/pack")
+        base_total = base_pack.agg(
+            (F.sum("n_tokens") + F.count("*")).alias("t")).first()[0] or 0
+        toks = docs.select(
+            "doc_id", bpe_ish_token_count(F.col("text")).alias("n_tokens"))
+        spans = packed_spans(toks, seq_len=seq_len)
+        shifted = F.col("start_offset") + F.lit(int(base_total))
+        nonzero = F.col("first_seq").isNotNull()
+        first = F.when(nonzero, F.floor(shifted / seq_len))
+        # span width = n_tokens + eos(1); end index = shifted + width - 1
+        last = F.when(nonzero,
+                      F.floor((shifted + F.col("n_tokens")) / seq_len))
+        return (spans.select(
+            "doc_id", "n_tokens",
+            shifted.alias("start_offset"),
+            first.alias("first_seq"), last.alias("last_seq"))
+            .withColumn("n_seqs",
+                        F.coalesce(F.col("last_seq") - F.col("first_seq") + 1,
+                                   F.lit(0))))
+
+    transforms = {"paragraphs": s_paragraphs, "pii": s_pii,
+                  "exact": s_exact, "near": s_near,
+                  "quality": s_quality, "pack": s_pack}
+    cur = new_docs
+    upstream_reran = False
+    for i, stage in enumerate(STAGES):
+        stage_out = f"{out}/{stage}"
+        done = completed_buckets(spark, lineage_path, inc_id, stage)
+        if i in done and not upstream_reran:
+            try:
+                cur = spark.read.parquet(stage_out)
+                report.skipped.append(stage)
+                continue
+            except Exception:
+                pass
+        upstream_reran = True
         cur = transforms[stage](cur)
         cur.write.mode("overwrite").parquet(stage_out)
         cur = spark.read.parquet(stage_out)
@@ -128,6 +316,6 @@ def run_curation(spark: SparkSession, docs: DataFrame, out_path: str,
         report.ran.append(stage)
         report.counts[stage] = n
         append_lineage_rows(spark, lineage_path, [
-            {"run_id": run_id, "stage": stage, "bucket": i,
+            {"run_id": inc_id, "stage": stage, "bucket": i,
              "n_pages": n, "n_triples": 0}])
     return report

@@ -572,3 +572,72 @@ def test_curation_pipeline_stage_resume(spark, tmp_path):
     assert rep3.ran == ["near", "quality", "pack"]
     assert {(r.doc_id, r.start_offset) for r in
             spark.read.parquet(f"{out1}/pack").collect()} == spans1
+
+
+def test_curate_increment_equals_full_run(spark, tmp_path):
+    """Incremental curation vs one big batch run: with monotone doc ids,
+    curate_increment's curated text AND packed spans must equal the full
+    run_curation over base+increment, RESTRICTED to the increment's
+    documents — across every cross-corpus stage (paragraph census merge,
+    exact-fp anti-join, LSH probe + jaccard verify, packed-offset
+    continuation)."""
+    from climatemind_ontology_processing_spark.plans.curate import (
+        curate_increment, run_curation)
+    boiler = "shared cookie banner appears on every page"
+    base = ("the quick brown fox jumps over the lazy dog and then the "
+            "fox runs into the green forest where it finds food and the "
+            "other animals watch it with great interest for a while")
+
+    def body(i):
+        uniq = " ".join(f"tok{i}x{j}" for j in range(12))
+        return f"{base} {uniq}"
+
+    schema = "doc_id long, text string"
+    # base corpus: ids 0-9 (boilerplate para df=10 > cap 6 in base alone)
+    base_rows = [(i, f"{body(i)}\n{boiler}") for i in range(10)]
+    # increment: ids 100+ — planted cross-corpus exact dup (of 3), near
+    # dup (of 4), boilerplate carrier, plus clean docs
+    inc_rows = [(100, f"{body(100)}\n{boiler}"),          # clean + boiler
+                (101, f"{body(3)}\n{boiler}"),             # exact dup of 3
+                (102, f"{body(4)} extra\n{boiler}"),       # near dup of 4
+                (103, f"{body(103)}\n{boiler}"),           # clean
+                (104, "short junk")]                       # quality fail
+    base_docs = spark.createDataFrame(base_rows, schema)
+    inc_docs = spark.createDataFrame(inc_rows, schema)
+    all_docs = spark.createDataFrame(base_rows + inc_rows, schema)
+
+    kw = dict(max_para_df=6, near_threshold=0.7)
+    full_out = str(tmp_path / "full")
+    run_curation(spark, all_docs, full_out, "rf", **kw)
+    base_out = str(tmp_path / "base")
+    run_curation(spark, base_docs, base_out, "rb", **kw)
+    rep = curate_increment(spark, inc_docs, base_out, "inc1", **kw)
+    assert rep.ran and not rep.skipped
+
+    full_q = {r.doc_id: r.text for r in
+              spark.read.parquet(f"{full_out}/quality").collect()
+              if r.doc_id >= 100}
+    inc_q = {r.doc_id: r.text for r in
+             spark.read.parquet(f"{base_out}/inc/inc1/quality").collect()}
+    assert inc_q == full_q            # 100, 103 survive; 101/102/104 die
+    assert set(inc_q) == {100, 103}
+    assert all(boiler not in t for t in inc_q.values())
+
+    full_spans = {(r.doc_id, r.start_offset, r.first_seq, r.last_seq,
+                   r.n_seqs)
+                  for r in spark.read.parquet(f"{full_out}/pack").collect()
+                  if r.doc_id >= 100}
+    inc_spans = {(r.doc_id, r.start_offset, r.first_seq, r.last_seq,
+                  r.n_seqs)
+                 for r in spark.read.parquet(
+                     f"{base_out}/inc/inc1/pack").collect()}
+    assert inc_spans == full_spans    # offsets continue the base stream
+
+    # monotonicity guard fires loudly
+    import pytest as _pt
+    with _pt.raises(ValueError, match="monotonically"):
+        curate_increment(spark, base_docs, base_out, "bad", **kw)
+
+    # increment resume: rerun skips every stage
+    rep2 = curate_increment(spark, inc_docs, base_out, "inc1", **kw)
+    assert rep2.skipped == list(rep.ran) and not rep2.ran
