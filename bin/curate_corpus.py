@@ -34,6 +34,11 @@ def main() -> None:
     ap.add_argument("--docs", required=True, help="documents parquet path")
     ap.add_argument("--out", required=True, help="output warehouse dir")
     ap.add_argument("--run-id", required=True, help="resume id")
+    ap.add_argument("--increment", action="store_true",
+                    help="treat --docs as an INCREMENT against the frozen "
+                    "base at --out (run-id becomes the increment id; "
+                    "requires doc ids above every historical id); rolls "
+                    "state so later increments dedup against this one")
     ap.add_argument("--langs", default="en", help="comma-separated keep set")
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--seq-len", type=int, default=2048)
@@ -43,18 +48,22 @@ def main() -> None:
                     help="local[N] cores (0 = existing/spark-submit session)")
     args = ap.parse_args()
 
-    from climatemind_ontology_processing_spark.plans.curate import run_curation
+    from climatemind_ontology_processing_spark.plans.curate import (
+        curate_increment, run_curation)
     from climatemind_ontology_processing_spark.session import get_spark
 
     master = f"local[{args.cpus}]" if args.cpus else None
     spark = get_spark(app_name="cmkg-curate", master=master)
     docs = spark.read.parquet(args.docs)
-    report = run_curation(
-        spark, docs, args.out, args.run_id,
-        min_quality=args.min_quality,
-        langs=tuple(args.langs.split(",")),
-        seq_len=args.seq_len, max_para_df=args.max_para_df,
-        near_threshold=args.near_threshold)
+    kw = dict(min_quality=args.min_quality,
+              langs=tuple(args.langs.split(",")),
+              seq_len=args.seq_len, max_para_df=args.max_para_df,
+              near_threshold=args.near_threshold)
+    if args.increment:
+        report = curate_increment(spark, docs, args.out, args.run_id,
+                                  roll_state=True, **kw)
+    else:
+        report = run_curation(spark, docs, args.out, args.run_id, **kw)
     print({"ran": report.ran, "skipped": report.skipped,
            "counts": report.counts})
     spark.stop()

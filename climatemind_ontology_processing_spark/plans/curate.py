@@ -136,27 +136,67 @@ def run_curation(spark: SparkSession, docs: DataFrame, out_path: str,
     return report
 
 
+def _write_state_partition(df: DataFrame, path: str) -> None:
+    """Idempotent state contribution: partitioned by ``_inc`` with dynamic
+    overwrite, so a replayed writer (stage rerun, foreachBatch retry)
+    overwrites ITS OWN partition and never duplicates or clobbers other
+    epochs' rows."""
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_inc").parquet(path))
+
+
 def _persist_stage_state(spark: SparkSession, out_path: str, stage: str,
                          stage_input: DataFrame, stage_output: DataFrame,
-                         max_para_df: int) -> None:
+                         max_para_df: int,
+                         writer_id: str = "base") -> None:
     """Persist the per-stage state later INCREMENTS probe (see
     ``curate_increment``): the raw-input paragraph census, the surviving
-    exact fingerprints, and the surviving-doc LSH bucket table.  Written
-    with the stage (so stage-resume keeps state consistent with outputs);
-    state for stages without cross-corpus memory is nothing."""
+    exact fingerprints, and the surviving-doc LSH bucket table — each a
+    parquet dir PARTITIONED BY the writing epoch (``_inc=base`` for the
+    batch run, ``_inc=<inc_id>`` for rolled increments), dynamically
+    overwritten so every writer is idempotent.  Written with the stage,
+    so stage-resume keeps state consistent with outputs."""
     from ..operators.dedup import paragraph_census
-    from ..streaming.dedup import persist_lsh_buckets
+    from ..streaming.dedup import _doc_lsh_buckets
     state = f"{out_path}/state"
+    tag = F.lit(writer_id).alias("_inc")
     if stage == "paragraphs":
-        (paragraph_census(stage_input)
-         .write.mode("overwrite").parquet(f"{state}/paragraph_census"))
+        _write_state_partition(paragraph_census(stage_input).select("*", tag),
+                               f"{state}/paragraph_census")
     elif stage == "exact":
-        (stage_output.select(
-            F.xxhash64("text").alias("_f1"),
-            F.xxhash64(F.lit("dedup-seed-2"), F.col("text")).alias("_f2"))
-         .write.mode("overwrite").parquet(f"{state}/exact_fp"))
+        _write_state_partition(
+            stage_output.select(
+                F.xxhash64("text").alias("_f1"),
+                F.xxhash64(F.lit("dedup-seed-2"), F.col("text"))
+                 .alias("_f2"), tag),
+            f"{state}/exact_fp")
     elif stage == "near":
-        persist_lsh_buckets(stage_output, f"{state}/lsh_buckets")
+        b = _doc_lsh_buckets(stage_output, "doc_id", "text", 3, 32, 8,
+                             "xxhash64")
+        _write_state_partition(
+            b.withColumn("hash_family", F.lit("xxhash64"))
+             .withColumn("shingle_n", F.lit(3))
+             .withColumn("num_hashes", F.lit(32))
+             .withColumn("bands", F.lit(8))
+             .select("*", tag),
+            f"{state}/lsh_buckets")
+
+
+def _read_state(spark: SparkSession, base_out: str):
+    """(census, exact_fp, buckets) merged across every epoch partition —
+    the census re-aggregates (dfs are additive across disjoint epochs)."""
+    from ..operators.dedup import merge_paragraph_census
+    state = f"{base_out}/state"
+    census_parts = spark.read.parquet(f"{state}/paragraph_census") \
+        .drop("_inc")
+    census = (census_parts.groupBy("_f1", "_f2")
+              .agg(F.sum("_df").alias("_df"),
+                   F.min("_winner").alias("_winner")))
+    fps = spark.read.parquet(f"{state}/exact_fp").drop("_inc") \
+        .select("_f1", "_f2").distinct()
+    buckets = spark.read.parquet(f"{state}/lsh_buckets").drop("_inc")
+    return census, fps, buckets
 
 
 def curate_increment(spark: SparkSession, new_docs: DataFrame,
@@ -164,7 +204,8 @@ def curate_increment(spark: SparkSession, new_docs: DataFrame,
                      min_quality: float = 0.3,
                      langs: tuple[str, ...] = ("en",),
                      seq_len: int = 2048, max_para_df: int = 100,
-                     near_threshold: float = 0.8) -> CurationReport:
+                     near_threshold: float = 0.8,
+                     roll_state: bool = False) -> CurationReport:
     """Curate an INCREMENT of new documents against a FROZEN completed
     ``run_curation`` base — the lambda-architecture split: the batch run
     owns the base, increments clean new arrivals against its persisted
@@ -206,24 +247,25 @@ def curate_increment(spark: SparkSession, new_docs: DataFrame,
                                        quality_features)
     from ..streaming.dedup import probe_lsh_buckets
 
-    state = f"{base_out}/state"
     out = f"{base_out}/inc/{inc_id}"
     lineage_path = f"{out}/_lineage"
     report = CurationReport()
+    hist_census, hist_fp, hist_buckets = _read_state(spark, base_out)
 
-    base_all = spark.read.parquet(f"{base_out}/paragraphs")
-    max_base = base_all.agg(F.max("doc_id")).first()[0]
+    # history = base + every increment directory already on disk (rolled
+    # or not) — the guard must cover them all, from their full raw doc
+    # sets (paragraphs-stage outputs, which keep every input doc)
+    hist_max = _history_max_id(spark, base_out, exclude=inc_id)
     min_new = new_docs.agg(F.min("doc_id")).first()[0]
-    if max_base is not None and min_new is not None and min_new <= max_base:
+    if min_new is not None and min_new <= hist_max:
         raise ValueError(
             f"curate_increment requires monotonically increasing doc ids "
-            f"(max base id {max_base} >= min increment id {min_new}) — "
-            "the dedup winner rules assume base docs always win")
+            f"(history max id >= {hist_max} but min increment id is "
+            f"{min_new}) — the dedup winner rules assume history wins")
 
     def s_paragraphs(docs):
-        hist = spark.read.parquet(f"{state}/paragraph_census")
         cleaned = paragraph_dedup(docs, max_para_df=max_para_df,
-                                  history_census=hist)
+                                  history_census=hist_census)
         return (docs.drop("text")
                 .join(cleaned.select("doc_id", "text"), "doc_id"))
 
@@ -232,7 +274,6 @@ def curate_increment(spark: SparkSession, new_docs: DataFrame,
 
     def s_exact(docs):
         within = dedup_exact(docs)
-        hist_fp = spark.read.parquet(f"{state}/exact_fp")
         fp = within.select(
             "doc_id",
             F.xxhash64("text").alias("_f1"),
@@ -242,10 +283,8 @@ def curate_increment(spark: SparkSession, new_docs: DataFrame,
         return within.join(losers, "doc_id", "left_anti")
 
     def s_near(docs):
-        buckets = spark.read.parquet(f"{state}/lsh_buckets")
-        cand = probe_lsh_buckets(docs, buckets)
-        base_near = spark.read.parquet(f"{base_out}/near") \
-            .select("doc_id", "text")
+        cand = probe_lsh_buckets(docs, hist_buckets)
+        base_near = _history_near_text(spark, base_out, exclude=inc_id)
         # increment side is always `b` (larger id); verify with exact
         # 3-gram jaccard between the increment text and the base text
         sh_inc = with_shingles(docs, "text").select(
@@ -273,9 +312,7 @@ def curate_increment(spark: SparkSession, new_docs: DataFrame,
                 .drop("_lang", "q_score"))
 
     def s_pack(docs):
-        base_pack = spark.read.parquet(f"{base_out}/pack")
-        base_total = base_pack.agg(
-            (F.sum("n_tokens") + F.count("*")).alias("t")).first()[0] or 0
+        base_total = _history_token_total(spark, base_out, exclude=inc_id)
         toks = docs.select(
             "doc_id", bpe_ish_token_count(F.col("text")).alias("n_tokens"))
         spans = packed_spans(toks, seq_len=seq_len)
@@ -318,4 +355,110 @@ def curate_increment(spark: SparkSession, new_docs: DataFrame,
         append_lineage_rows(spark, lineage_path, [
             {"run_id": inc_id, "stage": stage, "bucket": i,
              "n_pages": n, "n_triples": 0}])
+    if roll_state:
+        # contribute this increment's epoch to the shared state so the
+        # NEXT increment dedups against it too — always (re)written, even
+        # on a fully-skipped rerun: the partitioned dynamic overwrite is
+        # idempotent, which covers a crash between stages and roll
+        _persist_stage_state(spark, base_out, "paragraphs", new_docs, None,
+                             max_para_df, writer_id=inc_id)
+        near_out = spark.read.parquet(f"{out}/near")
+        _persist_stage_state(spark, base_out, "exact", None, near_out,
+                             max_para_df, writer_id=inc_id)
+        _persist_stage_state(spark, base_out, "near", None, near_out,
+                             max_para_df, writer_id=inc_id)
     return report
+
+
+def _inc_stage_paths(spark: SparkSession, base_out: str, stage: str,
+                     exclude: str) -> list:
+    """Existing ``inc/*/<stage>`` parquet paths except ``exclude``'s."""
+    from .lineage import _hadoop_fs
+    fs, inc_root = _hadoop_fs(spark, f"{base_out}/inc")
+    out = []
+    if fs.exists(inc_root):
+        for st in fs.listStatus(inc_root):
+            if st.getPath().getName() == exclude:
+                continue
+            if fs.exists(st.getPath().suffix(f"/{stage}")):
+                out.append(f"{st.getPath().toString()}/{stage}")
+    return out
+
+
+def _history_max_id(spark: SparkSession, base_out: str,
+                    exclude: str) -> int:
+    """Max doc id across the FULL raw history (base + other increments'
+    paragraphs-stage outputs, which keep every input doc)."""
+    paths = ([f"{base_out}/paragraphs"]
+             + _inc_stage_paths(spark, base_out, "paragraphs", exclude))
+    mx = -1
+    for p in paths:
+        got = spark.read.parquet(p).agg(F.max("doc_id")).first()[0]
+        if got is not None:
+            mx = max(mx, got)
+    return mx
+
+
+def _history_near_text(spark: SparkSession, base_out: str,
+                       exclude: str) -> DataFrame:
+    """(doc_id, text) of every near-stage survivor across history: the
+    base plus every other increment directory on disk — the exact-verify
+    side of the incremental near stage."""
+    frames = [spark.read.parquet(f"{base_out}/near")
+              .select("doc_id", "text")]
+    for p in _inc_stage_paths(spark, base_out, "near", exclude):
+        frames.append(spark.read.parquet(p).select("doc_id", "text"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _history_token_total(spark: SparkSession, base_out: str,
+                         exclude: str) -> int:
+    """Total packed tokens (n_tokens + eos per doc) across the base and
+    every increment's pack table except ``exclude`` — the stream offset
+    the next increment continues from.  Increments are assumed
+    SEQUENTIAL (the monotone-id guard enforces an order anyway)."""
+    def total(path):
+        df = spark.read.parquet(path)
+        return df.agg((F.sum("n_tokens") + F.count("*"))
+                      .alias("t")).first()[0] or 0
+
+    tot = total(f"{base_out}/pack")
+    for p in _inc_stage_paths(spark, base_out, "pack", exclude):
+        tot += total(p)
+    return int(tot)
+
+
+def curate_stream(pages: DataFrame, base_out: str, checkpoint_path: str,
+                  min_quality: float = 0.3,
+                  langs: tuple[str, ...] = ("en",),
+                  seq_len: int = 2048, max_para_df: int = 100,
+                  near_threshold: float = 0.8,
+                  trigger_available_now: bool = True):
+    """STREAMING curation: every micro-batch runs ``curate_increment``
+    with ``roll_state=True`` against the (growing) base state, so batch
+    k+1 paragraph-scrubs, exact-dedups, and near-dedups against the base
+    AND batches 1..k.  Exactly-once comes from the composition of the
+    streaming checkpoint (each batch id fires once per committed epoch)
+    with the increment's own stage lineage + idempotent state roll (a
+    replayed batch re-skips its stages and re-overwrites only its own
+    state partitions).  Requires monotonically increasing doc ids across
+    the stream (guarded per batch).  Returns the started StreamingQuery.
+    """
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        curate_increment(batch_df.sparkSession,
+                         batch_df.localCheckpoint(eager=True),
+                         base_out, f"b{batch_id:06d}",
+                         min_quality=min_quality, langs=langs,
+                         seq_len=seq_len, max_para_df=max_para_df,
+                         near_threshold=near_threshold, roll_state=True)
+
+    writer = (pages.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_path))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

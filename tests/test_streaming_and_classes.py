@@ -641,3 +641,62 @@ def test_curate_increment_equals_full_run(spark, tmp_path):
     # increment resume: rerun skips every stage
     rep2 = curate_increment(spark, inc_docs, base_out, "inc1", **kw)
     assert rep2.skipped == list(rep.ran) and not rep2.ran
+
+
+def test_curate_stream_rolls_state_across_batches(spark, tmp_path):
+    """Streaming curation: micro-batch k+1 must dedup against base AND
+    batches 1..k through the rolled state — an exact dup and a near dup
+    of BATCH-1 docs arriving in batch 2 are dropped, boilerplate dfs
+    accumulate across epochs, and batch 2's packed offsets continue after
+    base + batch 1."""
+    from climatemind_ontology_processing_spark.plans.curate import (
+        curate_stream, run_curation)
+    boiler = "shared cookie banner appears on every page"
+    base = ("the quick brown fox jumps over the lazy dog and then the "
+            "fox runs into the green forest where it finds food and the "
+            "other animals watch it with great interest for a while")
+
+    def body(i):
+        uniq = " ".join(f"tok{i}x{j}" for j in range(12))
+        return f"{base} {uniq}"
+
+    schema = "doc_id long, text string"
+    base_docs = spark.createDataFrame(
+        [(i, f"{body(i)}\n{boiler}") for i in range(10)], schema)
+    base_out = str(tmp_path / "sbase")
+    kw = dict(max_para_df=6, near_threshold=0.7)
+    run_curation(spark, base_docs, base_out, "rb", **kw)
+
+    batch1 = [(100, f"{body(100)}\n{boiler}"),
+              (101, f"{body(101)}\n{boiler}")]
+    batch2 = [(200, f"{body(100)}\n{boiler}"),       # exact dup of 100
+              (201, f"{body(101)} extra\n{boiler}"), # near dup of 101
+              (202, f"{body(202)}\n{boiler}")]       # clean
+    src = str(tmp_path / "s_in")
+    ckpt = str(tmp_path / "s_ckpt")
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = curate_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src), base_out, ckpt, **kw)
+    q.awaitTermination(300)
+
+    q1 = {r.doc_id: r.text for r in
+          spark.read.parquet(f"{base_out}/inc/b000000/quality").collect()}
+    q2 = {r.doc_id: r.text for r in
+          spark.read.parquet(f"{base_out}/inc/b000001/quality").collect()}
+    assert set(q1) == {100, 101}
+    assert set(q2) == {202}, q2          # 200/201 die via ROLLED state
+    assert all(boiler not in t for t in {**q1, **q2}.values())
+
+    # batch 2's stream offset continues after base + batch 1
+    import pyspark.sql.functions as SF
+    def tot(path):
+        df = spark.read.parquet(path)
+        return df.agg((SF.sum("n_tokens") + SF.count("*"))).first()[0] or 0
+    base_t = tot(f"{base_out}/pack")
+    b1_t = tot(f"{base_out}/inc/b000000/pack")
+    b2 = spark.read.parquet(f"{base_out}/inc/b000001/pack").collect()
+    assert min(r.start_offset for r in b2) == base_t + b1_t
