@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .lineage import append_lineage_rows, completed_buckets
@@ -186,8 +186,14 @@ def _persist_stage_state(spark: SparkSession, out_path: str, stage: str,
 def _read_state(spark: SparkSession, base_out: str):
     """(census, exact_fp, buckets) merged across every epoch partition —
     the census re-aggregates (dfs are additive across disjoint epochs)."""
-    from ..operators.dedup import merge_paragraph_census
+    from .lineage import _hadoop_fs
     state = f"{base_out}/state"
+    fs, hpath = _hadoop_fs(spark, state)
+    if not fs.exists(hpath):
+        raise ValueError(
+            f"no state tables under {state} — the base was produced by a "
+            "pre-incremental run_curation; re-run the base with this "
+            "version to persist the census/fp/bucket state increments need")
     census_parts = spark.read.parquet(f"{state}/paragraph_census") \
         .drop("_inc")
     census = (census_parts.groupBy("_f1", "_f2")
@@ -462,3 +468,31 @@ def curate_stream(pages: DataFrame, base_out: str, checkpoint_path: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def curation_funnel(spark: SparkSession, out_path: str,
+                    run_id: str | None = None) -> DataFrame:
+    """Observability: (run_id, stage, n_rows, n_dropped, drop_pct) per
+    pipeline stage from the persisted lineage — the funnel view an
+    operator reads after every batch/increment.  ``run_id=None`` returns
+    every run recorded under ``out_path`` (base and increments share the
+    shape; pass the increment's lineage dir for its funnel)."""
+    from .lineage import LINEAGE_SCHEMA
+    rows = spark.read.schema(LINEAGE_SCHEMA).json(f"{out_path}/_lineage")
+    if run_id is not None:
+        rows = rows.filter(F.col("run_id") == run_id)
+    w = Window.partitionBy("run_id").orderBy("bucket")
+    out = (rows.select("run_id", "stage", "bucket",
+                       F.col("n_pages").alias("n_rows"))
+           .withColumn("_prev", F.lag("n_rows").over(w))
+           .withColumn("n_dropped",
+                       F.coalesce(F.col("_prev") - F.col("n_rows"),
+                                  F.lit(0)))
+           .withColumn("drop_pct",
+                       F.round(F.when(F.coalesce(F.col("_prev"), F.lit(0)) > 0,
+                                      F.col("n_dropped") * 100.0
+                                      / F.col("_prev"))
+                                .otherwise(F.lit(0.0)), 2)))
+    return (out.select("run_id", "stage", "n_rows", "n_dropped",
+                       "drop_pct", "bucket")
+            .orderBy("run_id", "bucket").drop("bucket"))

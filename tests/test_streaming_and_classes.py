@@ -700,3 +700,21 @@ def test_curate_stream_rolls_state_across_batches(spark, tmp_path):
     b1_t = tot(f"{base_out}/inc/b000000/pack")
     b2 = spark.read.parquet(f"{base_out}/inc/b000001/pack").collect()
     assert min(r.start_offset for r in b2) == base_t + b1_t
+
+
+def test_curation_funnel_view(spark, tmp_path):
+    """curation_funnel reads the lineage into the per-stage drop funnel in
+    pipeline order, with drop counts between consecutive stages."""
+    from climatemind_ontology_processing_spark.plans.curate import (
+        STAGES, curation_funnel, run_curation)
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox is here and it is fine now really "
+             + " ".join(f"w{i}x{j}" for j in range(6))) for i in range(6)]
+        + [(100, "dup target")] * 1, "doc_id long, text string")
+    out = str(tmp_path / "fn")
+    run_curation(spark, docs, out, "r1", max_para_df=50)
+    got = curation_funnel(spark, out).collect()
+    assert [r.stage for r in got] == list(STAGES)
+    assert got[0].n_dropped == 0
+    assert got[-2].stage == "quality" and got[-2].n_dropped >= 1  # junk dies
+    assert all(r.drop_pct >= 0 for r in got)
