@@ -587,6 +587,26 @@ def _q_duplicate_spans(spark, sf_dir):
             .orderBy("doc_id", "span_start"))
 
 
+def _q_scrub_spans(spark, sf_dir):
+    """duplicate_spans composed with removal (operators/dedup.
+    scrub_duplicate_spans): the planted license chunk's tokens vanish
+    from every carrier document, the remainder rejoins single-spaced.
+    Same construction as duplicate_spans; the oracle extends its CTEs
+    with the per-doc index-filter rebuild."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        scrub_duplicate_spans)
+    docs = _read(spark, sf_dir, "documents")
+    chunk = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+             "do eiusmod tempor")
+    built = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), F.lit(" " + chunk)))
+         .otherwise(F.col("text")).alias("text"))
+    return (scrub_duplicate_spans(built, window=8, min_count=2)
+            .orderBy("doc_id"))
+
+
 def _q_domain_cap(spark, sf_dir):
     """Per-domain quota sampling (operators/domains.domain_cap_sample)
     over the same constructed url distribution as domain_stats: the two
@@ -2181,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "domain_stats": _q_domain_stats,
         "duplicate_spans": _q_duplicate_spans,
+        "scrub_spans": _q_scrub_spans,
         "domain_cap_sample": _q_domain_cap,
         "curation_preview": _q_curation_preview,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -2497,6 +2518,73 @@ def oracle_sql() -> dict[str, str]:
                    max(st) + 8 AS span_end, count(*) AS n_windows
             FROM grouped GROUP BY doc_id, g
             ORDER BY doc_id, span_start
+        """,
+        "scrub_spans": """
+            WITH built AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0
+                     THEN text || ' lorem ipsum dolor sit amet consectetur'
+                          || ' adipiscing elit sed do eiusmod tempor'
+                     ELSE text END AS text
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+              FROM built
+            ),
+            wins AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, len(t) - 8)) AS st,
+                     unnest(list_transform(generate_series(1, len(t) - 7),
+                            i -> array_to_string(list_slice(t, i, i + 7),
+                                                 ' '))) AS w
+              FROM toks WHERE len(t) >= 8
+            ),
+            hot AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+            dup AS (SELECT doc_id, st FROM wins
+                    WHERE w IN (SELECT w FROM hot)),
+            flagged AS (
+              SELECT doc_id, st,
+                     CASE WHEN st - lag(st) OVER (
+                            PARTITION BY doc_id ORDER BY st) > 8
+                          THEN 1 ELSE 0 END AS newg
+              FROM dup
+            ),
+            grouped AS (
+              SELECT doc_id, st,
+                     sum(newg) OVER (PARTITION BY doc_id ORDER BY st
+                                     ROWS UNBOUNDED PRECEDING) AS g
+              FROM flagged
+            ),
+            spans AS (
+              SELECT doc_id, min(st) AS s0, max(st) + 8 AS s1
+              FROM grouped GROUP BY doc_id, g
+            ),
+            sp AS (
+              SELECT doc_id, list(struct_pack(s0 := s0, s1 := s1)) AS sp
+              FROM spans GROUP BY doc_id
+            ),
+            toks2 AS (
+              SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              FROM built
+            ),
+            kept AS (
+              SELECT t2.doc_id, t2.t,
+                     list_filter(generate_series(1, len(t2.t)),
+                       i -> sp.sp IS NULL
+                            OR len(list_filter(sp.sp,
+                                 r -> i - 1 >= r['s0'] AND i - 1 < r['s1']))
+                               = 0) AS ki
+              FROM toks2 t2 LEFT JOIN sp ON sp.doc_id = t2.doc_id
+            )
+            SELECT doc_id,
+                   -- array_to_string of an EMPTY list is NULL in DuckDB
+                   -- where Spark concat_ws gives '' (fully-scrubbed docs)
+                   coalesce(array_to_string(list_transform(ki, i -> t[i]),
+                                            ' '), '') AS text,
+                   len(t) AS n_tokens,
+                   len(t) - len(ki) AS n_tokens_removed
+            FROM kept ORDER BY doc_id
         """,
         "domain_cap_sample": """
             WITH pages AS (

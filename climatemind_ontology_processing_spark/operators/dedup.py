@@ -771,3 +771,47 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
                  (F.max("start") + window).alias("span_end"),
                  F.count("*").alias("n_windows"))
             .drop("_g"))
+
+
+def scrub_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", window: int = 50,
+                          min_count: int = 2,
+                          hash_family: str = "xxhash64") -> DataFrame:
+    """``duplicate_spans`` composed with the REMOVAL step — the full
+    Lee et al. 2022 treatment: tokens inside any duplicated span are cut
+    and the remainder rejoined with single spaces (token-level surgery;
+    original inter-token whitespace inside kept regions collapses, the
+    standard trade of token-indexed dedup).
+
+    In-plan rebuild: spans collect to one array per document (a span list
+    is tiny — merged maximal intervals), then a single
+    ``filter(transform(tokens, index))`` pass drops covered positions —
+    no Python, no second corpus shuffle beyond the span join.  Documents
+    with no duplicated spans pass through with token-joined text (so the
+    output column is uniformly single-space tokenized).
+
+    Returns (id_col, text_col, n_tokens, n_tokens_removed).
+    """
+    spans = duplicate_spans(docs, id_col, text_col, window, min_count,
+                            hash_family)
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.collect_list(F.struct("span_start", "span_end"))
+                     .alias("_sp")))
+    # SAME unfiltered tokenization as duplicate_spans so positions align
+    # (a leading-whitespace empty token occupies index 0 on both sides)
+    toks = F.split(F.col(text_col), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("_t")) \
+        .join(per_doc, id_col, "left")
+    indexed = F.transform(F.col("_t"),
+                          lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    covered = lambda s: F.exists(
+        F.col("_sp"), lambda r: (s.getField("i") >= r.getField("span_start"))
+        & (s.getField("i") < r.getField("span_end")))
+    kept = F.when(F.col("_sp").isNull(), indexed) \
+        .otherwise(F.filter(indexed, lambda s: ~covered(s)))
+    return base.select(
+        id_col,
+        F.concat_ws(" ", F.transform(kept, lambda s: s.getField("t")))
+         .alias(text_col),
+        F.size("_t").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).alias("n_tokens_removed"))

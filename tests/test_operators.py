@@ -1497,3 +1497,23 @@ def test_bpe_apply_paths_identical(spark):
     assert {r.doc_id: r.tokens for r in out.collect()} == lit  # idempotent reapply
     with pytest.raises(ValueError):
         bpe_apply(docs, merges, force="bogus")
+
+
+def test_scrub_duplicate_spans_removal(spark):
+    """The removal composition: tokens inside every duplicated span vanish,
+    the remainder rejoins in order; span-free docs pass through; case is
+    PRESERVED in output (hashing lowercases, surgery does not)."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        scrub_duplicate_spans)
+    chunk = "One Two Three Four Five Six"
+    rows = [(1, f"Alpha beta {chunk} gamma delta"),
+            (2, f"{chunk} zeta eta theta iota kappa"),
+            (3, "totally unique text with many distinct tokens here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           scrub_duplicate_spans(docs, window=4, min_count=2).collect()}
+    # doc1: span [2,8) covers the chunk -> removed, case kept elsewhere
+    assert got[1].text == "Alpha beta gamma delta"
+    assert (got[1].n_tokens, got[1].n_tokens_removed) == (10, 6)
+    assert got[2].text == "zeta eta theta iota kappa"
+    assert got[3].text == rows[2][1] and got[3].n_tokens_removed == 0
