@@ -2168,65 +2168,13 @@ def _pq_topk_sql() -> str:
 # ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER matters: the driver checks the first 50 entries each
-    # round.  Per the round-3 verdict, the graph/embedding families were
-    # appended at the end and fell outside the 50-slot window — so they now
-    # lead, with the 8 never-driver-checked queries first, followed by the
-    # rest of the round-3 additions, then the long-green round-1/2 block.
+    # round.  Round-5 rotation (per the round-4 verdict #1): the 32 legacy
+    # queries that fell outside the r4 window lead, followed by bpe_merges
+    # and this round's new queries, padded to 50 with round-4 entries.  The
+    # twice-driver-green graph/embedding block moves to the tail (their
+    # oracles still run in the committed ORACLES_r05 sweep).
     return {
-        # -- never driver-checked (rounds 1-3) — must be in this round's window
-        "scc": _q_scc,
-        "k_core": _q_k_core,
-        "clustering_coefficients": _q_clustering_coefficients,
-        "adamic_adar": _q_adamic_adar,
-        "assortativity": _q_assortativity,
-        "personalized_pagerank": _q_personalized_pagerank,
-        "int8_quantize": _q_int8_quantize,
-        "pq_topk": _q_pq_topk,
-        # -- round-3 additions outside the r3 window
-        "bfs_reachable": _q_bfs_reachable,
-        "closure_counts": _q_closure_counts,
-        "induced_subgraph": _q_induced_subgraph,
-        "acyclic_cut": _q_acyclic_cut,
-        "connected_components": _q_connected_components,
-        "pagerank": _q_pagerank,
-        "triangle_counts": _q_triangle_counts,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "cosine_topk": _q_cosine_topk,
-        "ivf_topk": _q_ivf_topk,
-        "embedding_lsh_pairs": _q_embedding_lsh_pairs,
-        "cosine_histogram": _q_cosine_histogram,
-        # -- new this round (round-4)
-        "lsh_probe_pairs": _q_lsh_probe,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "pii_scrub": _q_pii_scrub,
-        "domain_stats": _q_domain_stats,
-        "duplicate_spans": _q_duplicate_spans,
-        "scrub_spans": _q_scrub_spans,
-        "domain_cap_sample": _q_domain_cap,
-        "curation_preview": _q_curation_preview,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "label_propagation": _q_label_propagation,
-        "ivfpq_residual_topk": _q_ivfpq_residual,
-        "bpe_merges": _q_bpe_merges,          # rows-only: see docstring
-        # -- previously driver-green block (CORRECTNESS_r03: 50/50)
-        "cooccurrence_edges": _q_cooccurrence_edges,
-        "pmi_edges": _q_pmi_edges,
-        "shortest_paths": _q_shortest_paths,
-        "dedup_exact": _q_dedup_exact,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "minhash_lsh_pairs": _q_minhash_lsh,       # md5_60 family: oracled
-        "near_dup_pairs": _q_near_dup,             # md5_60 family: oracled
-        "simhash_pairs": _q_simhash,               # md5_60 family: oracled
-        "char_entropy": _q_char_entropy,
-        "lm_score": _q_lm_score,
-        "bigram_lm_score": _q_bigram_lm_score,
-        "bm25": _q_bm25,
-        "canonical_urls": _q_canonical_urls,
-        "training_mix": _q_training_mix,
-        "eval_take_k": _q_eval_take_k,
-        "windowed_event_counts": _q_windowed_event_counts,
-        "attribution_pairs": _q_attribution_pairs,
-        "fuzzy_matches": _q_fuzzy_matches,
+        # -- legacy block: last driver-checked in r3; sweep-green in r4
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_token_counts": _q_cms_token_counts,
         "bloom_membership": _q_bloom_membership,
@@ -2259,6 +2207,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_event_counts": _q_interval_event_counts,
         "trade_edges": _q_trade_edges,
         "dag_layers": _q_dag_layers,
+        # -- newly oracled / new this round (round-5)
+        "bpe_merges": _q_bpe_merges,
+        # -- window pad: round-4 entries re-checked (harmless double cover)
+        "curation_preview": _q_curation_preview,
+        "lsh_probe_pairs": _q_lsh_probe,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "pii_scrub": _q_pii_scrub,
+        "domain_stats": _q_domain_stats,
+        "duplicate_spans": _q_duplicate_spans,
+        "scrub_spans": _q_scrub_spans,
+        "domain_cap_sample": _q_domain_cap,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "label_propagation": _q_label_propagation,
+        "ivfpq_residual_topk": _q_ivfpq_residual,
+        "minhash_lsh_pairs": _q_minhash_lsh,       # md5_60 family: oracled
+        "near_dup_pairs": _q_near_dup,             # md5_60 family: oracled
+        "simhash_pairs": _q_simhash,               # md5_60 family: oracled
+        "dedup_exact": _q_dedup_exact,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "cosine_topk": _q_cosine_topk,
+        # ---- 50-slot window boundary (entries below: sweep-only) ----
+        "cooccurrence_edges": _q_cooccurrence_edges,
+        "pmi_edges": _q_pmi_edges,
+        "shortest_paths": _q_shortest_paths,
+        "char_entropy": _q_char_entropy,
+        "lm_score": _q_lm_score,
+        "bigram_lm_score": _q_bigram_lm_score,
+        "bm25": _q_bm25,
+        "canonical_urls": _q_canonical_urls,
+        "training_mix": _q_training_mix,
+        "eval_take_k": _q_eval_take_k,
+        "windowed_event_counts": _q_windowed_event_counts,
+        "attribution_pairs": _q_attribution_pairs,
+        "fuzzy_matches": _q_fuzzy_matches,
+        "scc": _q_scc,
+        "k_core": _q_k_core,
+        "clustering_coefficients": _q_clustering_coefficients,
+        "adamic_adar": _q_adamic_adar,
+        "assortativity": _q_assortativity,
+        "personalized_pagerank": _q_personalized_pagerank,
+        "int8_quantize": _q_int8_quantize,
+        "pq_topk": _q_pq_topk,
+        "bfs_reachable": _q_bfs_reachable,
+        "closure_counts": _q_closure_counts,
+        "induced_subgraph": _q_induced_subgraph,
+        "acyclic_cut": _q_acyclic_cut,
+        "connected_components": _q_connected_components,
+        "pagerank": _q_pagerank,
+        "triangle_counts": _q_triangle_counts,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "ivf_topk": _q_ivf_topk,
+        "embedding_lsh_pairs": _q_embedding_lsh_pairs,
+        "cosine_histogram": _q_cosine_histogram,
     }
 
 
