@@ -790,7 +790,10 @@ def scrub_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     with no duplicated spans pass through with token-joined text (so the
     output column is uniformly single-space tokenized).
 
-    Returns (id_col, text_col, n_tokens, n_tokens_removed).
+    Returns (id_col, text_col, n_tokens, n_tokens_removed).  A NULL input
+    text is PRESERVED as NULL with zero counts (same deliberate convention
+    as ``paragraph_dedup`` — and ``F.size`` over the null split array would
+    otherwise poison ``n_tokens`` with -1 for downstream span arithmetic).
     """
     spans = duplicate_spans(docs, id_col, text_col, window, min_count,
                             hash_family)
@@ -800,7 +803,8 @@ def scrub_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
     # SAME unfiltered tokenization as duplicate_spans so positions align
     # (a leading-whitespace empty token occupies index 0 on both sides)
     toks = F.split(F.col(text_col), r"\s+")
-    base = docs.select(F.col(id_col), toks.alias("_t")) \
+    base = docs.select(F.col(id_col), F.col(text_col).isNull().alias("_null"),
+                       toks.alias("_t")) \
         .join(per_doc, id_col, "left")
     indexed = F.transform(F.col("_t"),
                           lambda t, i: F.struct(t.alias("t"), i.alias("i")))
@@ -809,9 +813,12 @@ def scrub_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
         & (s.getField("i") < r.getField("span_end")))
     kept = F.when(F.col("_sp").isNull(), indexed) \
         .otherwise(F.filter(indexed, lambda s: ~covered(s)))
+    nullsafe = lambda c: F.when(F.col("_null"), F.lit(0)).otherwise(c)
     return base.select(
         id_col,
-        F.concat_ws(" ", F.transform(kept, lambda s: s.getField("t")))
+        F.when(F.col("_null"), F.lit(None).cast("string"))
+         .otherwise(F.concat_ws(" ", F.transform(kept,
+                                                 lambda s: s.getField("t"))))
          .alias(text_col),
-        F.size("_t").alias("n_tokens"),
-        (F.size("_t") - F.size(kept)).alias("n_tokens_removed"))
+        nullsafe(F.size("_t")).alias("n_tokens"),
+        nullsafe(F.size("_t") - F.size(kept)).alias("n_tokens_removed"))

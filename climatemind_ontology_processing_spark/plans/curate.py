@@ -39,6 +39,23 @@ from .lineage import append_lineage_rows, completed_buckets
 
 STAGES = ("paragraphs", "pii", "exact", "near", "quality", "pack")
 
+# LSH build parameters for the persisted near-dup state (marker-validated
+# at probe time).  A base run and every increment probing its state must
+# agree on these — thread them through run_curation / curate_increment /
+# curate_stream together, never change one side alone.
+_DEFAULT_LSH = {"shingle_n": 3, "num_hashes": 32, "bands": 8,
+                "hash_family": "xxhash64"}
+
+
+def _stage_output_ready(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` is a COMMITTED parquet dir: exists and carries the
+    ``_SUCCESS`` marker.  A partially-written-but-readable dir (crash mid
+    write) must NOT be resumed from — the Hadoop-FS existence check replaces
+    the old try/except-around-read (which would have reused it silently)."""
+    from .lineage import _hadoop_fs
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath) and fs.exists(hpath.suffix("/_SUCCESS")))
+
 
 @dataclass
 class CurationReport:
@@ -48,7 +65,10 @@ class CurationReport:
 
 
 def _stage_transforms(min_quality: float, langs: tuple[str, ...],
-                      seq_len: int, max_para_df: int, near_threshold: float):
+                      seq_len: int, max_para_df: int, near_threshold: float,
+                      lsh: dict | None = None,
+                      near_max_bucket_size: int | None = 1000):
+    lsh = dict(_DEFAULT_LSH, **(lsh or {}))
     from ..functions.pii import scrub_pii_docs
     from ..operators.dedup import (dedup_exact, near_dup_pairs,
                                    paragraph_dedup)
@@ -68,8 +88,13 @@ def _stage_transforms(min_quality: float, langs: tuple[str, ...],
         return dedup_exact(docs)
 
     def s_near(docs: DataFrame) -> DataFrame:
-        losers = (near_dup_pairs(docs, threshold=near_threshold,
-                                 exact_dedup_first=False)
+        losers = (near_dup_pairs(docs, n=lsh["shingle_n"],
+                                 threshold=near_threshold,
+                                 num_hashes=lsh["num_hashes"],
+                                 bands=lsh["bands"],
+                                 hash_family=lsh["hash_family"],
+                                 exact_dedup_first=False,
+                                 max_bucket_size=near_max_bucket_size)
                   .select(F.col("b").alias("doc_id")).distinct())
         return docs.join(losers, "doc_id", "left_anti")
 
@@ -95,14 +120,22 @@ def run_curation(spark: SparkSession, docs: DataFrame, out_path: str,
                  min_quality: float = 0.3,
                  langs: tuple[str, ...] = ("en",),
                  seq_len: int = 2048, max_para_df: int = 100,
-                 near_threshold: float = 0.8) -> CurationReport:
+                 near_threshold: float = 0.8,
+                 lsh_params: dict | None = None,
+                 near_max_bucket_size: int | None = 1000) -> CurationReport:
     """Run (or resume) the curation pipeline; returns which stages ran vs
     were skipped, with per-stage output row counts.  ``docs`` needs
     (doc_id, text[, ...]); extra columns ride along untouched until the
-    ``pack`` stage, whose output is the (doc_id, n_tokens, spans) table."""
+    ``pack`` stage, whose output is the (doc_id, n_tokens, spans) table.
+
+    ``lsh_params`` (keys of ``_DEFAULT_LSH``) configures the near stage's
+    MinHash-LSH AND the persisted bucket-table state — increments probing
+    this base must pass the same dict (markers enforce it loudly)."""
     lineage_path = lineage_path or f"{out_path}/_lineage"
+    lsh = dict(_DEFAULT_LSH, **(lsh_params or {}))
     transforms = _stage_transforms(min_quality, langs, seq_len,
-                                   max_para_df, near_threshold)
+                                   max_para_df, near_threshold, lsh,
+                                   near_max_bucket_size)
     report = CurationReport()
     # stage index doubles as the lineage "bucket" so completed_buckets'
     # (run_id, stage, bucket) contract is reused verbatim
@@ -112,14 +145,14 @@ def run_curation(spark: SparkSession, docs: DataFrame, out_path: str,
         stage_out = f"{out_path}/{stage}"
         done = completed_buckets(spark, lineage_path, run_id, stage)
         # a stage may be skipped ONLY while every upstream stage was also
-        # skipped — once anything reruns, later cached outputs are stale
-        if i in done and not upstream_reran:
-            try:
-                cur = spark.read.parquet(stage_out)
-                report.skipped.append(stage)
-                continue
-            except Exception:
-                pass                  # lineage row without output: rerun
+        # skipped — once anything reruns, later cached outputs are stale.
+        # The output must be COMMITTED (_SUCCESS), not merely readable: a
+        # lineage row with a half-written dir means rerun.
+        if i in done and not upstream_reran and \
+                _stage_output_ready(spark, stage_out):
+            cur = spark.read.parquet(stage_out)
+            report.skipped.append(stage)
+            continue
         upstream_reran = True
         stage_input = cur
         cur = transforms[stage](cur)
@@ -127,7 +160,7 @@ def run_curation(spark: SparkSession, docs: DataFrame, out_path: str,
         cur = spark.read.parquet(stage_out)
         n = cur.count()
         _persist_stage_state(spark, out_path, stage, stage_input, cur,
-                             max_para_df)
+                             max_para_df, lsh=lsh)
         report.ran.append(stage)
         report.counts[stage] = n
         append_lineage_rows(spark, lineage_path, [
@@ -148,7 +181,7 @@ def _write_state_partition(df: DataFrame, path: str) -> None:
 
 def _persist_stage_state(spark: SparkSession, out_path: str, stage: str,
                          stage_input: DataFrame, stage_output: DataFrame,
-                         max_para_df: int,
+                         max_para_df: int, lsh: dict | None = None,
                          writer_id: str = "base") -> None:
     """Persist the per-stage state later INCREMENTS probe (see
     ``curate_increment``): the raw-input paragraph census, the surviving
@@ -159,6 +192,7 @@ def _persist_stage_state(spark: SparkSession, out_path: str, stage: str,
     so stage-resume keeps state consistent with outputs."""
     from ..operators.dedup import paragraph_census
     from ..streaming.dedup import _doc_lsh_buckets
+    lsh = dict(_DEFAULT_LSH, **(lsh or {}))
     state = f"{out_path}/state"
     tag = F.lit(writer_id).alias("_inc")
     if stage == "paragraphs":
@@ -172,13 +206,14 @@ def _persist_stage_state(spark: SparkSession, out_path: str, stage: str,
                  .alias("_f2"), tag),
             f"{state}/exact_fp")
     elif stage == "near":
-        b = _doc_lsh_buckets(stage_output, "doc_id", "text", 3, 32, 8,
-                             "xxhash64")
+        b = _doc_lsh_buckets(stage_output, "doc_id", "text",
+                             lsh["shingle_n"], lsh["num_hashes"],
+                             lsh["bands"], lsh["hash_family"])
         _write_state_partition(
-            b.withColumn("hash_family", F.lit("xxhash64"))
-             .withColumn("shingle_n", F.lit(3))
-             .withColumn("num_hashes", F.lit(32))
-             .withColumn("bands", F.lit(8))
+            b.withColumn("hash_family", F.lit(lsh["hash_family"]))
+             .withColumn("shingle_n", F.lit(lsh["shingle_n"]))
+             .withColumn("num_hashes", F.lit(lsh["num_hashes"]))
+             .withColumn("bands", F.lit(lsh["bands"]))
              .select("*", tag),
             f"{state}/lsh_buckets")
 
@@ -211,6 +246,8 @@ def curate_increment(spark: SparkSession, new_docs: DataFrame,
                      langs: tuple[str, ...] = ("en",),
                      seq_len: int = 2048, max_para_df: int = 100,
                      near_threshold: float = 0.8,
+                     lsh_params: dict | None = None,
+                     near_max_bucket_size: int | None = 1000,
                      roll_state: bool = False) -> CurationReport:
     """Curate an INCREMENT of new documents against a FROZEN completed
     ``run_curation`` base — the lambda-architecture split: the batch run
@@ -244,6 +281,15 @@ def curate_increment(spark: SparkSession, new_docs: DataFrame,
     * pack — increment spans continue the base token stream: offsets
       shift by the base's total packed tokens (recomputed exactly from
       the base ``pack`` table — no extra state).
+
+    ``lsh_params`` must MATCH the base run's (the persisted bucket-table
+    markers are validated at probe time and a mismatch raises).  THIRD
+    caveat — bucket caps: the full-run near stage census-caps COMBINED
+    buckets while the incremental probe caps only the persisted side
+    (``near_max_bucket_size``), so the equivalence contract holds only
+    while no bucket crosses the cap; at cap-triggering bucket sizes the
+    two paths may differ in candidate recall (both err toward keeping
+    docs).
     """
     from ..functions.pii import scrub_pii_docs
     from ..operators.dedup import (dedup_exact, near_dup_pairs,
@@ -255,6 +301,7 @@ def curate_increment(spark: SparkSession, new_docs: DataFrame,
 
     out = f"{base_out}/inc/{inc_id}"
     lineage_path = f"{out}/_lineage"
+    lsh = dict(_DEFAULT_LSH, **(lsh_params or {}))
     report = CurationReport()
     hist_census, hist_fp, hist_buckets = _read_state(spark, base_out)
 
@@ -289,13 +336,19 @@ def curate_increment(spark: SparkSession, new_docs: DataFrame,
         return within.join(losers, "doc_id", "left_anti")
 
     def s_near(docs):
-        cand = probe_lsh_buckets(docs, hist_buckets)
+        cand = probe_lsh_buckets(docs, hist_buckets, n=lsh["shingle_n"],
+                                 num_hashes=lsh["num_hashes"],
+                                 bands=lsh["bands"],
+                                 hash_family=lsh["hash_family"],
+                                 max_bucket_size=near_max_bucket_size)
         base_near = _history_near_text(spark, base_out, exclude=inc_id)
         # increment side is always `b` (larger id); verify with exact
-        # 3-gram jaccard between the increment text and the base text
-        sh_inc = with_shingles(docs, "text").select(
+        # n-gram jaccard between the increment text and the base text
+        sh_inc = with_shingles(docs, "text", n=lsh["shingle_n"],
+                               hash_family=lsh["hash_family"]).select(
             F.col("doc_id").alias("b"), F.col("shingles").alias("_sb"))
-        sh_base = with_shingles(base_near, "text").select(
+        sh_base = with_shingles(base_near, "text", n=lsh["shingle_n"],
+                                hash_family=lsh["hash_family"]).select(
             F.col("doc_id").alias("a"), F.col("shingles").alias("_sa"))
         inter = F.size(F.array_intersect("_sa", "_sb"))
         union = F.size("_sa") + F.size("_sb") - inter
@@ -303,8 +356,13 @@ def curate_increment(spark: SparkSession, new_docs: DataFrame,
                         .withColumn("_j", inter / union)
                         .filter(F.col("_j") >= near_threshold)
                         .select(F.col("b").alias("doc_id")).distinct())
-        within_losers = (near_dup_pairs(docs, threshold=near_threshold,
-                                        exact_dedup_first=False)
+        within_losers = (near_dup_pairs(docs, n=lsh["shingle_n"],
+                                        threshold=near_threshold,
+                                        num_hashes=lsh["num_hashes"],
+                                        bands=lsh["bands"],
+                                        hash_family=lsh["hash_family"],
+                                        exact_dedup_first=False,
+                                        max_bucket_size=near_max_bucket_size)
                          .select(F.col("b").alias("doc_id")).distinct())
         return (docs.join(cross_losers, "doc_id", "left_anti")
                 .join(within_losers, "doc_id", "left_anti"))
@@ -344,13 +402,11 @@ def curate_increment(spark: SparkSession, new_docs: DataFrame,
     for i, stage in enumerate(STAGES):
         stage_out = f"{out}/{stage}"
         done = completed_buckets(spark, lineage_path, inc_id, stage)
-        if i in done and not upstream_reran:
-            try:
-                cur = spark.read.parquet(stage_out)
-                report.skipped.append(stage)
-                continue
-            except Exception:
-                pass
+        if i in done and not upstream_reran and \
+                _stage_output_ready(spark, stage_out):
+            cur = spark.read.parquet(stage_out)
+            report.skipped.append(stage)
+            continue
         upstream_reran = True
         cur = transforms[stage](cur)
         cur.write.mode("overwrite").parquet(stage_out)
@@ -367,12 +423,18 @@ def curate_increment(spark: SparkSession, new_docs: DataFrame,
         # on a fully-skipped rerun: the partitioned dynamic overwrite is
         # idempotent, which covers a crash between stages and roll
         _persist_stage_state(spark, base_out, "paragraphs", new_docs, None,
-                             max_para_df, writer_id=inc_id)
+                             max_para_df, lsh=lsh, writer_id=inc_id)
+        # exact-fp epoch comes from the EXACT stage's output (matching the
+        # base epoch's semantics), NOT the near stage's: a near-stage loser
+        # is still the exact-identity winner for any later exact copy — a
+        # full run drops that copy at the exact stage, so the rolled state
+        # must too (near-dup-chain escape otherwise).
+        exact_out = spark.read.parquet(f"{out}/exact")
         near_out = spark.read.parquet(f"{out}/near")
-        _persist_stage_state(spark, base_out, "exact", None, near_out,
-                             max_para_df, writer_id=inc_id)
+        _persist_stage_state(spark, base_out, "exact", None, exact_out,
+                             max_para_df, lsh=lsh, writer_id=inc_id)
         _persist_stage_state(spark, base_out, "near", None, near_out,
-                             max_para_df, writer_id=inc_id)
+                             max_para_df, lsh=lsh, writer_id=inc_id)
     return report
 
 
@@ -442,6 +504,8 @@ def curate_stream(pages: DataFrame, base_out: str, checkpoint_path: str,
                   langs: tuple[str, ...] = ("en",),
                   seq_len: int = 2048, max_para_df: int = 100,
                   near_threshold: float = 0.8,
+                  lsh_params: dict | None = None,
+                  near_max_bucket_size: int | None = 1000,
                   trigger_available_now: bool = True):
     """STREAMING curation: every micro-batch runs ``curate_increment``
     with ``roll_state=True`` against the (growing) base state, so batch
@@ -461,7 +525,10 @@ def curate_stream(pages: DataFrame, base_out: str, checkpoint_path: str,
                          base_out, f"b{batch_id:06d}",
                          min_quality=min_quality, langs=langs,
                          seq_len=seq_len, max_para_df=max_para_df,
-                         near_threshold=near_threshold, roll_state=True)
+                         near_threshold=near_threshold,
+                         lsh_params=lsh_params,
+                         near_max_bucket_size=near_max_bucket_size,
+                         roll_state=True)
 
     writer = (pages.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_path))
@@ -481,6 +548,13 @@ def curation_funnel(spark: SparkSession, out_path: str,
     rows = spark.read.schema(LINEAGE_SCHEMA).json(f"{out_path}/_lineage")
     if run_id is not None:
         rows = rows.filter(F.col("run_id") == run_id)
+    # a stage rerun (upstream_reran path) appends a SECOND row for the same
+    # (run_id, stage, bucket) — keep only the latest per bucket or the lag
+    # window below compares a stage against its own stale count
+    latest = Window.partitionBy("run_id", "bucket") \
+        .orderBy(F.col("updated_ts").desc(), F.col("attempt").desc())
+    rows = (rows.withColumn("_rn", F.row_number().over(latest))
+            .filter(F.col("_rn") == 1).drop("_rn"))
     w = Window.partitionBy("run_id").orderBy("bucket")
     out = (rows.select("run_id", "stage", "bucket",
                        F.col("n_pages").alias("n_rows"))

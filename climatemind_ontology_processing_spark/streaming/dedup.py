@@ -64,18 +64,25 @@ def persist_lsh_buckets(docs: DataFrame, path: str, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         num_hashes: int = 32, bands: int = 8,
                         hash_family: str = "xxhash64",
-                        mode: str = "overwrite") -> None:
+                        mode: str = "overwrite",
+                        epoch: int = -1) -> None:
     """Build the LSH bucket table for a (batch) corpus and persist it as
     parquet with build-parameter MARKER columns — the static-then-growing
     side of ``near_dup_probe_stream``.  ``mode='append'`` adds a backfill
-    increment to an existing table (markers must match at next probe)."""
+    increment to an existing table (markers must match at next probe).
+
+    Rows carry an ``_batch`` partition column (``epoch``, default -1 =
+    pre-stream history) so the table shares a layout with the stream's
+    idempotent per-batch partitions; stream batch ids start at 0, so
+    history always sorts strictly before them."""
     b = _doc_lsh_buckets(docs, id_col, text_col, n, num_hashes, bands,
                          hash_family)
     (b.withColumn("hash_family", F.lit(hash_family))
       .withColumn("shingle_n", F.lit(n))
       .withColumn("num_hashes", F.lit(num_hashes))
       .withColumn("bands", F.lit(bands))
-      .write.mode(mode).parquet(path))
+      .withColumn("_batch", F.lit(int(epoch)))
+      .write.mode(mode).partitionBy("_batch").parquet(path))
 
 
 def _validate_lsh_markers(buckets: DataFrame, n: int, num_hashes: int,
@@ -149,17 +156,30 @@ def near_dup_probe_stream(pages: DataFrame, bucket_path: str,
 
     Each micro-batch (1) probes the persisted bucket table at
     ``bucket_path`` for cross-batch candidates, (2) optionally self-joins
-    its own buckets for within-batch candidates, (3) appends the union to
-    ``candidates_path``, and (4) appends its OWN bucket rows (with
+    its own buckets for within-batch candidates, (3) writes the union to
+    ``candidates_path``, and (4) writes its OWN bucket rows (with
     markers) to ``bucket_path`` — so the table grows with the stream and
-    batch k+1 near-dups against everything before it.  Exactly-once comes
-    from the checkpoint: a replayed batch overwrites its own appends
-    idempotently at the candidate-consumer level (candidates are
-    ``distinct`` per batch; consumers should dedup on (a, b)).
+    batch k+1 near-dups against everything before it.
+
+    EXACTLY-ONCE: both sinks are partitioned by ``_batch`` with dynamic
+    partition overwrite (the repo's idempotent-replay pattern, same as
+    ``plans/curate._write_state_partition``), so a foreachBatch retry
+    overwrites only its own partition — blind appends would duplicate
+    bucket rows, silently inflating the (band, bh) census past
+    ``max_bucket_size`` and DROPPING real buckets from candidate
+    generation.  The probe side additionally filters to ``_batch <
+    batch_id``, so a replayed batch never probes its own first-attempt
+    rows and the documented within/cross disjointness survives replay.
 
     Returns the started ``StreamingQuery``.
     """
     from ..operators.dedup import minhash_lsh_pairs
+
+    def _idempotent_write(df: DataFrame, batch_id: int, path: str) -> None:
+        (df.withColumn("_batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch").parquet(path))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -170,10 +190,13 @@ def near_dup_probe_stream(pages: DataFrame, bucket_path: str,
         from ..plans.lineage import _hadoop_fs
         fs, hpath = _hadoop_fs(spark, bucket_path)
         have_history = fs.exists(hpath)
-        if have_history:
-            buckets = spark.read.parquet(bucket_path)
         cands = None
         if have_history:
+            buckets = spark.read.parquet(bucket_path)
+            # a replayed batch must not see its own (or any later writer's)
+            # first-attempt rows: history is strictly _batch < batch_id
+            if "_batch" in buckets.columns:
+                buckets = buckets.filter(F.col("_batch") < F.lit(int(batch_id)))
             cands = probe_lsh_buckets(
                 batch_df, buckets, id_col, text_col, n, num_hashes, bands,
                 hash_family, max_bucket_size)
@@ -183,13 +206,18 @@ def near_dup_probe_stream(pages: DataFrame, bucket_path: str,
                 hash_family=hash_family, max_bucket_size=max_bucket_size)
             cands = within if cands is None else cands.unionByName(within)
         if cands is not None:
-            (cands.distinct().write.mode("append")
-             .parquet(candidates_path))
+            _idempotent_write(cands.distinct(), batch_id, candidates_path)
         # grow the bucket table AFTER probing (a batch never pairs with
         # itself through the persisted table — within-batch pairs are the
         # self-join's job, keeping the two sources disjoint)
-        persist_lsh_buckets(batch_df, bucket_path, id_col, text_col, n,
-                            num_hashes, bands, hash_family, mode="append")
+        b = _doc_lsh_buckets(batch_df, id_col, text_col, n, num_hashes,
+                             bands, hash_family)
+        _idempotent_write(
+            b.withColumn("hash_family", F.lit(hash_family))
+             .withColumn("shingle_n", F.lit(n))
+             .withColumn("num_hashes", F.lit(num_hashes))
+             .withColumn("bands", F.lit(bands)),
+            batch_id, bucket_path)
 
     writer = (pages.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_path))

@@ -1517,3 +1517,21 @@ def test_scrub_duplicate_spans_removal(spark):
     assert (got[1].n_tokens, got[1].n_tokens_removed) == (10, 6)
     assert got[2].text == "zeta eta theta iota kappa"
     assert got[3].text == rows[2][1] and got[3].n_tokens_removed == 0
+
+
+def test_scrub_duplicate_spans_null_text_preserved(spark):
+    """A NULL input text stays NULL with ZERO counts — not n_tokens=-1
+    (F.size over a null split array), which would poison downstream
+    packed-spans arithmetic; matches paragraph_dedup's NULL preservation."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        scrub_duplicate_spans)
+    chunk = "one two three four five six"
+    rows = [(1, None), (2, f"{chunk} tail words here"),
+            (3, f"lead tokens {chunk} again")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           scrub_duplicate_spans(docs, window=4, min_count=2).collect()}
+    assert got[1].text is None
+    assert (got[1].n_tokens, got[1].n_tokens_removed) == (0, 0)
+    # non-null rows unaffected by the null guard
+    assert got[2].n_tokens == 9 and got[2].n_tokens_removed == 6
