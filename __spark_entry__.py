@@ -1514,13 +1514,14 @@ def _lpa_sql(rounds: int = 3) -> str:
 def _q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/decontaminate.
     bpe_train, Sennrich 2016): one corpus pass to the word-freq table,
-    then merge rounds over the vocabulary only.  NO SQL oracle — the
-    merge loop's argmax feeds the next round's tokenization, which an
-    unrolled CTE cannot express without scalar subqueries in lambdas
-    (DuckDB limitation, CLAUDE.md); correctness is pinned instead by the
-    pytest parity test against a pure-Python reference implementation
-    (test_bpe_train_matches_reference) — the driver records the weaker
-    rows-only check."""
+    then merge rounds over the vocabulary only.  Oracled since round 5 via
+    ``_bpe_merges_sql``: the merge rounds unroll as chained CTEs over
+    EXPLODED (word, pos, symbol) rows, with the greedy non-overlapping
+    merge expressed through window-function islands instead of a fold —
+    which sidesteps the DuckDB no-subquery-in-lambda limitation that
+    blocked a direct transcription of the aggregate-fold (CLAUDE.md).
+    The deeper semantics (the 'fresh'-flag fold, early stop, vocab caps)
+    stay pinned by pytest parity vs a pure-Python Sennrich reference."""
     from climatemind_ontology_processing_spark.operators.decontaminate import (
         bpe_train)
     docs = _read(spark, sf_dir, "documents")
@@ -1528,6 +1529,81 @@ def _q_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "step int, left string, right string").orderBy("step")
+
+
+def _bpe_merges_sql(rounds: int = 6) -> str:
+    """Unrolled-round BPE-training oracle (same pattern as ``_lpa_sql``).
+
+    Greedy left-to-right non-overlapping pair merging has a sequential
+    look ("was the previous position just merged?"), but conflicts between
+    adjacent candidate positions only exist inside runs of a==b candidates
+    — so the greedy choice is exactly: group consecutive candidate
+    positions into islands and keep the EVEN offsets within each island.
+    That is window-function algebra, not a fold, so each round is plain
+    SQL: pair-count argmax -> candidate positions -> island filter ->
+    rebuild + renumber.  ``WHERE n >= 2`` in the argmax mirrors
+    bpe_train's early stop (an empty best makes later rounds no-ops)."""
+    parts = [r"""
+        WITH words AS (
+          SELECT w, count(*) AS freq FROM (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')) AS w
+            FROM documents) GROUP BY w
+        ),
+        e0 AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY w) AS w_id, freq,
+                 unnest(range(1, length(w) + 2)) AS pos,
+                 unnest(list_append(
+                   list_transform(range(1, length(w) + 1),
+                                  i -> substring(w, i, 1)),
+                   '</w>')) AS sym
+          FROM words
+        )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        best{r} AS (
+          SELECT l.sym AS a, rr.sym AS b
+          FROM e{r-1} l JOIN e{r-1} rr
+            ON rr.w_id = l.w_id AND rr.pos = l.pos + 1
+          GROUP BY l.sym, rr.sym HAVING sum(l.freq) >= 2
+          ORDER BY sum(l.freq) DESC, a ASC, b ASC LIMIT 1
+        ),
+        cand{r} AS (
+          SELECT l.w_id, l.pos
+          FROM e{r-1} l JOIN e{r-1} rr
+            ON rr.w_id = l.w_id AND rr.pos = l.pos + 1
+          JOIN best{r} bt ON l.sym = bt.a AND rr.sym = bt.b
+        ),
+        keep{r} AS (
+          SELECT w_id, pos FROM (
+            SELECT w_id, pos, isl,
+                   min(pos) OVER (PARTITION BY w_id, isl) AS isl0
+            FROM (SELECT w_id, pos,
+                         pos - row_number() OVER (
+                           PARTITION BY w_id ORDER BY pos) AS isl
+                  FROM cand{r}) t1) t2
+          WHERE (pos - isl0) % 2 = 0
+        ),
+        e{r} AS MATERIALIZED (
+          SELECT w_id, freq,
+                 row_number() OVER (PARTITION BY w_id ORDER BY pos) AS pos,
+                 sym FROM (
+            SELECT e.w_id, e.freq, e.pos,
+                   CASE WHEN k.pos IS NOT NULL THEN bt.a || bt.b
+                        ELSE e.sym END AS sym
+            FROM e{r-1} e
+            LEFT JOIN keep{r} k  ON k.w_id = e.w_id AND k.pos = e.pos
+            LEFT JOIN keep{r} k2 ON k2.w_id = e.w_id AND k2.pos = e.pos - 1
+            LEFT JOIN best{r} bt ON true
+            WHERE k2.pos IS NULL) m
+        )""")
+    steps = "\n            UNION ALL ".join(
+        f'SELECT {r - 1} AS step, a AS "left", b AS "right" FROM best{r}'
+        for r in range(1, rounds + 1))
+    parts.append(f"""
+        SELECT step, "left", "right" FROM (
+            {steps}) ORDER BY step""")
+    return "".join(parts)
 
 
 def _q_triangle_counts(spark, sf_dir):
@@ -2817,6 +2893,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY n DESC, lhs, rhs LIMIT 200
         """,
+        "bpe_merges": _bpe_merges_sql(6),
         "lang_stats": """
             SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
