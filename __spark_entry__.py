@@ -1531,6 +1531,95 @@ def _q_bpe_merges(spark, sf_dir):
         "step int, left string, right string").orderBy("step")
 
 
+def _q_media_features(spark, sf_dir):
+    """Multimodal decode + featurize (operators/multimodal.extract_features
+    over ``mapInPandas`` Arrow batches): a deterministic media table — 8
+    grayscale PNGs with closed-form pixels ``(x*7 + y*13 + k*31) % 256``
+    and 4 16-bit PCM WAVs with closed-form samples ``((i*(k+3)) % 201 -
+    100)/100`` — is REALLY encoded (package codecs), distributed over 4
+    partitions, REALLY decoded, and featurized (8-bin byte histogram /
+    8-window RMS energy).  Output is micro-BIGINT rows (media_id, kind,
+    bin, v_micro).  The oracle is a PRECOMPUTED-LITERAL table derived from
+    the closed-form content alone (no codec, no SQL re-implementation) —
+    so a hash match certifies the full encode->Arrow->decode->feature
+    path bit-exactly."""
+    from climatemind_ontology_processing_spark.operators.multimodal import (
+        FEATURES_SCHEMA, encode_png, encode_wav, extract_features)
+    rows = []
+    for k in range(8):
+        w, h = 16 + k, 8 + k
+        pix = bytes((x * 7 + y * 13 + k * 31) % 256
+                    for y in range(h) for x in range(w))
+        rows.append((f"img{k}", "image",
+                     bytearray(encode_png(pix, w, h, channels=1))))
+    for k in range(4):
+        n = 256 + 32 * k
+        samples = [((i * (k + 3)) % 201 - 100) / 100.0 for i in range(n)]
+        rows.append((f"aud{k}", "audio", bytearray(encode_wav(samples))))
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary").repartition(4)
+    feats = extract_features(media, fake=False)
+    exploded = feats.select(
+        "media_id", "kind",
+        F.posexplode("feature").alias("bin", "_f"))
+    return (exploded.select(
+        "media_id", "kind", "bin",
+        F.floor(F.col("_f") * 1e6 + 0.5).cast("long").alias("v_micro"))
+        .orderBy("media_id", "bin"))
+
+
+_MEDIA_FEATURES_LITERALS = """
+('img0', 'image', 0, 70313), ('img0', 'image', 1, 164063),
+('img0', 'image', 2, 242188), ('img0', 'image', 3, 257813),
+('img0', 'image', 4, 171875), ('img0', 'image', 5, 85938),
+('img0', 'image', 6, 7813), ('img0', 'image', 7, 0),
+('img1', 'image', 0, 6536), ('img1', 'image', 1, 52288),
+('img1', 'image', 2, 137255), ('img1', 'image', 3, 209150),
+('img1', 'image', 4, 254902), ('img1', 'image', 5, 183007),
+('img1', 'image', 6, 117647), ('img1', 'image', 7, 39216),
+('img2', 'image', 0, 77778), ('img2', 'image', 1, 16667),
+('img2', 'image', 2, 50000), ('img2', 'image', 3, 116667),
+('img2', 'image', 4, 177778), ('img2', 'image', 5, 233333),
+('img2', 'image', 6, 200000), ('img2', 'image', 7, 127778),
+('img3', 'image', 0, 148325), ('img3', 'image', 1, 90909),
+('img3', 'image', 2, 47847), ('img3', 'image', 3, 47847),
+('img3', 'image', 4, 100478), ('img3', 'image', 5, 157895),
+('img3', 'image', 6, 205742), ('img3', 'image', 7, 200957),
+('img4', 'image', 0, 195833), ('img4', 'image', 1, 158333),
+('img4', 'image', 2, 108333), ('img4', 'image', 3, 66667),
+('img4', 'image', 4, 62500), ('img4', 'image', 5, 87500),
+('img4', 'image', 6, 137500), ('img4', 'image', 7, 183333),
+('img5', 'image', 0, 164835), ('img5', 'image', 1, 186813),
+('img5', 'image', 2, 161172), ('img5', 'image', 3, 120879),
+('img5', 'image', 4, 80586), ('img5', 'image', 5, 80586),
+('img5', 'image', 6, 84249), ('img5', 'image', 7, 120879),
+('img6', 'image', 0, 107143), ('img6', 'image', 1, 149351),
+('img6', 'image', 2, 172078), ('img6', 'image', 3, 162338),
+('img6', 'image', 4, 129870), ('img6', 'image', 5, 94156),
+('img6', 'image', 6, 90909), ('img6', 'image', 7, 94156),
+('img7', 'image', 0, 107246), ('img7', 'image', 1, 101449),
+('img7', 'image', 2, 133333), ('img7', 'image', 3, 159420),
+('img7', 'image', 4, 162319), ('img7', 'image', 5, 130435),
+('img7', 'image', 6, 107246), ('img7', 'image', 7, 98551),
+('aud0', 'audio', 0, 602412), ('aud0', 'audio', 1, 507267),
+('aud0', 'audio', 2, 668255), ('aud0', 'audio', 3, 434657),
+('aud0', 'audio', 4, 715899), ('aud0', 'audio', 5, 369773),
+('aud0', 'audio', 6, 748827), ('aud0', 'audio', 7, 317388),
+('aud1', 'audio', 0, 512482), ('aud1', 'audio', 1, 672416),
+('aud1', 'audio', 2, 619825), ('aud1', 'audio', 3, 415506),
+('aud1', 'audio', 4, 619825), ('aud1', 'audio', 5, 672416),
+('aud1', 'audio', 6, 512482), ('aud1', 'audio', 7, 495518),
+('aud2', 'audio', 0, 577680), ('aud2', 'audio', 1, 577764),
+('aud2', 'audio', 2, 577586), ('aud2', 'audio', 3, 577582),
+('aud2', 'audio', 4, 577750), ('aud2', 'audio', 5, 578093),
+('aud2', 'audio', 6, 578173), ('aud2', 'audio', 7, 577990),
+('aud3', 'audio', 0, 621202), ('aud3', 'audio', 1, 515841),
+('aud3', 'audio', 2, 578605), ('aud3', 'audio', 3, 644007),
+('aud3', 'audio', 4, 523827), ('aud3', 'audio', 5, 554084),
+('aud3', 'audio', 6, 654633), ('aud3', 'audio', 7, 538117)
+"""
+
+
 def _bpe_merges_sql(rounds: int = 6) -> str:
     """Unrolled-round BPE-training oracle (same pattern as ``_lpa_sql``).
 
@@ -2285,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_layers": _q_dag_layers,
         # -- newly oracled / new this round (round-5)
         "bpe_merges": _q_bpe_merges,
+        "media_features": _q_media_features,
         # -- window pad: round-4 entries re-checked (harmless double cover)
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
@@ -2894,6 +2984,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, lhs, rhs LIMIT 200
         """,
         "bpe_merges": _bpe_merges_sql(6),
+        "media_features": f"""
+            SELECT media_id, kind, bin, v_micro
+            FROM (VALUES {_MEDIA_FEATURES_LITERALS})
+                 AS t(media_id, kind, bin, v_micro)
+            ORDER BY media_id, bin
+        """,
         "lang_stats": """
             SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
