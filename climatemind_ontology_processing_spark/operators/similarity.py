@@ -250,6 +250,74 @@ def _cell_scores(vec_col, centroids: list[list[float]]):
     ])
 
 
+# above this n_cells*dim the per-cell literal dot products stop being free
+# (interpreted lambda per element: 64 cells x 256 dims = 16k terms measured
+# ~35 s PER CORPUS PASS at 100k rows) — assignment flips to one Arrow numpy
+# matmul per batch, the same dual-path policy as lsh_signature
+CELL_LITERAL_MAX_TERMS = 4096
+
+
+def _cell_ranks_pandas(vec_col, centroids: list[list[float]], n_top: int):
+    """Arrow path: the ``n_top`` best cells per vector as ``array<int>``
+    (descending rounded dot, ties toward the HIGHER cell id) — exactly the
+    ordering ``reverse(array_sort(_cell_scores(...)))`` yields.  The
+    residual last-ulp risk vs the literal path is numpy's blocked summation
+    order shifting a dot ACROSS the micro-rounding boundary — same accepted
+    trade as ``_pq_codes_pandas``, pinned by the path-equivalence test.
+    Null / wrong-dim vectors rank to null."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(centroids, dtype=np.float64)          # cells x dim
+    n_cells, dim = cents.shape
+
+    @pandas_udf("array<int>")
+    def _ranks(v: pd.Series) -> pd.Series:
+        rows = v.tolist()
+        out: list = [None] * len(rows)
+        good = [i for i, r in enumerate(rows)
+                if r is not None and len(r) == dim]
+        if good:
+            mat = np.array([rows[i] for i in good], dtype=np.float64)
+            raw = (mat @ cents.T) * 1e6
+            sims = np.where(raw >= 0, np.floor(raw + 0.5),
+                            np.ceil(raw - 0.5))       # micro half-away-zero
+            # composite integer key: micro-sim * n_cells + cell stays exact
+            # in float64 (|sim_micro| << 2^40), so one argsort realizes
+            # (sim desc, cell desc)
+            key = sims * n_cells + np.arange(n_cells, dtype=np.float64)
+            order = np.argsort(-key, axis=1)[:, :n_top].astype(np.int32)
+            for row_i, i in enumerate(good):
+                out[i] = order[row_i].tolist()
+        return pd.Series(out)
+
+    return _ranks(vec_col)
+
+
+def cell_ranks(vec_col, centroids: list[list[float]], n_top: int,
+               force: str | None = None):
+    """Top-``n_top`` cells for a vector column as ``array<int>`` — dual
+    path: literal JVM dot products under ``CELL_LITERAL_MAX_TERMS``, Arrow
+    matmul above (``force`` = 'literal'|'pandas' overrides)."""
+    if force not in (None, "literal", "pandas"):
+        raise ValueError(f"force must be None|'literal'|'pandas', got {force!r}")
+    terms = len(centroids) * len(centroids[0])
+    if force == "literal" or (force is None and terms <= CELL_LITERAL_MAX_TERMS):
+        return F.slice(
+            F.reverse(F.array_sort(_cell_scores(vec_col, centroids))),
+            1, n_top).getField("cell")
+    return _cell_ranks_pandas(vec_col, centroids, n_top)
+
+
+def best_cell(vec_col, centroids: list[list[float]],
+              force: str | None = None):
+    """Nearest-cell id column (argmax rounded dot, ties toward the higher
+    cell id) — the assignment column of every IVF-family operator."""
+    terms = len(centroids) * len(centroids[0])
+    if force == "literal" or (force is None and terms <= CELL_LITERAL_MAX_TERMS):
+        return F.array_max(_cell_scores(vec_col, centroids)).getField("cell")
+    return F.element_at(cell_ranks(vec_col, centroids, 1, force), 1)
+
+
 def ivf_assign(vectors: DataFrame, dim: int, n_cells: int = 16, seed: int = 42,
                id_col: str = "vec_id", vec_col: str = "embedding",
                centroids: list[list[float]] | None = None) -> DataFrame:
@@ -257,9 +325,8 @@ def ivf_assign(vectors: DataFrame, dim: int, n_cells: int = 16, seed: int = 42,
     ``centroids`` defaults to the seeded pseudo-init; pass ``kmeans_fit``
     output for trained cells.  Returns (vec_id, cell)."""
     cents = centroids or pseudo_centroids(dim, n_cells, seed)
-    best = F.array_max(_cell_scores(F.col(vec_col), cents))
     return vectors.select(F.col(id_col).alias("vec_id"),
-                          best.getField("cell").alias("cell"))
+                          best_cell(F.col(vec_col), cents).alias("cell"))
 
 
 def kmeans_fit(vectors: DataFrame, dim: int, n_cells: int = 16,
@@ -279,8 +346,7 @@ def kmeans_fit(vectors: DataFrame, dim: int, n_cells: int = 16,
     cents = pseudo_centroids(dim, n_cells, seed)
     v = vectors.select(F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
     for _ in range(iters):
-        best = F.array_max(_cell_scores(F.col("v"), cents))
-        assigned = v.select(best.getField("cell").alias("cell"), "v")
+        assigned = v.select(best_cell(F.col("v"), cents).alias("cell"), "v")
         sums = (assigned
                 .select("cell", F.posexplode("v").alias("pos", "val"))
                 .groupBy("cell", "pos")
@@ -566,6 +632,22 @@ def pq_fit(vectors: DataFrame, dim: int, m: int = 8, n_codes: int = 16,
     # raw column (no cast projection) so the Arrow encode path never sits
     # over a higher-order lambda; float values promote exactly at the sums
     v = vectors.select(F.col(vec_col).alias("v")).filter(F.size("v") == dim)
+    # DATA-SAMPLED init (standard PQ practice, round-5 fix): the unscaled
+    # Gaussian init collapses at realistic dims — unit-norm data subvectors
+    # have norm ~sqrt(dsub/dim) while N(0,1) codewords have norm ~sqrt(dsub),
+    # so ||c||^2 dominates the assignment and one smallest-norm codeword
+    # absorbs the corpus (measured 4/256 codes used at dim 256, shortlist
+    # recall 0.04).  A seeded-hash-ordered sample of n_codes corpus vectors,
+    # sliced per subspace, starts every codeword inside the data's range
+    # (recall 0.97 at the same shape); codes beyond the corpus size keep the
+    # pseudo init.  TakeOrdered top-k, not a full sort; deterministic by
+    # VALUE even among duplicate vectors.
+    samp = (v.orderBy(F.xxhash64(F.lit(int(seed)), F.col("v")))
+            .limit(n_codes).collect())
+    for j, r in enumerate(samp):
+        vec = [float(x) for x in r["v"]]
+        for s in range(m):
+            cbs[s][j] = vec[s * dsub:(s + 1) * dsub]
     for _ in range(iters):
         enc = v.select("v", pq_codes(F.col("v"), cbs).alias("codes"))
         pairs = enc.select(
@@ -678,17 +760,14 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     """
     cents = centroids or pseudo_centroids(dim, n_cells, seed)
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
-    assigned = v.withColumn(
-        "cell", F.array_max(_cell_scores(F.col(vec_col), cents)).getField("cell"))
+    assigned = v.withColumn("cell", best_cell(F.col(vec_col), cents))
 
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(vec_col).alias("qvec"))
-    # top n_probe cells per query: sort the scored array desc, slice, explode
+    # top n_probe cells per query: rank, slice, explode (dual-path)
     probe = q.select(
         "qid", "qvec",
-        F.explode(F.slice(
-            F.reverse(F.array_sort(_cell_scores(F.col("qvec"), cents))),
-            1, n_probe).getField("cell")).alias("cell"))
+        F.explode(cell_ranks(F.col("qvec"), cents, n_probe)).alias("cell"))
 
     cand = (assigned.join(F.broadcast(probe), "cell")
             .filter(F.col("vec_id") != F.col("qid")))
@@ -741,8 +820,7 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
     cbs = codebooks or pq_pseudo_codebooks(dim, m, n_codes, seed)
     cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
                          for c in cents])
-    cell_of = F.array_max(_cell_scores(F.col(vec_col), cents)) \
-        .getField("cell")
+    cell_of = best_cell(F.col(vec_col), cents)
 
     if residual:
         res = F.zip_with(
@@ -765,9 +843,7 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, dim: int,
 
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(vec_col).alias("qv"))
-    probed = F.explode(F.slice(
-        F.reverse(F.array_sort(_cell_scores(F.col("qv"), cents))),
-        1, n_probe).getField("cell")).alias("cell")
+    probed = F.explode(cell_ranks(F.col("qv"), cents, n_probe)).alias("cell")
     if residual:
         # LUTs are cell-dependent (q - centroid[cell]): one table per
         # (qid, probed cell) is inherent to residual ADC
@@ -816,11 +892,9 @@ def ivfpq_residuals(vectors: DataFrame, dim: int,
     ``ivfpq_topk(..., residual=True)`` with the same centroids."""
     cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
                          for c in centroids])
-    cell = F.array_max(_cell_scores(F.col(vec_col), centroids)) \
-        .getField("cell")
     out = (vectors.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col))
-           .withColumn("cell", cell))
+           .withColumn("cell", best_cell(F.col(vec_col), centroids)))
     res = F.zip_with(
         F.transform(F.col(vec_col), lambda x: x.cast("double")),
         F.element_at(cent_arr, F.col("cell") + 1),

@@ -142,6 +142,70 @@ def test_lsh_signature_real_dims_no_literal_blowup(spark):
     assert len({r.s for r in sigs}) > 100, "signatures must discriminate"
 
 
+def test_cell_assignment_paths_identical(spark):
+    """best_cell / cell_ranks dual path (round-5): the Arrow matmul path
+    must agree with the literal JVM path on assignment AND probe ranking,
+    including ties (higher cell id wins) and null/ragged vectors."""
+    import random
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        best_cell, cell_ranks, pseudo_centroids)
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(24)]) for i in range(300)]
+    rows += [(1000, None), (1001, [0.1, 0.2]), (1002, [])]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = pseudo_centroids(24, 12, seed=5)
+    for expr in (lambda f: best_cell(F.col("v"), cents, force=f),
+                 lambda f: cell_ranks(F.col("v"), cents, 3, force=f)):
+        lit = {r.vec_id: r.c for r in
+               df.select("vec_id", expr("literal").alias("c")).collect()}
+        pnd = {r.vec_id: r.c for r in
+               df.select("vec_id", expr("pandas").alias("c")).collect()}
+        good = {k for k in lit if k < 1000}
+        assert {k: lit[k] for k in good} == {k: pnd[k] for k in good}
+        assert pnd[1000] is None and pnd[1001] is None and pnd[1002] is None
+
+
+def test_ivfpq_residual_recall_realistic_shape(spark):
+    """Round-4 verdict #5: the ANN recall certification at a shape that
+    actually stresses the LUT/encode/assignment paths — 102,400 vectors at
+    dim 256 (64 clusters x 1600, unit-norm), trained coarse cells + PQ
+    m=32 x 256 codes (the standard FAISS 8-bit-code geometry, subdim 8),
+    residual IVFADC, shortlist 100*k (~1% of the corpus, the
+    exact-rerank production operating point).  Ground truth is one numpy
+    float64 matmul.  Also the regression pin for the round-5 pq_fit
+    init-collapse fix (Gaussian init used 4/256 codes at this dim; recall
+    was 0.04) and for routing assignment/encode through the Arrow paths
+    (plan must carry ArrowEvalPython, not 16k literal terms)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from tools.ann_recall import (clustered_corpus_np, exact_topk_np,
+                                  recall_at_k)
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        ivfpq_residuals, ivfpq_topk, kmeans_fit, pq_fit)
+    k = 10
+    ids, mat, qids = clustered_corpus_np(64, 1600, 256)
+    exact = exact_topk_np(ids, mat, qids, k)
+    vectors = spark.createDataFrame(
+        list(zip(ids.tolist(), mat.tolist())),
+        "vec_id long, embedding array<float>").localCheckpoint()
+    queries = vectors.filter(
+        F.col("vec_id").isin([int(q) for q in qids])) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    cents = kmeans_fit(vectors, dim=256, n_cells=64, iters=3, seed=42)
+    res = ivfpq_residuals(vectors, dim=256, centroids=cents).localCheckpoint()
+    cbs = pq_fit(res, dim=256, m=32, n_codes=256, iters=3, seed=42)
+    short = ivfpq_topk(vectors, queries, dim=256, k=100 * k, n_cells=64,
+                       n_probe=2, m=32, n_codes=256, centroids=cents,
+                       codebooks=cbs, residual=True)
+    plan = short._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    got: dict = {}
+    for r in short.collect():
+        got.setdefault(r.qid, set()).add(r.vec_id)
+    rec = recall_at_k(exact, got, k)
+    assert rec >= 0.95, f"residual shortlist recall {rec:.3f} (measured 0.966)"
+
+
 def test_kmeans_fit_improves_and_is_deterministic(spark, vectors):
     from climatemind_ontology_processing_spark.operators.similarity import (
         kmeans_fit, pseudo_centroids)

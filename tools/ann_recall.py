@@ -35,6 +35,44 @@ def clustered_corpus(n_clusters: int, per_cluster: int, dim: int,
     return rows, qids
 
 
+def clustered_corpus_np(n_clusters: int, per_cluster: int, dim: int,
+                        noise: float = 0.25, seed: int = 7):
+    """numpy variant for REALISTIC shapes (>=100k vectors, dim >=256) —
+    same cluster structure as ``clustered_corpus``, vectorized generation
+    (26M driver-side ``rng.gauss`` calls would dominate the run).  Returns
+    (ids, float32 matrix, query_ids).  float32 BEFORE normalization so the
+    matrix is bit-identical to what Spark's array<float> column holds."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    mat = (np.repeat(centers, per_cluster, axis=0)
+           + noise * rng.standard_normal((n_clusters * per_cluster, dim)))
+    mat = mat.astype(np.float32)
+    norms = np.sqrt((mat.astype(np.float64) ** 2).sum(axis=1, keepdims=True))
+    norms[norms == 0.0] = 1.0
+    mat = (mat / norms).astype(np.float32)
+    ids = np.arange(n_clusters * per_cluster, dtype=np.int64)
+    qids = ids[::per_cluster].copy()
+    return ids, mat, qids
+
+
+def exact_topk_np(ids, mat, qids, k: int) -> dict:
+    """Ground-truth cosine top-k via one float64 matmul — the exactness
+    baseline when the corpus is too big for the JVM-fold brute force.
+    Excludes self-matches, mirroring ``brute_force_topk``."""
+    import numpy as np
+    m64 = mat.astype(np.float64)
+    qidx = np.searchsorted(ids, qids)
+    sims = m64[qidx] @ m64.T                      # queries x corpus
+    out = {}
+    for row, qid in zip(sims, qids):
+        row = row.copy()
+        row[np.searchsorted(ids, qid)] = -np.inf  # no self-match
+        top = np.argpartition(-row, k)[:k]
+        out[int(qid)] = {int(ids[i]) for i in top}
+    return out
+
+
 def recall_at_k(exact: dict, approx: dict, k: int) -> float:
     """mean over queries of |approx top-k ∩ exact top-k| / k."""
     tot = 0.0
@@ -49,6 +87,11 @@ def main() -> None:
     per_cluster = int(sys.argv[2]) if len(sys.argv) > 2 else 150
     dim = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     k = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    # PQ geometry: the toy default (m=8 -> subdim dim/8, 16 codes) only
+    # works at toy dims; realistic dims need subdim ~8 and 256 codes
+    # (the standard 8-bit-code FAISS shape) — see BENCH.md §8.2
+    m = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    n_codes = int(sys.argv[6]) if len(sys.argv) > 6 else 16
 
     from pyspark.sql import functions as F
 
@@ -59,9 +102,14 @@ def main() -> None:
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    rows, qids = clustered_corpus(n_clusters, per_cluster, dim)
+    big = n_clusters * per_cluster > 20_000
+    if big:
+        ids, mat, qids = clustered_corpus_np(n_clusters, per_cluster, dim)
+        rows = list(zip(ids.tolist(), mat.tolist()))
+    else:
+        rows, qids = clustered_corpus(n_clusters, per_cluster, dim)
     vectors = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    queries = vectors.filter(F.col("vec_id").isin(qids)) \
+    queries = vectors.filter(F.col("vec_id").isin([int(q) for q in qids])) \
         .select(F.col("vec_id").alias("qid"), "embedding")
 
     def topsets(df, score_col):
@@ -71,7 +119,12 @@ def main() -> None:
         return out
 
     t0 = time.time()
-    exact = topsets(brute_force_topk(vectors, queries, k=k), "cos_sim")
+    if big:
+        # JVM-fold brute force is the documented O(N*Q) baseline — at the
+        # realistic shape ground truth comes from one numpy matmul instead
+        exact = exact_topk_np(ids, mat, qids, k)
+    else:
+        exact = topsets(brute_force_topk(vectors, queries, k=k), "cos_sim")
     t_exact = time.time() - t0
 
     cents = kmeans_fit(vectors, dim=dim, n_cells=n_clusters, iters=3, seed=42)
@@ -81,15 +134,15 @@ def main() -> None:
                   "cos_sim")
     t_ivf = time.time() - t0
 
-    cbs = pq_fit(vectors, dim=dim, m=8, n_codes=16, iters=3, seed=42)
+    cbs = pq_fit(vectors, dim=dim, m=m, n_codes=n_codes, iters=3, seed=42)
     t0 = time.time()
     pq = topsets(pq_topk(vectors, queries, dim=dim, codebooks=cbs, k=k,
-                         m=8, n_codes=16), "adc_dist")
+                         m=m, n_codes=n_codes), "adc_dist")
     t_pq = time.time() - t0
     # the production PQ shape: ADC shortlist (5k) -> exact rerank; grade the
     # shortlist on whether it CONTAINS the exact top-k
     pq_short = topsets(pq_topk(vectors, queries, dim=dim, codebooks=cbs,
-                               k=5 * k, m=8, n_codes=16), "adc_dist")
+                               k=5 * k, m=m, n_codes=n_codes), "adc_dist")
 
     t0 = time.time()
     lsh = topsets(lsh_topk(vectors, queries, dim=dim, k=k, bits=16, bands=8),
@@ -99,13 +152,28 @@ def main() -> None:
     # the composed scale path: trained cells + trained codes, shortlist
     t0 = time.time()
     ivfpq_s = topsets(ivfpq_topk(vectors, queries, dim=dim, k=5 * k,
-                                 n_cells=n_clusters, n_probe=2, m=8,
-                                 n_codes=16, centroids=cents,
+                                 n_cells=n_clusters, n_probe=2, m=m,
+                                 n_codes=n_codes, centroids=cents,
                                  codebooks=cbs), "adc_dist")
     t_ivfpq = time.time() - t0
 
+    # residual IVFADC at the production operating point: shortlist 100*k
+    # (~1% of a 100k corpus) ADC-ranked, then exact-reranked by the caller
+    from climatemind_ontology_processing_spark.operators.similarity import (
+        ivfpq_residuals)
+    t0 = time.time()
+    res = ivfpq_residuals(vectors, dim=dim, centroids=cents).localCheckpoint()
+    rcbs = pq_fit(res, dim=dim, m=m, n_codes=n_codes, iters=3, seed=42)
+    t_rfit = time.time() - t0
+    t0 = time.time()
+    ivfpq_r = topsets(ivfpq_topk(vectors, queries, dim=dim, k=100 * k,
+                                 n_cells=n_clusters, n_probe=2, m=m,
+                                 n_codes=n_codes, centroids=cents,
+                                 codebooks=rcbs, residual=True), "adc_dist")
+    t_ivfpq_r = time.time() - t0
+
     print(f"corpus: {len(rows)} vectors, dim {dim}, {n_clusters} clusters, "
-          f"{len(qids)} queries, k={k}")
+          f"{len(qids)} queries, k={k}, pq m={m} n_codes={n_codes}")
     print(f"exact     : recall 1.000  ({t_exact:.2f}s)")
     print(f"ivf(p=2)  : recall {recall_at_k(exact, ivf, k):.3f}  ({t_ivf:.2f}s)")
     print(f"pq(m=8)   : recall {recall_at_k(exact, pq, k):.3f}  ({t_pq:.2f}s)")
@@ -113,6 +181,9 @@ def main() -> None:
     print(f"lsh(16/8) : recall {recall_at_k(exact, lsh, k):.3f}  ({t_lsh:.2f}s)")
     print(f"ivfpq@{5*k} shortlist (p=2): recall "
           f"{recall_at_k(exact, ivfpq_s, k):.3f}  ({t_ivfpq:.2f}s)")
+    print(f"ivfpq-residual@{100*k} shortlist (p=2): recall "
+          f"{recall_at_k(exact, ivfpq_r, k):.3f}  "
+          f"(fit {t_rfit:.2f}s, query {t_ivfpq_r:.2f}s)")
     spark.stop()
 
 
