@@ -207,6 +207,81 @@ def figure_data(nodes: DataFrame, edges: DataFrame,
                 num_samples: int = 20) -> tuple[DataFrame, DataFrame]:
     """``get_figure``'s data inputs for one display filter: (figure_nodes,
     figure_edges).  The Plotly/Dash rendering on top is out of engine
-    scope (SURVEY §3 EP3)."""
+    scope (SURVEY §3 EP3) — ``to_plotly_figure`` assembles it driver-side
+    when a caller wants the actual figure object."""
     return (figure_nodes(nodes, edges, edge_type),
             figure_edges(nodes, edges, edge_type, num_samples))
+
+
+def to_plotly_figure(fig_nodes: DataFrame, fig_edges: DataFrame,
+                     height: int = 700):
+    """Driver-side assembly of the reference's Plotly figure
+    (``visualize.py`` ``get_figure`` ``:53-232``, wired into Dash at
+    ``:421-432``) over collected ``figure_data`` outputs — figure data is
+    presentation-sized by contract (the layout guard bounds it), so a
+    collect here is a sink, not a scale path.
+
+    Structure parity with the reference: one ``circle`` shape per node
+    (graphviz inches -> points via the 72 factor, orange line+fill when
+    ``non_default_edge_type``), one text scatter per node (hovertemplate,
+    8.5pt sans-serif), per edge an optional adornment line trace (arrow ->
+    blue, tee -> red) followed by the spline path trace whose marker color
+    matches, and the reference's layout flags (no legend, transparent
+    background, no grids, height 700).  Two documented deviations: axis
+    ranges come from the DATA bounds (the reference hard-codes its
+    graphviz header's canvas, ``:525-526``); class/property highlight
+    recoloring is Dash-callback state, out of scope with the server.
+
+    Returns ``plotly.graph_objects.Figure`` when plotly is importable,
+    else the figure's documented plain-dict form (``{"data": [...],
+    "layout": {...}}``, accepted verbatim by ``go.Figure``) — same
+    import-guard policy as the optional sink deps."""
+    shapes: list[dict] = []
+    traces: list[dict] = []
+    xs: list[float] = []
+    ys: list[float] = []
+    for r in fig_nodes.collect():
+        line_color = "orange" if r.non_default_edge_type else "black"
+        fillcolor = "orange" if r.non_default_edge_type else None
+        x0, x1 = r.x - 0.5 * r.width * 72, r.x + 0.5 * r.width * 72
+        y0, y1 = r.y - 0.5 * r.height * 72, r.y + 0.5 * r.height * 72
+        shapes.append({"type": "circle", "fillcolor": fillcolor,
+                       "layer": "below", "line": {"color": line_color},
+                       "x0": x0, "y0": y0, "x1": x1, "y1": y1})
+        traces.append({"type": "scatter", "x": [r.x], "y": [r.y],
+                       "hovertemplate": r.node_hovertext, "text": r.name,
+                       "mode": "text",
+                       "textfont": {"color": "black", "size": 8.5,
+                                    "family": "sans-serif"}})
+        xs += [x0, x1]
+        ys += [y0, y1]
+    for r in fig_edges.collect():
+        edge_color = {"arrow": "blue", "tee": "red"}.get(r.adornment, "black")
+        if r.adornment is not None:
+            traces.append({"type": "scatter",
+                           "x": list(r.adorn_x), "y": list(r.adorn_y),
+                           "line_shape": "linear", "mode": "lines",
+                           "line": {"color": edge_color}})
+        traces.append({"type": "scatter",
+                       "x": list(r.path_x), "y": list(r.path_y),
+                       "marker": {"color": edge_color},
+                       "line_shape": "spline",
+                       "hovertemplate": r.edge_hovertext})
+        xs += [min(r.path_x), max(r.path_x)]
+        ys += [min(r.path_y), max(r.path_y)]
+    pad = 0.05
+    xr = (min(xs), max(xs)) if xs else (0.0, 1.0)
+    yr = (min(ys), max(ys)) if ys else (0.0, 1.0)
+    xm, ym = pad * (xr[1] - xr[0] or 1.0), pad * (yr[1] - yr[0] or 1.0)
+    fig = {"data": traces,
+           "layout": {"shapes": shapes, "showlegend": False,
+                      "plot_bgcolor": "rgba(0,0,0,0)", "height": height,
+                      "xaxis": {"showgrid": False,
+                                "range": [xr[0] - xm, xr[1] + xm]},
+                      "yaxis": {"showgrid": False,
+                                "range": [yr[0] - ym, yr[1] + ym]}}}
+    try:
+        import plotly.graph_objects as go
+    except ImportError:
+        return fig
+    return go.Figure(fig)

@@ -248,3 +248,55 @@ def test_figure_data_golden_subgraph(bundle):
              for r in figure_data(nodes, edges, num_samples=10)[1].collect()}
     assert again == {(r.node1, r.node2, tuple(r.ctrl_x), tuple(r.ctrl_y))
                      for r in erows}
+
+
+def test_to_plotly_figure_golden_subgraph(bundle):
+    """Round-4 verdict #7 (zero-gap EP3): driver-side figure assembly over
+    the golden annotated graph reproduces the reference's trace/shape
+    structure (visualize.py get_figure :53-232) — one circle shape + one
+    text trace per node with the 72x inch->point oval bbox, one spline
+    trace per edge preceded by a blue arrow / red tee adornment trace for
+    the causal types, reference layout flags.  plotly itself is absent
+    from this environment, so the asserted object is the figure's plain
+    dict form (go.Figure-compatible by construction)."""
+    from climatemind_ontology_processing_spark.operators.figure_data import (
+        figure_data, to_plotly_figure)
+
+    nodes, edges = bundle.annotated_nodes, bundle.annotated_edges
+    fn, fe = figure_data(nodes, edges, edge_type=None, num_samples=10)
+    frows, erows = fn.collect(), fe.collect()
+    fig = to_plotly_figure(fn, fe)
+    assert isinstance(fig, dict)          # plotly absent in this container
+    layout, data = fig["layout"], fig["data"]
+
+    assert len(layout["shapes"]) == len(frows)
+    text_traces = [t for t in data if t.get("mode") == "text"]
+    spline_traces = [t for t in data if t.get("line_shape") == "spline"]
+    adorn_traces = [t for t in data if t.get("mode") == "lines"]
+    assert len(text_traces) == len(frows)
+    assert len(spline_traces) == len(erows)
+    assert len(adorn_traces) == sum(1 for r in erows
+                                    if r.adornment is not None)
+
+    # node oval bbox + text trace coordinates match the figure data rows
+    by_name = {r.name: r for r in frows}
+    for shape, trace in zip(layout["shapes"], text_traces):
+        r = by_name[trace["text"]]
+        assert trace["x"] == [r.x] and trace["y"] == [r.y]
+        assert shape["x0"] == pytest.approx(r.x - 0.5 * r.width * 72)
+        assert shape["x1"] == pytest.approx(r.x + 0.5 * r.width * 72)
+        assert shape["y1"] - shape["y0"] == pytest.approx(r.height * 72)
+        assert shape["layer"] == "below" and shape["type"] == "circle"
+    # adornment color drives the path marker color (blue/red/black)
+    spline_by_hover = {}
+    for r, t in zip(erows, spline_traces):
+        assert t["x"] == list(r.path_x) and t["y"] == list(r.path_y)
+        want = {"arrow": "blue", "tee": "red"}.get(r.adornment, "black")
+        assert t["marker"]["color"] == want
+    assert layout["showlegend"] is False and layout["height"] == 700
+    assert layout["plot_bgcolor"] == "rgba(0,0,0,0)"
+    assert layout["xaxis"]["showgrid"] is False
+    # data bounds live inside the computed axis ranges
+    all_x = [x for t in data for x in t["x"]]
+    assert layout["xaxis"]["range"][0] <= min(all_x)
+    assert layout["xaxis"]["range"][1] >= max(all_x)
