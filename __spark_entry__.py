@@ -1695,6 +1695,146 @@ def _bpe_merges_sql(rounds: int = 6) -> str:
     return "".join(parts)
 
 
+def _q_hits_scores(spark, sf_dir):
+    """HITS hubs/authorities (operators/graphstats.hits): 3 L2-normalized
+    synchronous rounds over a sparse trade subgraph.  Scores are
+    decimal-routed strings (authority/hub values go below 1e-3, the
+    sci-notation hashing pitfall)."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        hits)
+    edges = _trade_edges(spark, sf_dir) \
+        .filter((F.col("src") * 31 + F.col("dst")) % 5 == 0)
+    dec = lambda c: F.round(c, 6).cast("decimal(20,6)").cast("string")
+    return (hits(edges, rounds=3)
+            .select(F.col("id").cast("int").alias("id"),
+                    dec(F.col("authority")).alias("auth_s"),
+                    dec(F.col("hub")).alias("hub_s"))
+            .orderBy("id"))
+
+
+def _hits_sql(rounds: int = 3) -> str:
+    parts = [f"""
+        WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+        e AS MATERIALIZED (
+          SELECT src AS u, dst AS v FROM all_edges
+          WHERE (src * 31 + dst) % 5 = 0
+        ),
+        nodes AS MATERIALIZED (
+          SELECT DISTINCT u AS id FROM e UNION SELECT DISTINCT v FROM e
+        ),
+        h0 AS (SELECT id, 1.0::DOUBLE AS hub FROM nodes)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        ap{r} AS MATERIALIZED (
+          SELECT n.id, coalesce(s.x, 0.0) AS x FROM nodes n LEFT JOIN (
+            SELECT e.v AS id, sum(h.hub) AS x
+            FROM e JOIN h{r-1} h ON h.id = e.u GROUP BY e.v) s USING (id)
+        ),
+        an{r} AS (SELECT sqrt(sum(x * x)) AS nrm FROM ap{r}),
+        a{r} AS MATERIALIZED (
+          SELECT id, CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END AS auth
+          FROM ap{r}, an{r}
+        ),
+        hp{r} AS MATERIALIZED (
+          SELECT n.id, coalesce(s.x, 0.0) AS x FROM nodes n LEFT JOIN (
+            SELECT e.u AS id, sum(a.auth) AS x
+            FROM e JOIN a{r} a ON a.id = e.v GROUP BY e.u) s USING (id)
+        ),
+        hn{r} AS (SELECT sqrt(sum(x * x)) AS nrm FROM hp{r}),
+        h{r} AS MATERIALIZED (
+          SELECT id, CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END AS hub
+          FROM hp{r}, hn{r}
+        )""")
+    parts.append(f"""
+        SELECT a.id::INT AS id,
+               round(a.auth, 6)::DECIMAL(20,6)::VARCHAR AS auth_s,
+               round(h.hub, 6)::DECIMAL(20,6)::VARCHAR AS hub_s
+        FROM a{rounds} a JOIN h{rounds} h USING (id) ORDER BY id""")
+    return "".join(parts)
+
+
+def _q_neighborhood_mean(spark, sf_dir):
+    """GNN-style 2-round neighbor-mean aggregation
+    (operators/graphstats.neighborhood_mean) — ENGINE-EXACT by
+    construction: features are micro-BIGINTs and each round is the integer
+    ``sum DIV degree``, so the hash match is bit-for-bit with no float
+    rounding anywhere."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        neighborhood_mean)
+    edges = _trade_edges(spark, sf_dir) \
+        .filter((F.col("src") * 31 + F.col("dst")) % 3 == 0)
+    return (neighborhood_mean(edges, rounds=2)
+            .select(F.col("id").cast("int").alias("id"), "f_micro")
+            .orderBy("id"))
+
+
+def _q_random_walks(spark, sf_dir):
+    """Deterministic graph-embedding walks
+    (operators/graphstats.random_walks, md5_60 family so DuckDB replays
+    every hop choice): length-4 walks from every trade node, next hop =
+    argmin per-step md5 hash over out-neighbors."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        random_walks)
+    edges = _trade_edges(spark, sf_dir) \
+        .filter((F.col("src") * 31 + F.col("dst")) % 4 == 0)
+    return (random_walks(edges, length=4, hash_family="md5_60")
+            .select(F.col("start").cast("int").alias("start"),
+                    F.col("step").cast("int").alias("step"),
+                    F.col("node").cast("int").alias("node"))
+            .orderBy("start", "step"))
+
+
+def _random_walks_sql(length: int = 4) -> str:
+    def h(t):
+        return (f"('0x' || substring(md5('rw|{t}|' || w.node::VARCHAR || "
+                f"'|' || e.n::VARCHAR), 1, 15))::BIGINT")
+
+    parts = [f"""
+        WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+        e AS MATERIALIZED (
+          SELECT DISTINCT src AS c, dst AS n FROM all_edges
+          WHERE (src * 31 + dst) % 4 = 0
+        ),
+        w0 AS (SELECT DISTINCT c AS start, c AS node FROM e)"""]
+    for t in range(1, length + 1):
+        parts.append(f""",
+        w{t} AS MATERIALIZED (
+          SELECT start, node FROM (
+            SELECT w.start, e.n AS node, row_number() OVER (
+              PARTITION BY w.start ORDER BY {h(t)}, e.n) AS rn
+            FROM w{t-1} w JOIN e ON e.c = w.node) WHERE rn = 1
+        )""")
+    steps = "\n            UNION ALL ".join(
+        f"SELECT start, {t} AS step, node FROM w{t}"
+        for t in range(0, length + 1))
+    parts.append(f"""
+        SELECT start::INT AS start, step::INT AS step, node::INT AS node
+        FROM ({steps}) ORDER BY start, step""")
+    return "".join(parts)
+
+
+def _q_delta_components(spark, sf_dir):
+    """INCREMENTAL connected components
+    (operators/canonicalize.merge_components): label a base edge set, then
+    fold a delta batch in WITHOUT re-walking the base — the oracle
+    recomputes components over base ∪ delta directly, so the hash match
+    IS the incremental-equals-full equivalence proof."""
+    from climatemind_ontology_processing_spark.operators.canonicalize import (
+        connected_components, merge_components)
+    trade = _trade_edges(spark, sf_dir).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        ((F.col("src").cast("int") * 31 + F.col("dst").cast("int")) % 11)
+        .alias("_m"))
+    base = trade.filter(F.col("_m") == 0).drop("_m")
+    delta = trade.filter(F.col("_m") == 3).drop("_m")
+    labels = connected_components(base)
+    return (merge_components(labels, delta)
+            .select(F.col("id").cast("int").alias("id"),
+                    F.col("component").cast("int").alias("component"))
+            .orderBy("id"))
+
+
 def _q_triangle_counts(spark, sf_dir):
     """Per-node triangle counts over the undirected sparse trade subgraph
     (operators/graphstats.py) — the clustering-coefficient building block."""
@@ -2375,6 +2515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- newly oracled / new this round (round-5)
         "bpe_merges": _q_bpe_merges,
         "media_features": _q_media_features,
+        "hits_scores": _q_hits_scores,
+        "neighborhood_mean": _q_neighborhood_mean,
+        "random_walks": _q_random_walks,
+        "delta_components": _q_delta_components,
         # -- window pad: round-4 entries re-checked (harmless double cover)
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
@@ -2984,6 +3128,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, lhs, rhs LIMIT 200
         """,
         "bpe_merges": _bpe_merges_sql(6),
+        "hits_scores": _hits_sql(3),
+        "random_walks": _random_walks_sql(4),
+        "neighborhood_mean": f"""
+            WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+            base AS (SELECT src, dst FROM all_edges
+                     WHERE (src * 31 + dst) % 3 = 0),
+            e AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM (
+                SELECT src AS a, dst AS b FROM base
+                UNION SELECT dst, src FROM base) WHERE a <> b
+            ),
+            f0 AS (SELECT DISTINCT a AS id,
+                          (a % 97)::BIGINT * 1000000 AS f FROM e),
+            f1 AS MATERIALIZED (
+              SELECT e.a AS id, (sum(f.f) // count(*))::BIGINT AS f
+              FROM e JOIN f0 f ON f.id = e.b GROUP BY e.a
+            ),
+            f2 AS (
+              SELECT e.a AS id, (sum(f.f) // count(*))::BIGINT AS f
+              FROM e JOIN f1 f ON f.id = e.b GROUP BY e.a
+            )
+            SELECT id::INT AS id, f AS f_micro FROM f2 ORDER BY id
+        """,
+        "delta_components": f"""
+            WITH RECURSIVE all_edges AS ({_TRADE_SQL}),
+            both_sets AS (
+              SELECT src, dst FROM all_edges
+              WHERE (src * 31 + dst) % 11 IN (0, 3)
+            ),
+            sym AS (
+              SELECT src::VARCHAR AS a, dst::VARCHAR AS b FROM both_sets
+              UNION SELECT dst::VARCHAR, src::VARCHAR FROM both_sets
+            ),
+            reach(id, r) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT re.id, s.b FROM reach re JOIN sym s ON s.a = re.r
+            )
+            SELECT id::INT AS id, min(r)::INT AS component
+            FROM reach GROUP BY id ORDER BY id
+        """,
         "media_features": f"""
             SELECT media_id, kind, bin, v_micro
             FROM (VALUES {_MEDIA_FEATURES_LITERALS})

@@ -136,3 +136,50 @@ def canonicalize_triples(triples: DataFrame, alias_edges: DataFrame) -> DataFram
     return (t.withColumn("subj", F.coalesce("_cs", "subj"))
             .withColumn("obj", F.coalesce("_co", "obj"))
             .drop("_cs", "_co"))
+
+
+def merge_components(labels: DataFrame, new_edges: DataFrame,
+                     src: str = "src", dst: str = "dst",
+                     max_rounds: int = 50) -> DataFrame:
+    """INCREMENTAL connected components: fold a batch of NEW edges into an
+    existing (id, component) labeling without re-walking history — the
+    KG-maintenance shape for a continuously-growing alias graph (the
+    north-rule incremental-ingestion requirement applied to G11).
+
+    Key idea: history is already collapsed, so only the LABEL GRAPH needs
+    solving — project each new edge to (component[u], component[v]) (a new
+    node's label is itself), run ``connected_components`` over those
+    projected edges (a graph whose size is bounded by the BATCH, not the
+    corpus), then apply the label->label mapping back with one broadcast
+    join.  Equivalence ``merge_components(cc(E1), E2) == cc(E1 ∪ E2)``
+    holds because component representatives are MIN labels: collapsing a
+    subset of edges first never changes the min of a merged class.
+
+    Shuffle shape: one join of the batch against the label table, the CC
+    rounds on the (tiny) label graph, one broadcast-map join back —
+    history rows shuffle ZERO times beyond the final map join.
+    Returns the updated (id, component) including the batch's new nodes.
+    """
+    e = (new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a").isNotNull() & F.col("b").isNotNull()))
+    lab = labels.select("id", "component")
+    # project edge endpoints to current labels (absent -> own id)
+    proj = (e.join(lab.withColumnRenamed("id", "a")
+                      .withColumnRenamed("component", "_ca"), "a", "left")
+            .join(lab.withColumnRenamed("id", "b")
+                     .withColumnRenamed("component", "_cb"), "b", "left")
+            .select(F.coalesce("_ca", "a").alias("src"),
+                    F.coalesce("_cb", "b").alias("dst")))
+    lmap = connected_components(proj, max_rounds=max_rounds) \
+        .withColumnRenamed("component", "_new") \
+        .withColumnRenamed("id", "component")
+    # new nodes from the batch enter the universe with their own label
+    batch_nodes = (e.select(F.col("a").alias("id"))
+                   .unionByName(e.select(F.col("b").alias("id")))
+                   .distinct()
+                   .join(lab, "id", "left_anti")
+                   .select("id", F.col("id").alias("component")))
+    merged = lab.unionByName(batch_nodes)
+    return (merged.join(F.broadcast(lmap), "component", "left")
+            .select("id",
+                    F.coalesce("_new", "component").alias("component")))

@@ -269,3 +269,152 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
                                                 F.col("lab").alias("l")))
                         .alias("lab"))).localCheckpoint(eager=True)
     return labels.select("id", F.col("lab").alias("community"))
+
+
+def hits(edges: DataFrame, rounds: int = 3, src: str = "src",
+         dst: str = "dst", checkpoint_every: int = 2) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) for EXACTLY ``rounds``
+    synchronous iterations — the link-analysis complement to ``pagerank``
+    for entity-link scoring (a concept cited by many good hubs is a good
+    authority even at low global rank).
+
+    Per round: ``auth'(v) = sum_{u->v} hub(u)`` then ``hub'(u) =
+    sum_{u->v} auth'(v)``, each L2-normalized via an IN-PLAN 1-row
+    aggregate (broadcast crossJoin — no per-round driver action, same
+    policy as ``pagerank``).  Fixed rounds so an unrolled-CTE oracle can
+    replay it; float-summation order inside groupBy is partition-dependent
+    (~1e-15/round), so hash-comparing callers round to 6 decimals.
+
+    Shuffle shape per round: two keys-only groupBy aggregations over the
+    edge list (map-side combinable) — O(E) rows, no vector state.
+    Returns (id, authority, hub).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+         .distinct().localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("id"))
+             .unionByName(e.select(F.col("v").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+    state = nodes.select("id", F.lit(1.0).alias("auth"),
+                         F.lit(1.0).alias("hub"))
+
+    def _l2_normalized(df, col):
+        nrm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
+        return (df.crossJoin(F.broadcast(nrm))
+                .select("id", *(c for c in df.columns
+                                if c not in (col, "id")),
+                        F.when(F.col("_n") > 0.0,
+                               F.col(col) / F.col("_n"))
+                         .otherwise(F.lit(0.0)).alias(col)))
+
+    for i in range(rounds):
+        ain = (e.join(state.select(F.col("id").alias("u"), "hub"), "u")
+               .groupBy(F.col("v").alias("id"))
+               .agg(F.sum("hub").alias("auth")))
+        auth = _l2_normalized(
+            nodes.join(ain, "id", "left")
+            .select("id", F.coalesce("auth", F.lit(0.0)).alias("auth")),
+            "auth")
+        hin = (e.join(auth.select(F.col("id").alias("v"), "auth"), "v")
+               .groupBy(F.col("u").alias("id"))
+               .agg(F.sum("auth").alias("hub")))
+        state = _l2_normalized(
+            auth.join(hin, "id", "left")
+            .select("id", "auth", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub")
+        if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
+            state = state.localCheckpoint(eager=True)
+    return state.select("id", F.col("auth").alias("authority"), "hub")
+
+
+def neighborhood_mean(edges: DataFrame, rounds: int = 2,
+                      src: str = "src", dst: str = "dst",
+                      feature_col=None) -> DataFrame:
+    """GNN-style mean aggregation over the UNDIRECTED neighbor set for a
+    fixed number of rounds — the message-passing primitive of graph
+    feature pipelines (feeding node embeddings / label smoothing), kept
+    ENGINE-EXACT end to end: features live as micro-scaled BIGINTs and
+    each round's mean is the integer floor-division ``sum DIV degree``,
+    so no float summation order can leak into the result (the micro-BIGINT
+    convention, CLAUDE.md).
+
+    ``feature_col``: optional Column giving the round-0 feature in MICRO
+    units for a node id column named ``id`` (default ``(id % 97) * 1e6``
+    for integer ids — deterministic, oracle-replayable).  Isolated nodes
+    never appear (same universe as ``label_propagation``).  Per round: one
+    keys-only join + one map-side-combinable sum — O(E) shuffle rows.
+    Returns (id, f_micro).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a") != F.col("b")))
+    und = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b"))).distinct() \
+        .localCheckpoint(eager=True)
+    init = (feature_col if feature_col is not None
+            else (F.col("id") % 97).cast("long") * F.lit(1_000_000))
+    feats = und.select(F.col("a").alias("id")).distinct() \
+        .select("id", init.alias("f"))
+    for _ in range(rounds):
+        feats = (und.join(feats.select(F.col("id").alias("b"), "f"), "b")
+                 .groupBy(F.col("a").alias("id"))
+                 .agg(F.expr("sum(f) DIV count(*)").alias("f"))
+                 .localCheckpoint(eager=True))
+    return feats.select("id", F.col("f").alias("f_micro"))
+
+
+def random_walks(edges: DataFrame, length: int = 4, src: str = "src",
+                 dst: str = "dst", hash_family: str = "md5_60",
+                 seed: str = "rw") -> DataFrame:
+    """Deterministic pseudo-random walks — the corpus generator for
+    DeepWalk/node2vec-style graph-embedding training, with every "random"
+    choice derived from a PER-EDGE-PER-STEP hash so task retries and
+    reruns reproduce the walk exactly (the repo's seeded-randomness
+    invariant; ``F.rand()`` is banned).
+
+    One walk starts at EVERY node with out-edges; at step t on node c the
+    next hop is ``argmin over out-neighbors n of H(seed|t|c|n)`` where H
+    is the md5_60 long hash (``conv(substring(md5(x),1,15),16,10)`` —
+    DuckDB-replayable, CLAUDE.md idiom) or xxhash64 for the production
+    family.  A walk that reaches a sink node simply ends (no restart).
+
+    Per step: one join of the frontier against the out-edge table + one
+    ``min_by`` argmax — keys-only, O(W + E_touched) shuffle rows; steps
+    localCheckpoint to keep lineage flat.  Returns (start, step, node)
+    with step 0 = the start node itself.
+    """
+    if length < 1:
+        raise ValueError("length must be >= 1")
+    if hash_family not in ("md5_60", "xxhash64"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    e = (edges.select(F.col(src).alias("c"), F.col(dst).alias("n"))
+         .filter(F.col("c").isNotNull() & F.col("n").isNotNull())
+         .distinct().localCheckpoint(eager=True))
+
+    def h(step: int):
+        # evaluated on the (frontier x out-edge) join, where the current
+        # node column is named "node" and the candidate hop is "n"
+        key = F.concat_ws("|", F.lit(seed), F.lit(str(step)),
+                          F.col("node").cast("string"),
+                          F.col("n").cast("string"))
+        if hash_family == "xxhash64":
+            return F.xxhash64(key)
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+    cur = e.select(F.col("c").alias("start")).distinct() \
+        .select("start", F.col("start").alias("node"))
+    out = cur.select("start", F.lit(0).alias("step"), "node")
+    for t in range(1, length + 1):
+        nxt = (cur.join(e.withColumnRenamed("c", "node"), "node")
+               .groupBy("start")
+               .agg(F.min_by("n", F.struct(h(t).alias("h"),
+                                           F.col("n").alias("n")))
+                     .alias("node"))
+               .localCheckpoint(eager=True))
+        out = out.unionByName(
+            nxt.select("start", F.lit(t).alias("step"), "node"))
+        cur = nxt
+    return out

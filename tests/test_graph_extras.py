@@ -1,0 +1,123 @@
+"""Round-5 graph additions: HITS, integer-exact neighborhood aggregation,
+deterministic random walks, incremental connected components."""
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _hits_reference(edge_list, rounds):
+    """Pure-Python replica of graphstats.hits (L2-normalized synchronous
+    rounds) — the parity reference."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    auth = {n: 1.0 for n in nodes}
+    hub = {n: 1.0 for n in nodes}
+    for _ in range(rounds):
+        new_auth = {n: 0.0 for n in nodes}
+        for u, v in edge_list:
+            new_auth[v] += hub[u]
+        nrm = math.sqrt(sum(x * x for x in new_auth.values()))
+        auth = {n: (x / nrm if nrm > 0 else 0.0)
+                for n, x in new_auth.items()}
+        new_hub = {n: 0.0 for n in nodes}
+        for u, v in edge_list:
+            new_hub[u] += auth[v]
+        nrm = math.sqrt(sum(x * x for x in new_hub.values()))
+        hub = {n: (x / nrm if nrm > 0 else 0.0) for n, x in new_hub.items()}
+    return auth, hub
+
+
+def test_hits_matches_reference_and_separates_roles(spark):
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        hits)
+    # 1,2,3 are hubs pointing at authorities 10,11; 3 also cites 12
+    el = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 12), (4, 12)]
+    edges = spark.createDataFrame(el, "src long, dst long")
+    got = {r.id: (r.authority, r.hub) for r in hits(edges, rounds=3).collect()}
+    ref_auth, ref_hub = _hits_reference(el, 3)
+    for n in ref_auth:
+        assert got[n][0] == pytest.approx(ref_auth[n], abs=1e-9)
+        assert got[n][1] == pytest.approx(ref_hub[n], abs=1e-9)
+    # pure hubs have ~0 authority, the best-cited node has the max
+    assert got[1][0] == pytest.approx(0.0)
+    assert max(got, key=lambda n: got[n][0]) == 10
+    assert max(got, key=lambda n: got[n][1]) in (1, 2)
+    with pytest.raises(ValueError):
+        hits(edges, rounds=0)
+
+
+def test_neighborhood_mean_integer_exact(spark):
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        neighborhood_mean)
+    # path 1-2-3 plus leaf 4 on 2 (undirected)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (2, 4)],
+                                  "src long, dst long")
+    f0 = {n: (n % 97) * 1_000_000 for n in (1, 2, 3, 4)}
+    # round 1: mean over neighbors, integer floor division
+    f1 = {1: f0[2] // 1, 2: (f0[1] + f0[3] + f0[4]) // 3,
+          3: f0[2] // 1, 4: f0[2] // 1}
+    f2 = {1: f1[2] // 1, 2: (f1[1] + f1[3] + f1[4]) // 3,
+          3: f1[2] // 1, 4: f1[2] // 1}
+    got = {r.id: r.f_micro
+           for r in neighborhood_mean(edges, rounds=2).collect()}
+    assert got == f2
+
+
+def test_random_walks_valid_deterministic_and_sink_stops(spark):
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        random_walks)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (2, 4)],  # 4 is a sink
+        "src long, dst long")
+    e_set = {(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (2, 4)}
+    for fam in ("md5_60", "xxhash64"):
+        rows = random_walks(edges, length=5, hash_family=fam).collect()
+        walks: dict = {}
+        for r in rows:
+            walks.setdefault(r.start, {})[r.step] = r.node
+        # a walk starts at every node WITH out-edges, at step 0 = itself
+        assert set(walks) == {1, 2, 3}
+        for s, w in walks.items():
+            assert w[0] == s
+            steps = sorted(w)
+            assert steps == list(range(len(steps)))  # no gaps
+            for t in steps[1:]:
+                assert (w[t - 1], w[t]) in e_set    # every hop is an edge
+            if w[max(steps)] == 4:
+                assert max(steps) < 5 or w[5] == 4  # sink ended the walk
+        again = random_walks(edges, length=5, hash_family=fam).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_merge_components_equals_full_recompute(spark):
+    from climatemind_ontology_processing_spark.operators.canonicalize import (
+        connected_components, merge_components)
+
+    def cc_dict(edges):
+        return {r.id: r.component
+                for r in connected_components(edges).collect()}
+
+    s = "src string, dst string"
+    base = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "g"), ("h", "h2")], s)
+    # batch: links two existing components (d-e with f-g), extends one
+    # (c-x new node), and adds a fully new component (p-q)
+    delta = spark.createDataFrame(
+        [("e", "f"), ("c", "x"), ("p", "q")], s)
+    labels = connected_components(base)
+    got = {r.id: r.component
+           for r in merge_components(labels, delta).collect()}
+    full = cc_dict(base.unionByName(delta))
+    assert got == full
+    assert got["g"] == got["d"] == "d"      # merged across the batch edge
+    assert got["x"] == "a" and got["p"] == got["q"] == "p"
+
+    # second increment stacks on the merged labels
+    delta2 = spark.createDataFrame([("q", "h")], s)
+    labels2 = spark.createDataFrame(list(got.items()), "id string, component string")
+    got2 = {r.id: r.component
+            for r in merge_components(labels2, delta2).collect()}
+    full2 = cc_dict(base.unionByName(delta).unionByName(delta2))
+    assert got2 == full2
