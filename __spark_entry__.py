@@ -226,6 +226,33 @@ def _q_near_dup(spark, sf_dir):
             .orderBy("a", "b"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Cluster-level dedup view: the near-dup PAIR graph collapsed to
+    components (operators/dedup.near_dup_pairs +
+    operators/canonicalize.connected_components) with the numeric-min
+    representative and cluster size — the table the production survivor
+    rule ("keep each cluster's minimum id") reads directly, and the
+    transitive complement of the pairwise near stage (a ~ b ~ c chains
+    land in ONE cluster even when a !~ c).  Only docs belonging to a
+    cluster of size >= 2 appear.  md5_60 family + cap off so the oracle
+    replays candidates exactly (guardrails pinned by pytest)."""
+    from climatemind_ontology_processing_spark.operators.canonicalize import (
+        connected_components)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.5, hash_family="md5_60",
+                           max_bucket_size=None)
+    edges = pairs.select(F.col("a").cast("string").alias("src"),
+                         F.col("b").cast("string").alias("dst"))
+    comp = connected_components(edges)
+    agg = comp.groupBy("component").agg(
+        F.min(F.col("id").cast("long")).alias("cluster_rep"),
+        F.count("*").alias("cluster_size"))
+    return (comp.join(agg, "component")
+            .select(F.col("id").cast("long").alias("doc_id"),
+                    "cluster_rep", "cluster_size")
+            .orderBy("doc_id"))
+
+
 def _q_lsh_probe(spark, sf_dir):
     """Incremental-LSH probe (streaming/dedup.probe_lsh_buckets): documents
     split into a persisted 'history' side (even doc_ids -> bucket table
@@ -2519,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_mean": _q_neighborhood_mean,
         "random_walks": _q_random_walks,
         "delta_components": _q_delta_components,
+        "dedup_clusters": _q_dedup_clusters,
         # -- window pad: round-4 entries re-checked (harmless double cover)
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
@@ -3130,6 +3158,42 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(6),
         "hits_scores": _hits_sql(3),
         "random_walks": _random_walks_sql(4),
+        "dedup_clusters": f"""
+            WITH RECURSIVE docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ),
+            {minhash_cte},
+            ver AS (
+              SELECT c.a, c.b,
+                     len(list_intersect(sa.sh, sb.sh)) AS i,
+                     len(sa.sh) AS sza, len(sb.sh) AS szb
+              FROM cand c
+              JOIN sh0 sa ON sa.doc_id = c.a
+              JOIN sh0 sb ON sb.doc_id = c.b
+            ),
+            pairs AS (
+              SELECT a, b FROM ver
+              WHERE i * 1.0 / (sza + szb - i) >= 0.5
+            ),
+            sym AS (
+              SELECT a::VARCHAR AS x, b::VARCHAR AS y FROM pairs
+              UNION SELECT b::VARCHAR, a::VARCHAR FROM pairs
+            ),
+            reach(id, r) AS (
+              SELECT x, x FROM sym
+              UNION
+              SELECT re.id, s.y FROM reach re JOIN sym s ON s.x = re.r
+            ),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+            aggd AS (
+              SELECT component, min(id::BIGINT) AS cluster_rep,
+                     count(*) AS cluster_size
+              FROM comp GROUP BY component
+            )
+            SELECT c.id::BIGINT AS doc_id, a.cluster_rep, a.cluster_size
+            FROM comp c JOIN aggd a USING (component) ORDER BY doc_id
+        """,
         "neighborhood_mean": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             base AS (SELECT src, dst FROM all_edges
