@@ -1722,6 +1722,16 @@ def _bpe_merges_sql(rounds: int = 6) -> str:
     return "".join(parts)
 
 
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher document-filter rule flags (operators/textstats.gopher_rules,
+    Rae et al. 2021 Table A1) — all thresholds as integer
+    cross-multiplications, so the hash match is bit-exact."""
+    from climatemind_ontology_processing_spark.operators.textstats import (
+        gopher_rules)
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_rules(docs, min_words=30).orderBy("doc_id")
+
+
 def _q_hits_scores(spark, sf_dir):
     """HITS hubs/authorities (operators/graphstats.hits): 3 L2-normalized
     synchronous rounds over a sparse trade subgraph.  Scores are
@@ -2547,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "delta_components": _q_delta_components,
         "dedup_clusters": _q_dedup_clusters,
+        "gopher_rules": _q_gopher_rules,
         # -- window pad: round-4 entries re-checked (harmless double cover)
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
@@ -3158,6 +3169,54 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(6),
         "hits_scores": _hits_sql(3),
         "random_walks": _random_walks_sql(4),
+        "gopher_rules": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS words,
+                     list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)) AS lines
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                len(words) AS n_words,
+                coalesce(list_sum(list_transform(words, x -> length(x))),
+                         0) AS total_chars,
+                len(lines) AS n_lines,
+                len(list_filter(lines,
+                    l -> starts_with(l, '•') OR starts_with(l, '-')))
+                  AS n_bullet,
+                len(list_filter(lines,
+                    l -> ends_with(l, '...') OR ends_with(l, '…')))
+                  AS n_ellipsis,
+                len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+                len(list_filter(words,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                len(list_intersect(list_transform(words, x -> lower(x)),
+                    ['the','be','to','of','and','that','have','with']))
+                  AS n_stop
+              FROM w
+            )
+            SELECT doc_id,
+              (n_words >= 30 AND n_words <= 100000)::INT AS flag_word_count,
+              (n_words > 0 AND 3 * n_words <= total_chars
+               AND total_chars <= 10 * n_words)::INT AS flag_mean_word_len,
+              (10 * n_sym <= n_words)::INT AS flag_symbol_ratio,
+              (10 * n_bullet <= n_lines)::INT AS flag_bullets,
+              (10 * n_ellipsis <= 3 * n_lines)::INT AS flag_ellipsis,
+              (5 * n_alpha >= 4 * n_words)::INT AS flag_alpha_words,
+              (n_stop >= 2)::INT AS flag_stop_words,
+              ((n_words >= 30 AND n_words <= 100000)::INT
+               * (n_words > 0 AND 3 * n_words <= total_chars
+                  AND total_chars <= 10 * n_words)::INT
+               * (10 * n_sym <= n_words)::INT
+               * (10 * n_bullet <= n_lines)::INT
+               * (10 * n_ellipsis <= 3 * n_lines)::INT
+               * (5 * n_alpha >= 4 * n_words)::INT
+               * (n_stop >= 2)::INT) AS passes
+            FROM m ORDER BY doc_id
+        """,
         "dedup_clusters": f"""
             WITH RECURSIVE docs AS (
               SELECT doc_id, text FROM documents

@@ -218,3 +218,64 @@ def with_textstats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("n_tokens_ws", token_count(F.col(text_col)))
             .withColumn("n_tokens_bpe", bpe_ish_token_count(F.col(text_col)))
             .withColumn("fingerprint", fingerprint(F.col(text_col))))
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", min_words: int = 50,
+                 max_words: int = 100_000) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, Table A1) as
+    NAMED per-document flags — the standard web-corpus document filter,
+    complementing the scalar ``quality_features`` score with auditable
+    per-rule outcomes:
+
+    1. word count in [min_words, max_words]
+    2. mean word length in [3, 10] characters
+    3. symbol-to-word ratio ('#' or '...') <= 0.1
+    4. <= 10% of lines start with a bullet ('•' / '-')
+    5. <= 30% of lines end with an ellipsis
+    6. >= 80% of words contain at least one alphabetic character
+    7. at least 2 DISTINCT of the 8 English stop words present
+
+    Every ratio threshold is evaluated as an INTEGER cross-multiplication
+    (e.g. ``10 * n_sym <= n_words``), so the flags are engine-exact with
+    no float rounding anywhere (micro-BIGINT philosophy, CLAUDE.md).
+    Pure JVM array expressions — one narrow pass, no shuffle, no UDF.
+    Returns (id_col, the 7 ``flag_*`` ints, ``passes`` int = AND of all).
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    total_chars = F.coalesce(
+        F.aggregate(F.transform(words, lambda w: F.length(w)),
+                    F.lit(0), lambda a, x: a + x), F.lit(0))
+    lines = F.transform(F.split(t, r"\n"), lambda l: F.trim(l))
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda l: l.startswith("•") | l.startswith("-")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda l: l.endswith("...") | l.endswith("…")))
+    n_sym = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), F.lit(0)))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_stop = F.size(F.array_intersect(
+        F.transform(words, lambda w: F.lower(w)),
+        F.array(*[F.lit(s) for s in stops])))
+
+    def b(c):
+        return c.cast("int")
+
+    f1 = b((n_words >= min_words) & (n_words <= max_words))
+    f2 = b((n_words > 0) & (3 * n_words <= total_chars)
+           & (total_chars <= 10 * n_words))
+    f3 = b(10 * n_sym <= n_words)
+    f4 = b(10 * n_bullet <= n_lines)
+    f5 = b(10 * n_ellipsis <= 3 * n_lines)
+    f6 = b(5 * n_alpha >= 4 * n_words)
+    f7 = b(n_stop >= 2)
+    return docs.select(
+        F.col(id_col),
+        f1.alias("flag_word_count"), f2.alias("flag_mean_word_len"),
+        f3.alias("flag_symbol_ratio"), f4.alias("flag_bullets"),
+        f5.alias("flag_ellipsis"), f6.alias("flag_alpha_words"),
+        f7.alias("flag_stop_words"),
+        (f1 * f2 * f3 * f4 * f5 * f6 * f7).alias("passes"))

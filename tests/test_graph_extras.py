@@ -121,3 +121,31 @@ def test_merge_components_equals_full_recompute(spark):
             for r in merge_components(labels2, delta2).collect()}
     full2 = cc_dict(base.unionByName(delta).unionByName(delta2))
     assert got2 == full2
+
+
+def test_gopher_rules_flags(spark):
+    """Each Gopher rule flag fires on its planted violation and nowhere
+    else; integer cross-multiplication semantics at the boundaries."""
+    from climatemind_ontology_processing_spark.operators.textstats import (
+        gopher_rules)
+    good = ("the data and the model have to be of good size with that "
+            "said " * 5).strip()                       # 55 words, stopwordy
+    rows = [
+        (1, good),
+        (2, "tiny doc of the and"),                    # word count fails
+        (3, good + "\n" + "\n".join(f"- bullet {i}" for i in range(20))),
+        (4, good + "\n" + "\n".join(f"line {i}..." for i in range(20))),
+        (5, good + " " + "#tag " * 40),                # symbol ratio
+        (6, ("12 34 56 78 90 " * 11).strip()),         # no alpha words
+        (7, "zzz qqq www eee rrr ttt yyy uuu iii ooo " * 6),  # no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(docs, min_words=30).collect()}
+    assert got[1].passes == 1 and all(
+        v == 1 for k, v in got[1].asDict().items() if k.startswith("flag_"))
+    assert got[2].flag_word_count == 0 and got[2].passes == 0
+    assert got[3].flag_bullets == 0 and got[3].passes == 0
+    assert got[4].flag_ellipsis == 0 and got[4].passes == 0
+    assert got[5].flag_symbol_ratio == 0 and got[5].passes == 0
+    assert got[6].flag_alpha_words == 0 and got[6].passes == 0
+    assert got[7].flag_stop_words == 0 and got[7].passes == 0
