@@ -93,3 +93,45 @@ def sequence_membership(spans: DataFrame) -> DataFrame:
     return spans.filter(F.col("first_seq").isNotNull()).select(
         F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
         spans.columns[0])
+
+
+def write_training_shards(docs: DataFrame, spans: DataFrame, out_path: str,
+                          seqs_per_shard: int = 1024,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Materialize the packed corpus as TRAINING SHARDS: shard k owns
+    sequences ``[k*seqs_per_shard, (k+1)*seqs_per_shard)``, and its
+    partition directory contains every document those sequences read —
+    a document straddling a shard boundary is written to BOTH shards, so
+    a trainer streams one directory per shard with no cross-shard reads
+    (the data-loading contract of sequence-packed pretraining).
+
+    Deterministic end to end (placement is ``packed_spans``' prefix sum;
+    shard assignment is integer arithmetic on it) and IDEMPOTENT on rerun:
+    the write uses dynamic partition overwrite, so a retried job rewrites
+    its shards byte-for-byte instead of duplicating them.  Only the
+    spans table shuffles (keys + 4 longs); text moves once, map-side,
+    into its shard partition.
+
+    Returns the shard manifest (shard, n_docs, n_tokens) read back from
+    the COMMITTED output (at-least-once-safe source of truth, same policy
+    as plans/lineage)."""
+    if seqs_per_shard < 1:
+        raise ValueError("seqs_per_shard must be >= 1")
+    member = (sequence_membership(spans)
+              .select(F.floor(F.col("seq_id") / seqs_per_shard)
+                      .cast("long").alias("shard"), id_col)
+              .distinct())
+    rows = (member
+            .join(spans.select(id_col, "n_tokens", "start_offset",
+                               "first_seq", "last_seq"), id_col)
+            .join(docs.select(id_col, text_col), id_col))
+    (rows.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("shard").parquet(out_path))
+    spark = docs.sparkSession
+    return (spark.read.parquet(out_path)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"))
+            .orderBy("shard"))

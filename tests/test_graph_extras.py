@@ -149,3 +149,33 @@ def test_gopher_rules_flags(spark):
     assert got[5].flag_symbol_ratio == 0 and got[5].passes == 0
     assert got[6].flag_alpha_words == 0 and got[6].passes == 0
     assert got[7].flag_stop_words == 0 and got[7].passes == 0
+
+
+def test_write_training_shards_complete_and_idempotent(spark, tmp_path):
+    """Every shard directory contains exactly the docs its sequences read
+    (straddling docs in BOTH shards); rerun rewrites instead of
+    duplicating (dynamic partition overwrite)."""
+    from climatemind_ontology_processing_spark.operators.packing import (
+        packed_spans, write_training_shards)
+    # seq_len 10, 4 seqs/shard -> shard = 40-token blocks; doc sizes force
+    # a straddle: 25+1, 12+1, 30+1 tokens -> offsets 0, 26, 39
+    docs = spark.createDataFrame(
+        [(1, "a " * 25), (2, "b " * 12), (3, "c " * 30)],
+        "doc_id long, text string")
+    toks = docs.select("doc_id", F.size(F.split(F.trim("text"), r"\s+"))
+                       .alias("n_tokens"))
+    spans = packed_spans(toks, seq_len=10)
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, spans, out, seqs_per_shard=4)
+    m = {r.shard: (r.n_docs, r.n_tokens) for r in manifest.collect()}
+    # doc3 spans tokens [39, 70) -> seqs 3..6 -> shards 0 AND 1
+    assert set(m) == {0, 1}
+    rows = spark.read.parquet(out).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, set()).add(r.doc_id)
+    assert by_shard[0] == {1, 2, 3} and by_shard[1] == {3}
+    # idempotent rerun: same rows, not doubled
+    write_training_shards(docs, spans, out, seqs_per_shard=4)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == \
+        sorted(map(tuple, rows))
