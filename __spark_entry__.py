@@ -1722,6 +1722,46 @@ def _bpe_merges_sql(rounds: int = 6) -> str:
     return "".join(parts)
 
 
+def _q_scd2_order_status(spark, sf_dir):
+    """SCD2 validity runs (operators/temporal.scd2_compact): each
+    customer's order-status observation stream (ordered by order date,
+    orderkey tiebreak) compacted to value runs with valid-from /
+    valid-to.  valid_to_key is coalesced to -1 (nullable BIGINTs come
+    back from DuckDB/pandas as float NaN — CLAUDE.md)."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        scd2_compact)
+    obs = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.col("o_orderkey").alias("ok"))
+    runs = scd2_compact(obs, keys=("custkey",), val_col="status",
+                        order_cols=("od", "ok"))
+    return (runs.select(
+        "custkey", "status",
+        F.col("od").cast("string").alias("valid_from_date"),
+        F.col("ok").alias("valid_from_key"),
+        F.coalesce(F.col("_valid_to.ok"), F.lit(-1)).alias("valid_to_key"),
+        "is_current")
+        .orderBy("custkey", "valid_from_date", "valid_from_key"))
+
+
+def _q_negative_triples(spark, sf_dir):
+    """Filtered KG negative sampling (operators/negatives.negative_triples,
+    TransE corruption): deterministic hash-bucketed tail corruption of the
+    sparse trade triple set, md5_60 family so DuckDB replays every bucket
+    choice and argmin pick."""
+    from climatemind_ontology_processing_spark.operators.negatives import (
+        negative_triples)
+    triples = (_trade_edges(spark, sf_dir)
+               .filter((F.col("src") * 31 + F.col("dst")) % 2 == 0)
+               .select(F.col("src").alias("subj"),
+                       F.lit("trades_with").alias("pred"),
+                       F.col("dst").alias("obj")))
+    return (negative_triples(triples, k=2, buckets=8, hash_family="md5_60")
+            .orderBy("subj", "obj", "j"))
+
+
 def _q_gopher_rules(spark, sf_dir):
     """Gopher document-filter rule flags (operators/textstats.gopher_rules,
     Rae et al. 2021 Table A1) — all thresholds as integer
@@ -2558,6 +2598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_components": _q_delta_components,
         "dedup_clusters": _q_dedup_clusters,
         "gopher_rules": _q_gopher_rules,
+        "scd2_order_status": _q_scd2_order_status,
+        "negative_triples": _q_negative_triples,
         # -- window pad: round-4 entries re-checked (harmless double cover)
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
@@ -3169,6 +3211,75 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(6),
         "hits_scores": _hits_sql(3),
         "random_walks": _random_walks_sql(4),
+        "scd2_order_status": """
+            WITH obs AS (
+              SELECT o_custkey AS custkey, o_orderstatus AS status,
+                     o_orderdate::DATE AS od, o_orderkey AS ok
+              FROM orders
+            ),
+            lagged AS (
+              SELECT *, lag(status) OVER (
+                PARTITION BY custkey ORDER BY od, ok) AS prev
+              FROM obs
+            ),
+            starts AS (
+              SELECT custkey, status, od, ok FROM lagged
+              WHERE prev IS NULL OR status IS DISTINCT FROM prev
+            ),
+            runs AS (
+              SELECT custkey, status, od, ok,
+                     lead(ok) OVER (
+                       PARTITION BY custkey ORDER BY od, ok) AS next_ok
+              FROM starts
+            )
+            SELECT custkey, status, od::VARCHAR AS valid_from_date,
+                   ok AS valid_from_key,
+                   coalesce(next_ok, -1) AS valid_to_key,
+                   (next_ok IS NULL)::INT AS is_current
+            FROM runs ORDER BY custkey, valid_from_date, valid_from_key
+        """,
+        "negative_triples": f"""
+            WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+            trip AS MATERIALIZED (
+              SELECT DISTINCT src AS s, 'trades_with' AS p, dst AS o
+              FROM all_edges WHERE (src * 31 + dst) % 2 = 0
+            ),
+            ents AS (
+              SELECT DISTINCT s AS n FROM trip
+              UNION SELECT DISTINCT o FROM trip
+            ),
+            nb AS MATERIALIZED (
+              SELECT n, ('0x' || substring(md5(
+                       'neg|vocab|' || n::VARCHAR), 1, 15))::BIGINT % 8 AS b
+              FROM ents
+            ),
+            slots AS (
+              SELECT s, p, o, j,
+                     ('0x' || substring(md5(
+                        'neg|' || s::VARCHAR || '|' || p || '|'
+                        || o::VARCHAR || '|' || j::VARCHAR),
+                      1, 15))::BIGINT % 8 AS b
+              FROM trip CROSS JOIN (SELECT unnest([0, 1]) AS j)
+            ),
+            cand AS (
+              SELECT sl.s, sl.p, sl.o, sl.j, nb.n,
+                     row_number() OVER (
+                       PARTITION BY sl.s, sl.p, sl.o, sl.j
+                       ORDER BY ('0x' || substring(md5(
+                           'neg|pick|' || sl.s::VARCHAR || '|' || sl.p
+                           || '|' || sl.o::VARCHAR || '|' || sl.j::VARCHAR
+                           || '|' || nb.n::VARCHAR), 1, 15))::BIGINT,
+                         nb.n) AS rn
+              FROM slots sl JOIN nb USING (b)
+            ),
+            picked AS (SELECT s, p, o, j, n AS o_neg FROM cand WHERE rn = 1)
+            SELECT s AS subj, p AS pred, o AS obj, o_neg, j
+            FROM picked pk
+            WHERE o_neg <> o AND NOT EXISTS (
+              SELECT 1 FROM trip t
+              WHERE t.s = pk.s AND t.p = pk.p AND t.o = pk.o_neg)
+            ORDER BY subj, obj, j
+        """,
         "gopher_rules": r"""
             WITH w AS (
               SELECT doc_id, text,

@@ -115,3 +115,40 @@ def interval_join(events: DataFrame, intervals: DataFrame,
     # event's own bin, so no dedup is needed: (event_bin == interval_bin)
     # pairs are unique by construction
     return joined.drop("_bin")
+
+
+def scd2_compact(obs: DataFrame, keys: tuple[str, ...], val_col: str,
+                 order_cols: tuple[str, ...]) -> DataFrame:
+    """Temporal KG maintenance: compact per-key observation streams into
+    SCD2 validity runs (type-2 slowly-changing dimension) — a
+    continuously-recrawled KG observes the same (subject, predicate) with
+    changing objects, and history queries need "what did we believe when",
+    not the latest snapshot.
+
+    ``obs`` rows are observations of ``val_col`` for a ``keys`` entity,
+    totally ordered per key by ``order_cols`` (pass a tiebreak column —
+    e.g. an event/order id — as the last order col; a non-total order
+    would make run boundaries nondeterministic).  A run starts where the
+    value differs from the previous observation (null-safe compare); the
+    no-change observations — the overwhelming majority of a recrawl
+    stream — are dropped right after the lag, so only run starts reach
+    the second window.  One keyed shuffle total; the (keys) set is the
+    natural partition at 10^12 observations.
+
+    Returns one row per run: ``keys..., val_col, order_cols...`` (the
+    run's FIRST observation = valid-from), ``_valid_to`` (struct of the
+    NEXT run's order values, NULL for the current run) and ``is_current``
+    (int 1/0).  Callers project ``_valid_to.<col>`` to scalars.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    prev = F.lag(F.col(val_col)).over(w)
+    starts = (obs
+              .withColumn("_chg",
+                          prev.isNull() | ~F.col(val_col).eqNullSafe(prev))
+              .filter(F.col("_chg")).drop("_chg"))
+    w2 = Window.partitionBy(*keys).orderBy(*order_cols)
+    nxt = F.lead(F.struct(*[F.col(c) for c in order_cols])).over(w2)
+    return (starts
+            .select(*keys, val_col, *order_cols, nxt.alias("_valid_to"))
+            .withColumn("is_current",
+                        F.col("_valid_to").isNull().cast("int")))

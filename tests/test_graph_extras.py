@@ -179,3 +179,45 @@ def test_write_training_shards_complete_and_idempotent(spark, tmp_path):
     write_training_shards(docs, spans, out, seqs_per_shard=4)
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == \
         sorted(map(tuple, rows))
+
+
+def test_scd2_compact_runs(spark):
+    """Value runs compact correctly: flip-back creates a NEW run; no-change
+    observations vanish; valid_to chains to the next run's first key."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        scd2_compact)
+    obs = spark.createDataFrame(
+        [(1, "O", 1), (1, "O", 2), (1, "F", 3), (1, "O", 4), (1, "O", 5),
+         (2, "P", 1)],
+        "k long, v string, t long")
+    runs = scd2_compact(obs, keys=("k",), val_col="v", order_cols=("t",))
+    got = sorted((r.k, r.v, r.t,
+                  r._valid_to.t if r._valid_to else None, r.is_current)
+                 for r in runs.collect())
+    assert got == [(1, "F", 3, 4, 0), (1, "O", 1, 3, 0), (1, "O", 4, None, 1),
+                   (2, "P", 1, None, 1)]
+
+
+def test_negative_triples_filtered_and_deterministic(spark):
+    from climatemind_ontology_processing_spark.operators.negatives import (
+        negative_triples)
+    rows = [(a, "r", b) for a in range(6) for b in range(6)
+            if a != b and (a + b) % 3 == 0]
+    trip = spark.createDataFrame(rows, "subj long, pred string, obj long")
+    for fam in ("md5_60", "xxhash64"):
+        out = negative_triples(trip, k=3, buckets=4, hash_family=fam)
+        got = out.collect()
+        ents = {a for a, _, _ in rows} | {b for _, _, b in rows}
+        true = set((a, b) for a, _, b in rows)
+        per_trip: dict = {}
+        for r in got:
+            assert r.o_neg in ents            # picks come from the vocab
+            assert r.o_neg != r.obj           # never the true tail
+            assert (r.subj, r.o_neg) not in true   # filtered negatives
+            per_trip.setdefault((r.subj, r.obj), set()).add(r.j)
+        assert all(len(js) <= 3 for js in per_trip.values())
+        assert len(got) > 0
+        again = negative_triples(trip, k=3, buckets=4, hash_family=fam)
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError):
+        negative_triples(trip, k=0)
