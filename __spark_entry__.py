@@ -1722,6 +1722,55 @@ def _bpe_merges_sql(rounds: int = 6) -> str:
     return "".join(parts)
 
 
+def _q_k_truss(spark, sf_dir):
+    """k-truss edge set (operators/graphstats.k_truss, k=4): iterative
+    under-supported-edge peeling to fixpoint.  The oracle unrolls 6 peel
+    rounds — past the fixpoint further rounds are no-ops, so unroll depth
+    only needs to COVER the real round count (verified at both SFs)."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        k_truss)
+    edges = _trade_edges(spark, sf_dir) \
+        .filter((F.col("src") * 31 + F.col("dst")) % 3 == 0)
+    return (k_truss(edges, k=4)
+            .select(F.col("lo").cast("int").alias("lo"),
+                    F.col("hi").cast("int").alias("hi"))
+            .orderBy("lo", "hi"))
+
+
+def _k_truss_sql(k: int = 4, rounds: int = 6) -> str:
+    need = k - 2
+    parts = [f"""
+        WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+          FROM all_edges
+          WHERE (src * 31 + dst) % 3 = 0 AND src <> dst
+        )"""]
+    for r in range(rounds):
+        parts.append(f""",
+        t{r} AS (
+          SELECT x.lo AS a, x.hi AS b, y.hi AS c
+          FROM e{r} x JOIN e{r} y ON y.lo = x.hi
+          WHERE EXISTS (SELECT 1 FROM e{r} z
+                        WHERE z.lo = x.lo AND z.hi = y.hi)
+        ),
+        s{r} AS (
+          SELECT lo, hi, count(*) AS sup FROM (
+            SELECT a AS lo, b AS hi FROM t{r}
+            UNION ALL SELECT a, c FROM t{r}
+            UNION ALL SELECT b, c FROM t{r}) GROUP BY lo, hi
+        ),
+        e{r + 1} AS MATERIALIZED (
+          SELECT e.lo, e.hi FROM e{r} e
+          LEFT JOIN s{r} s ON s.lo = e.lo AND s.hi = e.hi
+          WHERE coalesce(s.sup, 0) >= {need}
+        )""")
+    parts.append(f"""
+        SELECT lo::INT AS lo, hi::INT AS hi FROM e{rounds}
+        ORDER BY lo, hi""")
+    return "".join(parts)
+
+
 def _q_scd2_order_status(spark, sf_dir):
     """SCD2 validity runs (operators/temporal.scd2_compact): each
     customer's order-status observation stream (ordered by order date,
@@ -2600,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "scd2_order_status": _q_scd2_order_status,
         "negative_triples": _q_negative_triples,
+        "k_truss": _q_k_truss,
         # -- window pad: round-4 entries re-checked (harmless double cover)
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
@@ -3211,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(6),
         "hits_scores": _hits_sql(3),
         "random_walks": _random_walks_sql(4),
+        "k_truss": _k_truss_sql(4, 6),
         "scd2_order_status": """
             WITH obs AS (
               SELECT o_custkey AS custkey, o_orderstatus AS status,

@@ -418,3 +418,53 @@ def random_walks(edges: DataFrame, length: int = 4, src: str = "src",
             nxt.select("start", F.lit(t).alias("step"), "node"))
         cur = nxt
     return out
+
+
+def k_truss(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+            max_rounds: int = 30) -> DataFrame:
+    """Edges of the k-truss (Cohen 2008): the maximal subgraph where every
+    edge closes at least ``k - 2`` triangles — the EDGE-level cohesion
+    filter (k_core's node-level sibling), the standard community-core
+    primitive for KG neighborhoods.
+
+    Iteratively drops under-supported edges until fixpoint; per round the
+    cost is one canonical-orientation triangle enumeration over the
+    SHRINKING edge set (the same oriented join as ``triangles`` — each
+    triangle counted once, support split to its three edges by a
+    keys-only union + groupBy).  RAISES if ``max_rounds`` is exhausted
+    (loud-cap invariant: a truncated fixpoint is invisible); real graphs
+    converge in a handful of rounds because each round removes the
+    current weakest shell.  Returns (lo, hi) canonical edges.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    e = undirected_canonical(edges, src, dst).localCheckpoint(eager=True)
+    n_prev = e.count()
+    need = k - 2
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            return e
+        tri = (e.alias("x")
+               .join(e.alias("y"), F.col("x.hi") == F.col("y.lo"))
+               .join(e.alias("z"),
+                     (F.col("z.lo") == F.col("x.lo"))
+                     & (F.col("z.hi") == F.col("y.hi")), "left_semi")
+               .select(F.col("x.lo").alias("a"), F.col("x.hi").alias("b"),
+                       F.col("y.hi").alias("c")))
+        sup = (tri.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+               .unionAll(tri.select(F.col("a").alias("lo"),
+                                    F.col("c").alias("hi")))
+               .unionAll(tri.select(F.col("b").alias("lo"),
+                                    F.col("c").alias("hi")))
+               .groupBy("lo", "hi").agg(F.count("*").alias("_sup")))
+        kept = (e.join(sup, ["lo", "hi"], "left")
+                .filter(F.coalesce("_sup", F.lit(0)) >= need)
+                .select("lo", "hi")
+                .localCheckpoint(eager=True))
+        n = kept.count()
+        if n == n_prev:
+            return kept
+        e, n_prev = kept, n
+    raise RuntimeError(
+        f"k_truss did not converge within max_rounds={max_rounds} "
+        f"(still {n_prev} edges) — raise max_rounds")

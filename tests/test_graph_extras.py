@@ -221,3 +221,23 @@ def test_negative_triples_filtered_and_deterministic(spark):
         assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
     with pytest.raises(ValueError):
         negative_triples(trip, k=0)
+
+
+def test_k_truss_peeling_and_guards(spark):
+    """The 4-truss keeps K5's edges, peels the pendant triangle chain
+    (cascade), returns everything for k=2, and the round cap raises."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        k_truss)
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    # chain of triangles hanging off node 0: each edge in exactly 1 triangle
+    tail = [(0, 10), (0, 11), (10, 11), (11, 12), (11, 13), (12, 13)]
+    edges = spark.createDataFrame(k5 + tail, "src long, dst long")
+    got = {(r.lo, r.hi) for r in k_truss(edges, k=4).collect()}
+    assert got == set(k5)                  # K5 edges: support 3 >= 2
+    all_edges = {(r.lo, r.hi) for r in k_truss(edges, k=2).collect()}
+    assert all_edges == set(k5 + tail)     # k=2: no support needed
+    assert k_truss(edges, k=9).count() == 0  # nothing that cohesive
+    with pytest.raises(ValueError):
+        k_truss(edges, k=1)
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        k_truss(edges, k=4, max_rounds=1)  # cascade needs >1 round
