@@ -46,12 +46,11 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_registers(df: DataFrame, col: str | Column, p: int = 9,
-                  hash_family: str = "md5_60") -> DataFrame:
-    """(register, max_rho) — the sketch itself, one row per NON-EMPTY
-    register (empty registers are implicit zeros; the estimator counts
-    them as ``m - rows``).  Map-side combinable (max), mergeable across
-    shards by unioning and re-aggregating."""
+def hll_reg_rho(c: Column, p: int = 9,
+                hash_family: str = "md5_60") -> tuple[Column, Column]:
+    """The (register, rho) column pair for one value column — shared by
+    the batch register table and the streaming windowed variant so both
+    sketch the SAME layout (registers from either side merge by max)."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     if hash_family != "md5_60":
@@ -61,7 +60,6 @@ def hll_registers(df: DataFrame, col: str | Column, p: int = 9,
         raise ValueError("hll requires hash_family='md5_60' "
                          f"(got {hash_family!r}: signed 64-bit hashes break "
                          "the 60-bit register layout)")
-    c = F.col(col) if isinstance(col, str) else col
     h = token_hash(c.cast("string"), hash_family)
     rem_bits = _HASH_BITS - p
     reg = F.shiftright(h, rem_bits)                  # top p bits (int pos ok)
@@ -72,6 +70,17 @@ def hll_registers(df: DataFrame, col: str | Column, p: int = 9,
                  F.lit(rem_bits + 1) - F.length(F.conv(rem.cast("string"),
                                                        10, 2))) \
         .otherwise(F.lit(rem_bits + 1)).cast("int")
+    return reg, rho
+
+
+def hll_registers(df: DataFrame, col: str | Column, p: int = 9,
+                  hash_family: str = "md5_60") -> DataFrame:
+    """(register, max_rho) — the sketch itself, one row per NON-EMPTY
+    register (empty registers are implicit zeros; the estimator counts
+    them as ``m - rows``).  Map-side combinable (max), mergeable across
+    shards by unioning and re-aggregating."""
+    c = F.col(col) if isinstance(col, str) else col
+    reg, rho = hll_reg_rho(c, p, hash_family)
     return (df.filter(c.isNotNull())
             .select(reg.alias("register"), rho.alias("rho"))
             .groupBy("register").agg(F.max("rho").alias("max_rho")))

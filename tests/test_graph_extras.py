@@ -241,3 +241,67 @@ def test_k_truss_peeling_and_guards(spark):
         k_truss(edges, k=1)
     with pytest.raises(RuntimeError, match="max_rounds"):
         k_truss(edges, k=4, max_rounds=1)  # cascade needs >1 round
+
+
+def test_hll_windowed_stream_equals_batch(spark, tmp_path):
+    """Streaming windowed HLL: the streamed register tables (two
+    micro-batches, one late-but-in-watermark duplicate-heavy delivery)
+    must be ROW-IDENTICAL to the batch computation over all delivered
+    events — registers are a pure function of each window's value set —
+    and the per-window estimates must track the exact distinct counts."""
+    import datetime as dt
+
+    from climatemind_ontology_processing_spark.operators.sketch import (
+        hll_estimate)
+    from climatemind_ontology_processing_spark.streaming.sketches import (
+        hll_windowed_registers)
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 12, minute)
+
+    src = str(tmp_path / "hw_in")
+    out = str(tmp_path / "hw_out")
+    ckpt = str(tmp_path / "hw_ckpt")
+    schema = "ts timestamp, value string"
+    # window 1 ([12:00,12:10)): 40 distinct urls (10 arrive LATE in the
+    # second micro-batch); window 2 ([12:10,12:20)): 25 distinct
+    b1 = [(t(1), f"url{i}") for i in range(30)] + \
+         [(t(3), f"url{i}") for i in range(10)]          # dups of the first
+    b2 = [(t(12), f"w2url{i}") for i in range(25)] + \
+         [(t(8), f"url{i}") for i in range(30, 40)]      # LATE, new values
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (hll_windowed_registers(stream, window="10 minutes", p=9)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    run_stream()
+    future = [(t(0) + dt.timedelta(hours=6), "z")]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    spark.createDataFrame(future, schema).write.mode("append").parquet(src)
+    run_stream()
+
+    all_events = spark.createDataFrame(b1 + b2 + future, schema)
+    want = {(r.window_start, r.register, r.max_rho)
+            for r in hll_windowed_registers(all_events, window="10 minutes",
+                                            p=9).collect()}
+    got_rows = spark.read.parquet(out).collect()
+    got = {(r.window_start, r.register, r.max_rho) for r in got_rows}
+    unfinalized = want - got
+    assert got <= want
+    assert all(ws.hour >= 18 for ws, _, _ in unfinalized), unfinalized
+
+    # estimates per finalized window vs exact distincts (40 and 35)
+    per_win: dict = {}
+    for r in got_rows:
+        per_win.setdefault(r.window_start, []).append(
+            (r.register, r.max_rho))
+    exact = {t(0): 40, t(10): 25}
+    for ws, regs in per_win.items():
+        df = spark.createDataFrame(regs, "register long, max_rho int")
+        est = hll_estimate(df, p=9)
+        assert abs(est - exact[ws]) / exact[ws] < 0.25, (ws, est)
