@@ -1722,6 +1722,20 @@ def _bpe_merges_sql(rounds: int = 6) -> str:
     return "".join(parts)
 
 
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened training mix (operators/sampling.
+    temperature_mix, alpha=0.5): per-language quotas apportion exactly
+    total_k=120 by largest-remainder over sqrt-flattened counts (sqrt is
+    IEEE correctly-rounded, so the micro-BIGINT weights are engine-exact);
+    rows rank by the md5_60 sample bucket DuckDB replays."""
+    from climatemind_ontology_processing_spark.operators.sampling import (
+        temperature_mix)
+    docs = _read(spark, sf_dir, "documents")
+    return (temperature_mix(docs, "lang", total_k=120, key="doc_id",
+                            alpha=0.5, seed=7, hash_family="md5_60")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 def _q_k_truss(spark, sf_dir):
     """k-truss edge set (operators/graphstats.k_truss, k=4): iterative
     under-supported-edge peeling to fixpoint.  The oracle unrolls 6 peel
@@ -2650,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_order_status": _q_scd2_order_status,
         "negative_triples": _q_negative_triples,
         "k_truss": _q_k_truss,
+        "temperature_mix": _q_temperature_mix,
         # -- window pad: round-4 entries re-checked (harmless double cover)
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
@@ -3262,6 +3277,43 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_sql(3),
         "random_walks": _random_walks_sql(4),
         "k_truss": _k_truss_sql(4, 6),
+        "temperature_mix": """
+            WITH counts AS (
+              SELECT lang AS stratum, count(*)::BIGINT AS n
+              FROM documents GROUP BY lang
+            ),
+            wt AS (
+              SELECT stratum, n,
+                     CAST(floor(sqrt(n::DOUBLE) * 1e6 + 0.5) AS BIGINT) AS w
+              FROM counts
+            ),
+            tot AS (SELECT sum(w)::BIGINT AS tw FROM wt),
+            shares AS (
+              SELECT stratum, n, w, tw,
+                     (120 * w) // tw AS base,
+                     120 * w - ((120 * w) // tw) * tw AS rem
+              FROM wt, tot
+            ),
+            lo AS (SELECT 120 - sum(base) AS l FROM shares),
+            q AS (
+              SELECT stratum,
+                     base + (CASE WHEN row_number() OVER (
+                               ORDER BY rem DESC, stratum::VARCHAR ASC)
+                             <= (SELECT l FROM lo) THEN 1 ELSE 0 END) AS quota
+              FROM shares
+            ),
+            r AS (
+              SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY ('0x' || substring(
+                            md5('7' || chr(31) || doc_id::VARCHAR), 1, 15))
+                          ::BIGINT % 1000000 ASC,
+                         doc_id::VARCHAR ASC) AS rk
+              FROM documents
+            )
+            SELECT doc_id, lang FROM r JOIN q ON q.stratum = r.lang
+            WHERE rk <= quota ORDER BY doc_id
+        """,
         "scd2_order_status": """
             WITH obs AS (
               SELECT o_custkey AS custkey, o_orderstatus AS status,

@@ -109,3 +109,74 @@ def stratified_take_k(df: DataFrame, strata_col: str, k: int,
         bucket.asc(), key_col.cast("string").asc())
     return (df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k).drop("_rk"))
+
+
+def temperature_quotas(df: DataFrame, strata_col: str, total_k: int,
+                       alpha: float = 0.5) -> DataFrame:
+    """Per-stratum quotas for a TEMPERATURE-FLATTENED training mix:
+    ``w_d = n_d^alpha`` (alpha < 1 flattens the head-heavy web
+    distribution — the standard multilingual/data-mixture rule), then the
+    weights apportion EXACTLY ``total_k`` samples via largest-remainder
+    (Hamilton): ``base_d = floor(total_k * w_d / W)``, and the
+    ``total_k - sum(base)`` leftovers go to the largest remainders
+    (ties -> stratum ascending).
+
+    ENGINE-EXACT arithmetic: weights become micro-BIGINTs
+    (``floor(n^alpha * 1e6 + 0.5)``; with the default ``alpha=0.5`` the
+    power is ``sqrt``, IEEE correctly-rounded and therefore identical
+    across engines — other alphas go through ``pow``, whose last-ulp is
+    implementation-defined: still deterministic per engine, but only
+    alpha=0.5 is oracle-safe), and every share/remainder after that is
+    integer products and divisions.  The remainder ranking is one window
+    over the STRATA table (strata are few by definition).  A tiny
+    stratum's quota can exceed its row count — composition with
+    ``temperature_mix`` naturally yields min(n_d, quota_d) rows.
+    Returns (stratum, n, quota)."""
+    if total_k < 1:
+        raise ValueError("total_k must be >= 1")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from pyspark.sql import Window
+    counts = df.groupBy(F.col(strata_col).alias("stratum")) \
+        .agg(F.count("*").alias("n"))
+    w_expr = (F.sqrt(F.col("n").cast("double")) if alpha == 0.5
+              else F.pow(F.col("n").cast("double"), F.lit(alpha)))
+    wt = counts.withColumn(
+        "_w", F.floor(w_expr * 1e6 + 0.5).cast("long"))
+    tot = wt.agg(F.sum("_w").alias("_tw"))
+    shares = (wt.crossJoin(F.broadcast(tot))
+              .withColumn("_base", F.expr(f"({total_k} * _w) DIV _tw"))
+              .withColumn("_rem", F.lit(total_k) * F.col("_w")
+                          - F.col("_base") * F.col("_tw")))
+    leftover = (shares.agg((F.lit(total_k) - F.sum("_base")).alias("_l")))
+    rk = Window.orderBy(F.col("_rem").desc(),
+                        F.col("stratum").cast("string").asc())
+    return (shares.withColumn("_rk", F.row_number().over(rk))
+            .crossJoin(F.broadcast(leftover))
+            .select("stratum", "n",
+                    (F.col("_base")
+                     + (F.col("_rk") <= F.col("_l")).cast("long"))
+                    .alias("quota")))
+
+
+def temperature_mix(df: DataFrame, strata_col: str, total_k: int,
+                    key: str | Column, alpha: float = 0.5, seed: int = 42,
+                    hash_family: str = "xxhash64") -> DataFrame:
+    """The composed temperature-mix sampler: ``temperature_quotas`` decides
+    how many rows each stratum contributes; within a stratum rows rank by
+    the deterministic sample bucket (``stratified_take_k``'s rule —
+    reproducible across runs/partitionings/retries, nested under a larger
+    ``total_k`` re-apportionment only per-stratum).  One keys-only count
+    aggregation + one broadcast quota join + one per-stratum window."""
+    from pyspark.sql import Window
+    quotas = temperature_quotas(df, strata_col, total_k, alpha)
+    key_col = F.col(key) if isinstance(key, str) else key
+    bucket = sample_bucket(key_col.cast("string"), seed, hash_family)
+    w = Window.partitionBy(strata_col).orderBy(
+        bucket.asc(), key_col.cast("string").asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .join(F.broadcast(quotas.withColumnRenamed("stratum",
+                                                       strata_col)
+                              .select(strata_col, "quota")), strata_col)
+            .filter(F.col("_rk") <= F.col("quota"))
+            .drop("_rk", "quota"))

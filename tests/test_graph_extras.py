@@ -305,3 +305,40 @@ def test_hll_windowed_stream_equals_batch(spark, tmp_path):
         df = spark.createDataFrame(regs, "register long, max_rho int")
         est = hll_estimate(df, p=9)
         assert abs(est - exact[ws]) / exact[ws] < 0.25, (ws, est)
+
+
+def test_temperature_mix_quotas_and_exact_total(spark):
+    """Hand-computed Hamilton apportionment: strata of 100/25/4 rows at
+    alpha=0.5 and total_k=26 give weights 10:5:2 -> bases 15/7/3, the one
+    leftover goes to the largest remainder (B) -> quotas 15/8/3; the mix
+    returns exactly those counts and is deterministic."""
+    from climatemind_ontology_processing_spark.operators.sampling import (
+        temperature_mix, temperature_quotas)
+    rows = ([(i, "A") for i in range(100)]
+            + [(1000 + i, "B") for i in range(25)]
+            + [(2000 + i, "C") for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    q = {r.stratum: r.quota
+         for r in temperature_quotas(df, "lang", 26, alpha=0.5).collect()}
+    assert q == {"A": 15, "B": 8, "C": 3}
+    out = temperature_mix(df, "lang", 26, key="doc_id", alpha=0.5).collect()
+    by = {}
+    for r in out:
+        by[r.lang] = by.get(r.lang, 0) + 1
+    assert by == q and len(out) == 26
+    again = temperature_mix(df, "lang", 26, key="doc_id", alpha=0.5).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+    # alpha=1 is proportional: A gets ~100/129 of 26
+    q1 = {r.stratum: r.quota
+          for r in temperature_quotas(df, "lang", 26, alpha=1.0).collect()}
+    assert q1["A"] > q["A"] and sum(q1.values()) == 26
+    # a tiny stratum's quota may exceed its rows; the mix yields min(n, q)
+    q2 = {r.stratum: r.quota
+          for r in temperature_quotas(df, "lang", 120, alpha=0.5).collect()}
+    assert q2["C"] > 4
+    out2 = temperature_mix(df, "lang", 120, key="doc_id", alpha=0.5).collect()
+    assert sum(1 for r in out2 if r.lang == "C") == 4
+    with pytest.raises(ValueError):
+        temperature_quotas(df, "lang", 0)
+    with pytest.raises(ValueError):
+        temperature_quotas(df, "lang", 10, alpha=0.0)
