@@ -342,3 +342,49 @@ def test_temperature_mix_quotas_and_exact_total(spark):
         temperature_quotas(df, "lang", 0)
     with pytest.raises(ValueError):
         temperature_quotas(df, "lang", 10, alpha=0.0)
+
+
+def test_take_k_stream_converges_to_batch(spark, tmp_path):
+    """Streaming exact-k per stratum: after all events are delivered, the
+    max-version selection per stratum must equal the batch
+    stratified_take_k over the union — and only strata whose cut actually
+    improved re-emit (version bumps)."""
+    from climatemind_ontology_processing_spark.operators.sampling import (
+        stratified_take_k)
+    from climatemind_ontology_processing_spark.streaming.sampling import (
+        take_k_stream)
+
+    src = str(tmp_path / "tk_in")
+    ckpt = str(tmp_path / "tk_ckpt")
+    schema = "lang string, doc_id long"
+    b1 = [("en", i) for i in range(20)] + [("de", 100 + i) for i in range(5)]
+    b2 = [("en", 200 + i) for i in range(20)]     # may improve en's cut
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (take_k_stream(stream, k=8, stratum_col="lang", key_col="doc_id",
+                       seed=7, hash_family="md5_60")
+         .writeStream.format("memory").queryName("tkq")
+         .option("checkpointLocation", ckpt)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM tkq").collect()
+    latest_ver: dict = {}
+    for r in rows:
+        latest_ver[r.stratum] = max(latest_ver.get(r.stratum, 0), r.version)
+    got = {(r.stratum, r.key) for r in rows
+           if r.version == latest_ver[r.stratum]}
+
+    batch = spark.createDataFrame(b1 + b2, schema)
+    want = {(r.lang, str(r.doc_id))
+            for r in stratified_take_k(batch, "lang", k=8, key="doc_id",
+                                       seed=7, hash_family="md5_60")
+            .collect()}
+    assert got == want
+    # de saw one delivery -> exactly one version; en improved or not, but
+    # never more versions than micro-batches
+    assert latest_ver["de"] == 1 and latest_ver["en"] <= 2
