@@ -1722,6 +1722,25 @@ def _bpe_merges_sql(rounds: int = 6) -> str:
     return "".join(parts)
 
 
+def _q_kg_diff(spark, sf_dir):
+    """KG snapshot diff — the maintenance view between two crawl epochs:
+    (subj, obj, change) with change in {'added', 'removed'} for the edge
+    sets of two deterministic trade-graph slices.  Two anti-joins, fully
+    declarative; the 'unchanged' majority never leaves the scan."""
+    trade = _trade_edges(spark, sf_dir).withColumn(
+        "_m", (F.col("src") * 31 + F.col("dst")) % 7)
+    old = trade.filter(F.col("_m").isin(0, 1)).select("src", "dst")
+    new = trade.filter(F.col("_m").isin(1, 2)).select("src", "dst")
+    added = (new.join(old, ["src", "dst"], "left_anti")
+             .withColumn("change", F.lit("added")))
+    removed = (old.join(new, ["src", "dst"], "left_anti")
+               .withColumn("change", F.lit("removed")))
+    return (added.unionByName(removed)
+            .select(F.col("src").alias("subj"), F.col("dst").alias("obj"),
+                    "change")
+            .orderBy("subj", "obj", "change"))
+
+
 def _q_temperature_mix(spark, sf_dir):
     """Temperature-flattened training mix (operators/sampling.
     temperature_mix, alpha=0.5): per-language quotas apportion exactly
@@ -2665,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_triples": _q_negative_triples,
         "k_truss": _q_k_truss,
         "temperature_mix": _q_temperature_mix,
+        "kg_diff": _q_kg_diff,
         # -- window pad: round-4 entries re-checked (harmless double cover)
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
@@ -3277,6 +3297,22 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_sql(3),
         "random_walks": _random_walks_sql(4),
         "k_truss": _k_truss_sql(4, 6),
+        "kg_diff": f"""
+            WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+            tagged AS (
+              SELECT src, dst, (src * 31 + dst) % 7 AS m FROM all_edges
+            ),
+            old AS (SELECT src, dst FROM tagged WHERE m IN (0, 1)),
+            new AS (SELECT src, dst FROM tagged WHERE m IN (1, 2))
+            SELECT src AS subj, dst AS obj, 'added' AS change
+            FROM new n WHERE NOT EXISTS (
+              SELECT 1 FROM old o WHERE o.src = n.src AND o.dst = n.dst)
+            UNION ALL
+            SELECT src, dst, 'removed'
+            FROM old o WHERE NOT EXISTS (
+              SELECT 1 FROM new n WHERE n.src = o.src AND n.dst = o.dst)
+            ORDER BY subj, obj, change
+        """,
         "temperature_mix": """
             WITH counts AS (
               SELECT lang AS stratum, count(*)::BIGINT AS n
