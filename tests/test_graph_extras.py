@@ -388,3 +388,49 @@ def test_take_k_stream_converges_to_batch(spark, tmp_path):
     # de saw one delivery -> exactly one version; en improved or not, but
     # never more versions than micro-batches
     assert latest_ver["de"] == 1 and latest_ver["en"] <= 2
+
+
+def test_warc_roundtrip_plain_gzip_and_guards(spark, tmp_path):
+    """WARC scan: byte-exact (url, ts, html) round-trip for plain AND
+    per-record-gzip-member files; non-response records skipped by type;
+    truncation and bad magic raise with offsets; the html body survives
+    multi-byte content and embedded CRLFs."""
+    import datetime as dt
+
+    from climatemind_ontology_processing_spark.sources.warc import (
+        iter_warc_records, parse_warc_responses, read_warc, write_warc,
+        write_warc_record)
+
+    recs = [
+        ("https://a.example/x", dt.datetime(2024, 1, 2, 3, 4, 5),
+         "<html><body>héllo &amp; wörld</body></html>".encode()),
+        ("https://b.example/y?q=1", dt.datetime(2024, 2, 3, 4, 5, 6),
+         b"<html>line1\r\n\r\nline2 WARC/1.0 fake-header</html>"),
+        ("https://c.example/z", dt.datetime(2024, 3, 4, 5, 6, 7),
+         b""),
+    ]
+    body = write_warc(recs) \
+        + write_warc_record("https://req.example/", recs[0][1],
+                            b"GET / HTTP/1.1", rtype="request")
+    gz = write_warc(recs, gzip_members=True)
+    assert parse_warc_responses(body) == recs
+    assert parse_warc_responses(gz) == recs
+
+    plain_dir = tmp_path / "warc_plain"
+    plain_dir.mkdir()
+    (plain_dir / "seg-00000.warc").write_bytes(body)
+    (plain_dir / "seg-00001.warc.gz").write_bytes(gz)
+    got = sorted((r.url, r.warc_ts, bytes(r.html))
+                 for r in read_warc(spark, str(plain_dir)).collect())
+    assert got == sorted(recs * 2)
+
+    # cutting mid-trailing/header -> unterminated; cutting mid-BLOCK of a
+    # lone record -> truncated; both loud
+    with __import__("pytest").raises(ValueError,
+                                     match="truncated|unterminated"):
+        list(iter_warc_records(body[:-20]))
+    one = write_warc(recs[:1])
+    with __import__("pytest").raises(ValueError, match="truncated"):
+        list(iter_warc_records(one[:-10]))
+    with __import__("pytest").raises(ValueError, match="expected WARC"):
+        list(iter_warc_records(b"NOT-A-WARC\r\n\r\n"))
