@@ -434,3 +434,38 @@ def test_warc_roundtrip_plain_gzip_and_guards(spark, tmp_path):
         list(iter_warc_records(one[:-10]))
     with __import__("pytest").raises(ValueError, match="expected WARC"):
         list(iter_warc_records(b"NOT-A-WARC\r\n\r\n"))
+
+
+def test_warc_feeds_extraction_pipeline(spark, tmp_path):
+    """End-to-end ingest: synthetic pages serialized to WARC (gzip
+    members), scanned back with read_warc, and run through the SAME fused
+    html->text->triples extraction — the triple set must equal the direct
+    pages_df path (byte-identity of html through the WARC wire format)."""
+    from climatemind_ontology_processing_spark.plans.pipeline import (
+        triples_from_pages)
+    from climatemind_ontology_processing_spark.sources.pages import gen_row
+    from climatemind_ontology_processing_spark.sources.warc import (
+        read_warc, write_warc)
+
+    rows = [gen_row(42, i) for i in range(40)]
+    warc = write_warc([(r[0], r[1], r[2]) for r in rows], gzip_members=True)
+    d = tmp_path / "warc_pipe"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(warc)
+
+    pages = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    direct = {(r.subj, r.pred, r.obj)
+              for r in triples_from_pages(pages).collect()}
+
+    # WARC carries no lang; tag it the way an ingest pipeline would
+    # (language id after extraction) — here via the known url->lang map
+    langs = spark.createDataFrame([(r[0], r[4]) for r in rows],
+                                  "url string, lang string")
+    scanned = (read_warc(spark, str(d))
+               .join(F.broadcast(langs), "url")
+               .withColumn("text", F.lit("")))
+    via_warc = {(r.subj, r.pred, r.obj)
+                for r in triples_from_pages(scanned).collect()}
+    assert via_warc == direct and direct
