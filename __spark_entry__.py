@@ -1741,6 +1741,23 @@ def _q_kg_diff(spark, sf_dir):
             .orderBy("subj", "obj", "change"))
 
 
+def _q_dsir_scores(spark, sf_dir):
+    """DSIR data selection (operators/dsir.py — Xie et al. 2023): rank raw
+    documents by hashed-unigram+bigram importance log-weight against the
+    src1-3 target slice; top 50 by (score desc, doc_id).  alpha=1/2
+    rational smoothing keeps every probability a ratio of BIGINTs, the
+    per-bucket log-ratio is micro-BIGINT rounded, and all doc-level sums
+    are integer arithmetic — engine-exact; md5_60 buckets so the oracle
+    replays the feature map."""
+    from climatemind_ontology_processing_spark.operators.dsir import (
+        dsir_select)
+    docs = _read(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("source").isin("src1", "src2", "src3"))
+    raw = docs.filter(~F.col("source").isin("src1", "src2", "src3"))
+    return (dsir_select(raw, tgt, 50, buckets=512, hash_family="md5_60")
+            .withColumnRenamed("id", "doc_id"))
+
+
 def _q_temperature_mix(spark, sf_dir):
     """Temperature-flattened training mix (operators/sampling.
     temperature_mix, alpha=0.5): per-language quotas apportion exactly
@@ -2685,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": _q_k_truss,
         "temperature_mix": _q_temperature_mix,
         "kg_diff": _q_kg_diff,
+        "dsir_scores": _q_dsir_scores,
         # -- window pad: round-4 entries re-checked (harmless double cover)
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
@@ -3312,6 +3330,76 @@ def oracle_sql() -> dict[str, str]:
             FROM old o WHERE NOT EXISTS (
               SELECT 1 FROM new n WHERE n.src = o.src AND n.dst = o.dst)
             ORDER BY subj, obj, change
+        """,
+        "dsir_scores": r"""
+            WITH tgtdocs AS (
+              SELECT doc_id, text FROM documents
+              WHERE source IN ('src1', 'src2', 'src3')),
+            rawdocs AS (
+              SELECT doc_id, text FROM documents
+              WHERE source NOT IN ('src1', 'src2', 'src3')),
+            rtoks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS t
+              FROM rawdocs),
+            ttoks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS t
+              FROM tgtdocs),
+            rng AS (
+              SELECT doc_id,
+                     unnest(t || list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1])) AS g
+              FROM rtoks),
+            tng AS (
+              SELECT doc_id,
+                     unnest(t || list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1])) AS g
+              FROM ttoks),
+            rfeat AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(g), 1, 15))::BIGINT % 512
+                       AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM rng GROUP BY 1, 2),
+            tfeat AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(g), 1, 15))::BIGINT % 512
+                       AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM tng GROUP BY 1, 2),
+            tcb AS (SELECT bucket, sum(cnt)::BIGINT AS tc
+                    FROM tfeat GROUP BY bucket),
+            rcb AS (SELECT bucket, sum(cnt)::BIGINT AS rc
+                    FROM rfeat GROUP BY bucket),
+            consts AS (
+              SELECT (SELECT coalesce(sum(cnt), 0) FROM tfeat)::BIGINT AS tt,
+                     (SELECT coalesce(sum(cnt), 0) FROM rfeat)::BIGINT AS rr),
+            ratios AS (
+              SELECT coalesce(tcb.bucket, rcb.bucket) AS bucket,
+                     CAST(round(1e6 * round(
+                       ln(2 * coalesce(tc, 0) + 1) - ln(2 * c.tt + 512)
+                       - ln(2 * coalesce(rc, 0) + 1) + ln(2 * c.rr + 512),
+                       6)) AS BIGINT) AS micro
+              FROM tcb FULL OUTER JOIN rcb ON tcb.bucket = rcb.bucket
+              CROSS JOIN consts c),
+            scored AS (
+              SELECT f.doc_id,
+                     sum(f.cnt * r.micro)::BIGINT AS score_micro,
+                     sum(f.cnt)::BIGINT AS n_ngrams
+              FROM rfeat f JOIN ratios r USING (bucket) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(s.score_micro, 0) AS score_micro,
+                   coalesce(s.n_ngrams, 0) AS n_ngrams
+            FROM rawdocs d LEFT JOIN scored s USING (doc_id)
+            WHERE coalesce(s.n_ngrams, 0) >= 1
+            ORDER BY score_micro DESC, doc_id LIMIT 50
         """,
         "temperature_mix": """
             WITH counts AS (
