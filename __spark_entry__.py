@@ -1758,6 +1758,22 @@ def _q_dsir_scores(spark, sf_dir):
             .withColumnRenamed("id", "doc_id"))
 
 
+def _q_landmark_distances(spark, sf_dir):
+    """Landmark distance index (operators/paths.landmark_distances —
+    Potamias et al. 2009): exact hop distances from every trade-graph node
+    to the 3 highest-degree landmarks (deterministic degree-desc/id-asc
+    pick), all landmark relaxations running concurrently in ONE
+    (landmark, id)-keyed min-plus loop.  The stored index answers arbitrary
+    point-to-point distance queries with one join (landmark_estimate) —
+    the 100 TB substitute for per-query BFS.  Oracle unrolls the
+    relaxation rounds."""
+    from climatemind_ontology_processing_spark.operators.paths import (
+        landmark_distances)
+    edges = _trade_edges(spark, sf_dir)
+    return (landmark_distances(edges, num_landmarks=3)
+            .orderBy("landmark", "id"))
+
+
 def _q_temperature_mix(spark, sf_dir):
     """Temperature-flattened training mix (operators/sampling.
     temperature_mix, alpha=0.5): per-language quotas apportion exactly
@@ -1785,6 +1801,39 @@ def _q_k_truss(spark, sf_dir):
             .select(F.col("lo").cast("int").alias("lo"),
                     F.col("hi").cast("int").alias("hi"))
             .orderBy("lo", "hi"))
+
+
+def _landmark_sql(n_landmarks: int = 3, rounds: int = 8) -> str:
+    """Unrolled concurrent multi-landmark BFS (same relaxation algebra as
+    _shortest_paths_sql, composite (landmark, id) key).  Past the fixpoint
+    extra rounds are no-ops, so ``rounds`` only needs to COVER the real hop
+    diameter (trade graph: <= 3; verified at both SFs)."""
+    steps = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        cur = f"d{i}"
+        steps.append(f"""
+        {cur} AS MATERIALIZED (
+          SELECT landmark, id, min(dist)::BIGINT AS dist FROM (
+            SELECT landmark, id, dist FROM {prev}
+            UNION ALL
+            SELECT p.landmark, e.b AS id, p.dist + 1 AS dist
+            FROM {prev} p JOIN sym e ON e.a = p.id)
+          GROUP BY landmark, id)""")
+        prev = cur
+    return f"""
+        WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+        sym AS MATERIALIZED (
+          SELECT src AS a, dst AS b FROM all_edges
+          UNION
+          SELECT dst, src FROM all_edges),
+        deg AS (SELECT a, count(*)::BIGINT AS deg FROM sym GROUP BY a),
+        lm AS (SELECT a AS id FROM deg
+               ORDER BY deg DESC, a ASC LIMIT {n_landmarks}),
+        d0 AS (SELECT id AS landmark, id, 0::BIGINT AS dist FROM lm),
+        {",".join(steps)}
+        SELECT landmark, id, dist FROM {prev} ORDER BY landmark, id
+    """
 
 
 def _k_truss_sql(k: int = 4, rounds: int = 6) -> str:
@@ -2703,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _q_temperature_mix,
         "kg_diff": _q_kg_diff,
         "dsir_scores": _q_dsir_scores,
+        "landmark_distances": _q_landmark_distances,
         # -- window pad: round-4 entries re-checked (harmless double cover)
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
@@ -3315,6 +3365,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_sql(3),
         "random_walks": _random_walks_sql(4),
         "k_truss": _k_truss_sql(4, 6),
+        "landmark_distances": _landmark_sql(3, 8),
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (

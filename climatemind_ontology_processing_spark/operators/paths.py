@@ -83,3 +83,100 @@ def shortest_paths(edges: DataFrame, seeds: DataFrame | list,
             f"shortest_paths did not converge within max_rounds={max_rounds} "
             "— the graph's hop diameter exceeds the cap; raise max_rounds")
     return dist
+
+
+# ---------------------------------------------------------------------------
+# landmark distance index (Potamias et al., CIKM 2009)
+# ---------------------------------------------------------------------------
+def pick_landmarks(edges: DataFrame, num_landmarks: int,
+                   src: str = "src", dst: str = "dst") -> DataFrame:
+    """The ``num_landmarks`` highest-degree nodes (undirected distinct
+    neighbors; ties broken by id ascending — deterministic).  Degree is the
+    published landmark-selection heuristic that beats random picks for
+    estimation error; the whole selection is one keys-only distinct + count
+    + TakeOrdered."""
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                 & (F.col("a") != F.col("b"))))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    return (deg.orderBy(F.desc("deg"), F.asc("a"))
+            .limit(int(num_landmarks)).select(F.col("a").alias("id")))
+
+
+def landmark_distances(edges: DataFrame, num_landmarks: int = 16,
+                       src: str = "src", dst: str = "dst",
+                       weight: str | None = None, undirected: bool = True,
+                       landmarks: DataFrame | None = None,
+                       max_rounds: int = 100) -> DataFrame:
+    """(landmark, id, dist) — exact shortest-path distance from every node
+    to each of k landmarks: the 2-hop DISTANCE INDEX that answers arbitrary
+    point-to-point distance queries at 100 TB scale, where per-query BFS is
+    unaffordable.  Store k·N rows once; estimate any d(u, v) with one join
+    (``landmark_estimate``: min over L of d(u,L) + d(L,v), an upper bound
+    that is exact whenever a shortest path passes a landmark).
+
+    All k relaxations run CONCURRENTLY in one plan — the loop state is one
+    table keyed by (landmark, id), so each round is still ONE shuffle
+    (map-side-combinable min on the composite key), not k sequential BFS
+    jobs.  Payload per round is (landmark, id, dist) triples only.  Weights
+    follow ``shortest_paths`` semantics (None = hop count; integral
+    non-negative otherwise — reuse it for validation if needed).  Loud
+    non-convergence, same as every iterative operator here."""
+    w = (F.col(weight).cast("long") if weight is not None
+         else F.lit(1).cast("long"))
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                      w.alias("w"))
+         .filter(F.col("u").isNotNull() & F.col("v").isNotNull()))
+    if undirected:
+        e = e.unionByName(e.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v"), "w"))
+    e = _checkpoint(e.distinct())
+    if not e.filter(F.col("w") < 0).isEmpty():
+        raise ValueError("negative edge weights not supported")
+    if landmarks is None:
+        landmarks = pick_landmarks(edges, num_landmarks, src, dst)
+    dist = _checkpoint(landmarks.select(
+        F.col("id").alias("landmark"), F.col("id"),
+        F.lit(0).cast("long").alias("dist")))
+    converged = False
+    for _ in range(max_rounds):
+        relaxed = (e.join(dist.withColumnRenamed("id", "u"), "u")
+                   .select("landmark", F.col("v").alias("id"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        new = (dist.unionByName(relaxed)
+               .groupBy("landmark", "id").agg(F.min("dist").alias("dist")))
+        new = _checkpoint(new)
+        changed = (new.join(dist.withColumnsRenamed({"dist": "old"}),
+                            ["landmark", "id"], "left")
+                   .filter(F.col("old").isNull() |
+                           (F.col("dist") != F.col("old"))))
+        dist = new
+        if changed.isEmpty():
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"landmark_distances did not converge within "
+            f"max_rounds={max_rounds} — raise max_rounds")
+    return dist
+
+
+def landmark_estimate(dists: DataFrame, pairs: DataFrame,
+                      a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """(a, b, est) distance estimates for query ``pairs`` via the landmark
+    index: est = min over landmarks of d(a,L) + d(L,b).  Triangle
+    inequality makes est an UPPER bound on the true distance, exact when a
+    shortest path touches a landmark (and always when a or b IS one).
+    Pairs with no landmark reachable from both sides get est NULL —
+    visibly unknown, never a fake infinity.  Two equi-joins against the
+    index; the pair side is typically the small one (broadcast-able)."""
+    da = dists.select("landmark", F.col("id").alias(a_col),
+                      F.col("dist").alias("_da"))
+    db = dists.select("landmark", F.col("id").alias(b_col),
+                      F.col("dist").alias("_db"))
+    est = (pairs.join(da, a_col).join(db, ["landmark", b_col])
+           .groupBy(a_col, b_col)
+           .agg(F.min(F.col("_da") + F.col("_db")).alias("est")))
+    return pairs.join(est, [a_col, b_col], "left")
