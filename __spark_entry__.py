@@ -1774,6 +1774,61 @@ def _q_landmark_distances(spark, sf_dir):
             .orderBy("landmark", "id"))
 
 
+def _tpch_kg_triples(spark, sf_dir):
+    """Multi-predicate KG derived from the TPC-H tables — the rule-mining
+    substrate: in_nation (customers+suppliers), in_region (nations),
+    located_in (customer->region ground truth), buys_from (distinct
+    customer->supplier trade)."""
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+
+    def ent(tag, col):
+        return F.concat(F.lit(tag), F.col(col).cast("string"))
+
+    cn = c.select(ent("c:", "c_custkey").alias("subj"),
+                  F.lit("in_nation").alias("pred"),
+                  ent("n:", "c_nationkey").alias("obj"))
+    sn = s.select(ent("s:", "s_suppkey").alias("subj"),
+                  F.lit("in_nation").alias("pred"),
+                  ent("n:", "s_nationkey").alias("obj"))
+    nr = n.select(ent("n:", "n_nationkey").alias("subj"),
+                  F.lit("in_region").alias("pred"),
+                  ent("r:", "n_regionkey").alias("obj"))
+    cr = (c.join(n, c.c_nationkey == n.n_nationkey)
+          .select(ent("c:", "c_custkey").alias("subj"),
+                  F.lit("located_in").alias("pred"),
+                  ent("r:", "n_regionkey").alias("obj")))
+    bf = (o.join(c, o.o_custkey == c.c_custkey)
+          .join(l, l.l_orderkey == o.o_orderkey)
+          .join(s, l.l_suppkey == s.s_suppkey)
+          .select(ent("c:", "c_custkey").alias("subj"),
+                  F.lit("buys_from").alias("pred"),
+                  ent("s:", "s_suppkey").alias("obj"))
+          .distinct())
+    return cn.unionByName(sn).unionByName(nr).unionByName(cr).unionByName(bf)
+
+
+def _q_rule_mining(spark, sf_dir):
+    """AMIE-style 2-chain horn rules (operators/rules.mine_chain_rules,
+    Galarraga et al. 2013) over the TPC-H KG: one z-keyed self-join,
+    distinct (x, y) witnesses, head join, integer micro confidence
+    (support*1e6 DIV n_body — truncating division, identical in both
+    engines).  The planted ground truth in_nation o in_region =>
+    located_in surfaces at conf 937500 = 1500/1600 (suppliers contribute
+    body chains but no located_in heads — textbook CWA confidence
+    dilution).  Registered with max_fanout=None
+    (guard OFF, exact all-pairs semantics — the hub cap is pinned by
+    pytest, same split as minhash_lsh_pairs)."""
+    from climatemind_ontology_processing_spark.operators.rules import (
+        mine_chain_rules)
+    trip = _tpch_kg_triples(spark, sf_dir)
+    return (mine_chain_rules(trip, min_support=5, max_fanout=None)
+            .orderBy("p", "q", "head"))
+
+
 def _q_temperature_mix(spark, sf_dir):
     """Temperature-flattened training mix (operators/sampling.
     temperature_mix, alpha=0.5): per-language quotas apportion exactly
@@ -2753,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diff": _q_kg_diff,
         "dsir_scores": _q_dsir_scores,
         "landmark_distances": _q_landmark_distances,
+        "rule_mining": _q_rule_mining,
         # -- window pad: round-4 entries re-checked (harmless double cover)
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
@@ -3366,6 +3422,44 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_sql(4),
         "k_truss": _k_truss_sql(4, 6),
         "landmark_distances": _landmark_sql(3, 8),
+        "rule_mining": """
+            WITH triples AS MATERIALIZED (
+              SELECT 'c:' || c_custkey AS subj, 'in_nation' AS pred,
+                     'n:' || c_nationkey AS obj FROM customer
+              UNION ALL
+              SELECT 's:' || s_suppkey, 'in_nation', 'n:' || s_nationkey
+              FROM supplier
+              UNION ALL
+              SELECT 'n:' || n_nationkey, 'in_region', 'r:' || n_regionkey
+              FROM nation
+              UNION ALL
+              SELECT 'c:' || c_custkey, 'located_in', 'r:' || n_regionkey
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              UNION ALL
+              SELECT DISTINCT 'c:' || c.c_custkey, 'buys_from',
+                     's:' || s.s_suppkey
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            ),
+            body AS MATERIALIZED (
+              SELECT DISTINCT b1.pred AS p, b2.pred AS q,
+                              b1.subj AS x, b2.obj AS y
+              FROM triples b1 JOIN triples b2 ON b1.obj = b2.subj),
+            nb AS (SELECT p, q, count(*)::BIGINT AS n_body
+                   FROM body GROUP BY p, q),
+            heads AS (SELECT DISTINCT subj AS x, pred AS head, obj AS y
+                      FROM triples),
+            sup AS (
+              SELECT p, q, head, count(*)::BIGINT AS support
+              FROM body JOIN heads USING (x, y)
+              GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+            SELECT s.p, s.q, s.head, s.support, nb.n_body,
+                   (s.support * 1000000) // nb.n_body AS conf_micro
+            FROM sup s JOIN nb USING (p, q)
+            ORDER BY p, q, head
+        """,
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (
