@@ -1811,6 +1811,19 @@ def _tpch_kg_triples(spark, sf_dir):
     return cn.unionByName(sn).unionByName(nr).unionByName(cr).unionByName(bf)
 
 
+def _q_sampled_betweenness(spark, sf_dir):
+    """Sampled Brandes betweenness (operators/betweenness.py — Brandes
+    2001 / Brandes & Pich 2007) over the trade graph, 4 md5-ordered
+    deterministic sources: concurrent forward BFS with exact BIGINT path
+    counts, level-descending micro-BIGINT dependency accumulation.  The
+    oracle unrolls both phases with the identical per-term truncation, so
+    the scores hash-match exactly."""
+    from climatemind_ontology_processing_spark.operators.betweenness import (
+        sampled_betweenness)
+    edges = _trade_edges(spark, sf_dir)
+    return sampled_betweenness(edges, num_sources=4).orderBy("id")
+
+
 def _q_rule_mining(spark, sf_dir):
     """AMIE-style 2-chain horn rules (operators/rules.mine_chain_rules,
     Galarraga et al. 2013) over the TPC-H KG: one z-keyed self-join,
@@ -1856,6 +1869,61 @@ def _q_k_truss(spark, sf_dir):
             .select(F.col("lo").cast("int").alias("lo"),
                     F.col("hi").cast("int").alias("hi"))
             .orderBy("lo", "hi"))
+
+
+def _betweenness_sql(n_sources: int = 4, levels: int = 5) -> str:
+    """Unrolled Brandes: forward BFS-with-sigma rounds f1..fL (past the
+    eccentricity the frontier is empty and rounds are no-ops), then
+    backward dependency levels dL..d0 with the identical micro truncation
+    (sigma_v * (1e6 + delta_w)) // sigma_w the Spark operator uses."""
+    fwd = []
+    prev = "f0"
+    for i in range(1, levels + 1):
+        cur = f"f{i}"
+        fwd.append(f"""
+        {cur} AS MATERIALIZED (
+          SELECT * FROM {prev}
+          UNION ALL
+          SELECT fr.s, e.b AS v, {i} AS dist, sum(fr.sigma)::BIGINT AS sigma
+          FROM {prev} fr JOIN sym e ON e.a = fr.v
+          WHERE fr.dist = {i - 1}
+            AND NOT EXISTS (SELECT 1 FROM {prev} x
+                            WHERE x.s = fr.s AND x.v = e.b)
+          GROUP BY fr.s, e.b)""")
+        prev = cur
+    final = prev
+    bwd = [f"""
+        d{levels} AS (SELECT s, v, sigma, 0::BIGINT AS delta
+                      FROM {final} WHERE dist = {levels})"""]
+    for l in range(levels - 1, -1, -1):
+        bwd.append(f"""
+        d{l} AS MATERIALIZED (
+          SELECT f.s, f.v, f.sigma,
+                 coalesce(sum((f.sigma * (1000000 + t.tdelta)) // t.tsigma),
+                          0)::BIGINT AS delta
+          FROM (SELECT * FROM {final} WHERE dist = {l}) f
+          LEFT JOIN (SELECT e.a AS a, w.s AS ws, w.sigma AS tsigma,
+                            w.delta AS tdelta
+                     FROM sym e JOIN d{l + 1} w ON w.v = e.b) t
+            ON t.a = f.v AND t.ws = f.s
+          GROUP BY f.s, f.v, f.sigma)""")
+    union = " UNION ALL ".join(f"SELECT * FROM d{l}"
+                               for l in range(levels + 1))
+    return f"""
+        WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+        sym AS MATERIALIZED (
+          SELECT src AS a, dst AS b FROM all_edges
+          UNION
+          SELECT dst, src FROM all_edges),
+        srcs AS (SELECT a AS id FROM (SELECT DISTINCT a FROM sym)
+                 ORDER BY md5(id::VARCHAR), id LIMIT {n_sources}),
+        f0 AS (SELECT id AS s, id AS v, 0 AS dist, 1::BIGINT AS sigma
+               FROM srcs),
+        {",".join(fwd)},
+        {",".join(bwd)}
+        SELECT v AS id, sum(delta)::BIGINT AS bc_micro
+        FROM ({union}) u WHERE v <> s GROUP BY v ORDER BY id
+    """
 
 
 def _landmark_sql(n_landmarks: int = 3, rounds: int = 8) -> str:
@@ -2809,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": _q_dsir_scores,
         "landmark_distances": _q_landmark_distances,
         "rule_mining": _q_rule_mining,
+        "sampled_betweenness": _q_sampled_betweenness,
         # -- window pad: round-4 entries re-checked (harmless double cover)
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
@@ -3422,6 +3491,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_sql(4),
         "k_truss": _k_truss_sql(4, 6),
         "landmark_distances": _landmark_sql(3, 8),
+        "sampled_betweenness": _betweenness_sql(4, 5),
         "rule_mining": """
             WITH triples AS MATERIALIZED (
               SELECT 'c:' || c_custkey AS subj, 'in_nation' AS pred,
