@@ -115,6 +115,10 @@ def main() -> None:
         # composed IVF+PQ ANN, label-propagation communities
         "paragraph_dedup", "duplicate_spans", "ivfpq_topk",
         "label_propagation",
+        # round-5 additions: DSIR data selection, AMIE chain rules,
+        # sampled Brandes betweenness, landmark distance index
+        "dsir_scores", "rule_mining", "sampled_betweenness",
+        "landmark_distances",
     ]
     qs = entrymod.queries()
     for name in headline:
