@@ -468,3 +468,52 @@ def k_truss(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
     raise RuntimeError(
         f"k_truss did not converge within max_rounds={max_rounds} "
         f"(still {n_prev} edges) — raise max_rounds")
+
+
+def wl_colors(edges: DataFrame, rounds: int = 3, src: str = "src",
+              dst: str = "dst", checkpoint_every: int = 2) -> DataFrame:
+    """Weisfeiler-Lehman color refinement (Weisfeiler & Lehman 1968; the
+    WL-kernel form of Shervashidze et al. 2011) over the undirected
+    graph: per round every node's color becomes a hash of (own color,
+    sorted multiset of neighbor colors).  After k rounds, equal colors
+    == equal k-hop unfolding trees — the structural-role signature used
+    for KG entity deduplication blocking (same-role concepts collide)
+    and as a graph-isomorphism invariant.
+
+    Colors are md5-60 BIGINTs (``conv(substring(md5(sig),1,15),16,10)``)
+    so an unrolled-round DuckDB oracle replays them bit-for-bit; the
+    signature string is ``prev|c1,c2,...`` with neighbor colors sorted
+    NUMERICALLY (sort_array on the bigint array; oracle uses
+    ``string_agg(... ORDER BY color)``).  Initial color = degree.
+
+    Shuffle shape per round: one symmetric-edge join against the (id,
+    color) state + one groupBy(id) collect_list — O(E) rows, state is
+    O(V).  collect_list per node is degree-bounded; for mega-hub graphs
+    the signature string is O(max_degree) — same memory envelope as the
+    neighbor-collect in ``label_propagation``.  Returns (id, color).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = undirected_canonical(edges, src, dst).localCheckpoint(eager=True)
+    sym = (e.select(F.col("lo").alias("id"), F.col("hi").alias("nbr"))
+           .unionByName(
+               e.select(F.col("hi").alias("id"), F.col("lo").alias("nbr"))))
+    state = (sym.groupBy("id").agg(F.count("*").cast("long").alias("color"))
+             .localCheckpoint(eager=True))
+    for i in range(rounds):
+        sig = (sym.join(state.select(F.col("id").alias("nbr"),
+                                     F.col("color").alias("nc")), "nbr")
+               .groupBy("id")
+               .agg(F.array_join(
+                   F.transform(F.sort_array(F.collect_list("nc")),
+                               lambda x: x.cast("string")), ",")
+                    .alias("nbrs")))
+        state = (state.join(sig, "id")
+                 .select("id",
+                         F.conv(F.substring(
+                             F.md5(F.concat_ws("|", F.col("color").cast("string"),
+                                               F.col("nbrs"))), 1, 15),
+                             16, 10).cast("long").alias("color")))
+        if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
+            state = state.localCheckpoint(eager=True)
+    return state

@@ -83,3 +83,81 @@ def negative_triples(triples: DataFrame, k: int = 2, buckets: int = 64,
                       ["s", "p", "o_neg"], "left_anti"))
     return filtered.select(F.col("s").alias(s), F.col("p").alias(p),
                            F.col("o").alias(o), "o_neg", "j")
+
+
+def hash_embeddings(ids: DataFrame, dim: int = 8, prefix: str = "e",
+                    modulus: int = 1009, hash_family: str = "md5_60",
+                    id_col: str = "id") -> DataFrame:
+    """Deterministic integer 'embeddings': element i of id's vector is
+    ``md5_60(prefix|id|i) % modulus`` — a BIGINT in [0, modulus).  Used by
+    ``transe_rank_eval`` so the whole ranking protocol is engine-exact
+    (no float training state inside a hash-compared query); swap in real
+    trained vectors for production scoring, the plan shape is identical."""
+    # pmod: xxhash64 is signed, plain % would yield negative elements
+    elems = [F.pmod(_h(F.concat_ws("|", F.lit(prefix),
+                                   F.col(id_col).cast("string"),
+                                   F.lit(str(i))), hash_family),
+                    F.lit(modulus))
+             for i in range(dim)]
+    return ids.select(F.col(id_col).alias("id"), F.array(*elems).alias("emb"))
+
+
+def transe_rank_eval(triples: DataFrame, dim: int = 8, modulus: int = 1009,
+                     k_hits: int = 10, max_candidates: int = 100_000,
+                     hash_family: str = "md5_60", s: str = "subj",
+                     p: str = "pred", o: str = "obj") -> DataFrame:
+    """Link-prediction ranking evaluation (the TransE eval protocol,
+    Bordes et al. 2013): for every triple (h, r, t), score ALL entities
+    as candidate tails with the L1 translation distance
+    ``sum_i |h_i + r_i - t_i|`` and report the RAW rank of the true tail
+    (1 = best; ties break toward smaller candidate id, so the rank is
+    deterministic).  Returns (subj, pred, obj, rank, hit) with ``hit`` =
+    1 if rank <= k_hits.
+
+    All-candidate ranking is the published eval protocol and is
+    inherently |triples| x |entities|; the entity side is broadcast (it
+    is vocabulary-sized) and ``max_candidates`` guards against feeding a
+    corpus-sized id set — at 10^12-triple scale you evaluate on a
+    sampled test slice and/or rank against ``negative_triples``
+    corruptions instead of the full vocabulary (same join, smaller
+    candidate side).  Integer vectors (``hash_embeddings``) keep every
+    score a BIGINT: no float, no summation-order drift.
+    """
+    ents = (triples.select(F.col(s).alias("id"))
+            .unionByName(triples.select(F.col(o).alias("id")))
+            .distinct())
+    n = ents.count()
+    if n > max_candidates:
+        raise ValueError(
+            f"{n} candidate entities > max_candidates={max_candidates}; "
+            "rank against sampled corruptions at this scale")
+    ent_emb = hash_embeddings(ents, dim, "e", modulus, hash_family)
+    rel_emb = hash_embeddings(triples.select(F.col(p).alias("id")).distinct(),
+                              dim, "r", modulus, hash_family)
+
+    def l1(h, r, t):
+        trans = F.zip_with(h, r, lambda a, b: a + b)
+        return F.aggregate(F.zip_with(trans, t, lambda a, b: F.abs(a - b)),
+                           F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    base = (triples.select(s, p, o)
+            .join(F.broadcast(ent_emb.select(F.col("id").alias(s),
+                                             F.col("emb").alias("h_emb"))), s)
+            .join(F.broadcast(rel_emb.select(F.col("id").alias(p),
+                                             F.col("emb").alias("r_emb"))), p))
+    cands = (base.crossJoin(F.broadcast(
+                ent_emb.select(F.col("id").alias("cand"),
+                               F.col("emb").alias("c_emb"))))
+             .select(s, p, o, "cand",
+                     l1(F.col("h_emb"), F.col("r_emb"), F.col("c_emb"))
+                     .alias("score")))
+    better = (F.col("score") < F.col("true_score")) | \
+             ((F.col("score") == F.col("true_score")) &
+              (F.col("cand") < F.col(o)))
+    trues = (cands.filter(F.col("cand") == F.col(o))
+             .select(s, p, o, F.col("score").alias("true_score")))
+    return (cands.join(trues, [s, p, o])
+            .groupBy(s, p, o)
+            .agg((F.lit(1) + F.sum(better.cast("long"))).alias("rank"))
+            .select(s, p, o, "rank",
+                    (F.col("rank") <= k_hits).cast("int").alias("hit")))

@@ -101,3 +101,58 @@ def apply_chain_rules(triples: DataFrame, rules: DataFrame,
                     "conf_micro"))
     existing = triples.select("subj", "pred", "obj").distinct()
     return cand.join(existing, ["subj", "pred", "obj"], "left_anti")
+
+
+def pred_signatures(triples: DataFrame, s: str = "subj", p: str = "pred",
+                    o: str = "obj", type_sep: str = ":") -> DataFrame:
+    """Schema induction over the raw triple table: one signature row per
+    predicate — the statistics AMIE-style systems precompute to direct
+    rule search and that entity-typing uses as an induced domain/range
+    (the reference encodes its schema by hand in OWL; a web-extracted KG
+    must recover it from the data).
+
+    Per predicate: ``n_triples``, ``n_subj``/``n_obj`` (distinct),
+    ``fun_micro``  = n_subj * 1e6 DIV n_triples (Galarraga functionality;
+    1e6 == perfectly functional) and ``inv_fun_micro`` likewise for
+    objects — truncating integer division, engine-exact; plus
+    ``subj_type``/``obj_type``: the modal entity-type prefix (text before
+    ``type_sep``, the 'c:'/'n:'/... convention of the KG builders), ties
+    broken type-asc so the mode is deterministic.
+
+    Plan shape: the counts are ONE groupBy(pred) with distinct-count
+    expansion; each modal type is a (pred, type) count + a
+    predicate-keyed max_by — all keys-only aggregations over the scan,
+    predicate cardinality is schema-sized so the final join is a
+    broadcast.
+    """
+    t = triples.select(F.col(s).alias("s"), F.col(p).alias("p"),
+                       F.col(o).alias("o"))
+    counts = (t.groupBy("p").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("s").alias("n_subj"),
+        F.countDistinct("o").alias("n_obj")))
+
+    def modal(col, out):
+        ty = F.coalesce(F.substring_index(F.col(col), type_sep, 1),
+                        F.lit(""))
+        per = (t.groupBy("p", ty.alias("ty"))
+               .agg(F.count("*").alias("n")))
+        # max_by with a deterministic composite: biggest n, then ty asc.
+        # Encode as struct ordering: (n, negated-lex ty) is awkward —
+        # use two-stage min_by over (-n, ty) struct instead.
+        return (per.groupBy("p")
+                .agg(F.min_by("ty", F.struct((-F.col("n")).alias("a"),
+                                             F.col("ty").alias("b")))
+                     .alias(out)))
+
+    return (counts
+            .join(F.broadcast(modal("s", "subj_type")), "p")
+            .join(F.broadcast(modal("o", "obj_type")), "p")
+            .select(F.col("p").alias("pred"), "n_triples", "n_subj", "n_obj",
+                    # integer DIV end-to-end: a truncated double quotient
+                    # can flip at exact boundaries (CLAUDE.md cast lesson)
+                    F.expr("n_subj * 1000000L DIV n_triples")
+                    .alias("fun_micro"),
+                    F.expr("n_obj * 1000000L DIV n_triples")
+                    .alias("inv_fun_micro"),
+                    "subj_type", "obj_type"))
