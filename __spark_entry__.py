@@ -75,6 +75,25 @@ _TRADE_SQL = """
   WHERE c.c_nationkey <> s.s_nationkey
 """
 
+# DuckDB mirror of _tpch_kg_triples (body of a `triples AS (...)` CTE).
+_KG_SQL = """
+  SELECT 'c:' || c_custkey AS subj, 'in_nation' AS pred,
+         'n:' || c_nationkey AS obj FROM customer
+  UNION ALL
+  SELECT 's:' || s_suppkey, 'in_nation', 'n:' || s_nationkey FROM supplier
+  UNION ALL
+  SELECT 'n:' || n_nationkey, 'in_region', 'r:' || n_regionkey FROM nation
+  UNION ALL
+  SELECT 'c:' || c_custkey, 'located_in', 'r:' || n_regionkey
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT DISTINCT 'c:' || c.c_custkey, 'buys_from', 's:' || s.s_suppkey
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+"""
+
 
 # ---------------------------------------------------------------------------
 # flagship
@@ -1871,6 +1890,65 @@ def _q_k_truss(spark, sf_dir):
             .orderBy("lo", "hi"))
 
 
+def _q_motif_matches(spark, sf_dir):
+    """Basic-graph-pattern matching (operators/motifs.match_motif — the
+    GraphFrames find() / SPARQL BGP shape): the located_in closure
+    triangle over the TPC-H KG with a PREDICATE VARIABLE on the closing
+    edge — (x)-[in_nation]->(n); (n)-[in_region]->(r); (x)-[?p]->(r).
+    Exercises selectivity reordering, pred-literal pushdown, pred-var
+    binding and the distinct-vars (isomorphism) filters; the oracle is
+    the equivalent three-way self-join."""
+    from climatemind_ontology_processing_spark.operators.motifs import (
+        match_motif)
+    trip = _tpch_kg_triples(spark, sf_dir)
+    return (match_motif(
+        trip,
+        "(x)-[in_nation]->(n); (n)-[in_region]->(r); (x)-[?p]->(r)")
+        .orderBy("x", "n", "r", "p"))
+
+
+def _q_wl_colors(spark, sf_dir):
+    """Weisfeiler-Lehman color refinement (operators/graphstats.wl_colors,
+    2 rounds) over the trade graph: per round color = md5_60 of
+    (own color | numerically-sorted neighbor colors).  The oracle unrolls
+    both rounds as CTEs with string_agg(... ORDER BY color) — colors are
+    BIGINTs in both engines, so the hash match is bit-exact."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        wl_colors)
+    edges = _trade_edges(spark, sf_dir)
+    return (wl_colors(edges, rounds=2)
+            .select(F.col("id").cast("int").alias("id"), "color")
+            .orderBy("id"))
+
+
+def _q_transe_ranks(spark, sf_dir):
+    """TransE link-prediction rank evaluation (operators/negatives.
+    transe_rank_eval, Bordes et al. 2013) over the supplier/nation/region
+    slice of the TPC-H KG: every entity scored as candidate tail with the
+    integer L1 translation distance on md5_60 hash embeddings (dim 8,
+    mod 1009), raw rank of the true tail, hits@10.  Integer scores make
+    the whole ranking protocol engine-exact."""
+    from climatemind_ontology_processing_spark.operators.negatives import (
+        transe_rank_eval)
+    trip = _tpch_kg_triples(spark, sf_dir).filter(
+        (F.col("pred") == "in_region") |
+        ((F.col("pred") == "in_nation") & F.col("subj").startswith("s:")))
+    return (transe_rank_eval(trip, dim=8, modulus=1009, k_hits=10,
+                             hash_family="md5_60")
+            .orderBy("subj", "pred", "obj"))
+
+
+def _q_pred_signatures(spark, sf_dir):
+    """Predicate schema induction (operators/rules.pred_signatures): one
+    row per predicate with triple/distinct-subject/object counts,
+    Galarraga functionality as truncating micro-BIGINTs, and the modal
+    subject/object type prefix (ties broken type-ascending)."""
+    from climatemind_ontology_processing_spark.operators.rules import (
+        pred_signatures)
+    return (pred_signatures(_tpch_kg_triples(spark, sf_dir))
+            .orderBy("pred"))
+
+
 def _betweenness_sql(n_sources: int = 4, levels: int = 5) -> str:
     """Unrolled Brandes: forward BFS-with-sigma rounds f1..fL (past the
     eccentricity the frontier is empty and rounds are no-ops), then
@@ -2880,6 +2958,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_betweenness": _q_sampled_betweenness,
         # -- window pad: round-4 entries re-checked (harmless double cover)
         "curation_preview": _q_curation_preview,
+        # --- round-5 late additions (outside the 50-window this round;
+        # sweep-verified via tools/verify_oracles.py; rotate into the
+        # window in round 6) ------------------------------------------
+        "motif_matches": _q_motif_matches,
+        "wl_colors": _q_wl_colors,
+        "transe_ranks": _q_transe_ranks,
+        "pred_signatures": _q_pred_signatures,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_scrub": _q_pii_scrub,
@@ -3529,6 +3614,111 @@ def oracle_sql() -> dict[str, str]:
                    (s.support * 1000000) // nb.n_body AS conf_micro
             FROM sup s JOIN nb USING (p, q)
             ORDER BY p, q, head
+        """,
+        "motif_matches": f"""
+            WITH triples AS MATERIALIZED ({_KG_SQL})
+            SELECT DISTINCT t1.subj AS x, t1.obj AS n, t2.obj AS r,
+                   t3.pred AS p
+            FROM triples t1
+            JOIN triples t2 ON t2.subj = t1.obj AND t2.pred = 'in_region'
+            JOIN triples t3 ON t3.subj = t1.subj AND t3.obj = t2.obj
+            WHERE t1.pred = 'in_nation'
+              AND t1.subj <> t1.obj AND t1.obj <> t2.obj
+              AND t1.subj <> t2.obj
+            ORDER BY x, n, r, p
+        """,
+        "wl_colors": f"""
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+              FROM ({_TRADE_SQL}) WHERE src <> dst),
+            sym AS (SELECT lo AS id, hi AS nbr FROM e
+                    UNION ALL SELECT hi, lo FROM e),
+            c0 AS (SELECT id, count(*)::BIGINT AS color
+                   FROM sym GROUP BY id),
+            c1 AS MATERIALIZED (
+              SELECT s.id, ('0x' || substring(md5(
+                       own.color::VARCHAR || '|' ||
+                       string_agg(nc.color::VARCHAR, ','
+                                  ORDER BY nc.color)), 1, 15))::BIGINT
+                     AS color
+              FROM sym s
+              JOIN c0 own ON own.id = s.id
+              JOIN c0 nc ON nc.id = s.nbr
+              GROUP BY s.id, own.color),
+            c2 AS (
+              SELECT s.id, ('0x' || substring(md5(
+                       own.color::VARCHAR || '|' ||
+                       string_agg(nc.color::VARCHAR, ','
+                                  ORDER BY nc.color)), 1, 15))::BIGINT
+                     AS color
+              FROM sym s
+              JOIN c1 own ON own.id = s.id
+              JOIN c1 nc ON nc.id = s.nbr
+              GROUP BY s.id, own.color)
+            SELECT id, color FROM c2 ORDER BY id
+        """,
+        "transe_ranks": """
+            WITH triples AS MATERIALIZED (
+              SELECT 's:' || s_suppkey AS subj, 'in_nation' AS pred,
+                     'n:' || s_nationkey AS obj FROM supplier
+              UNION ALL
+              SELECT 'n:' || n_nationkey, 'in_region', 'r:' || n_regionkey
+              FROM nation),
+            ents AS (SELECT DISTINCT subj AS id FROM triples
+                     UNION SELECT DISTINCT obj FROM triples),
+            cands AS MATERIALIZED (
+              SELECT t.subj, t.pred, t.obj, e.id AS cand,
+                     list_sum(list_transform(range(0, 8), i -> abs(
+                         (('0x' || substring(md5('e|' || t.subj || '|' || i),
+                                             1, 15))::BIGINT % 1009)
+                       + (('0x' || substring(md5('r|' || t.pred || '|' || i),
+                                             1, 15))::BIGINT % 1009)
+                       - (('0x' || substring(md5('e|' || e.id || '|' || i),
+                                             1, 15))::BIGINT % 1009)
+                     )))::BIGINT AS score
+              FROM triples t CROSS JOIN ents e),
+            trues AS (SELECT subj, pred, obj, score AS true_score
+                      FROM cands WHERE cand = obj),
+            ranks AS (
+              SELECT c.subj, c.pred, c.obj,
+                     (1 + sum(CASE WHEN c.score < t.true_score
+                                    OR (c.score = t.true_score
+                                        AND c.cand < c.obj)
+                              THEN 1 ELSE 0 END))::BIGINT AS rank
+              FROM cands c JOIN trues t USING (subj, pred, obj)
+              GROUP BY 1, 2, 3)
+            SELECT subj, pred, obj, rank,
+                   (CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::INT AS hit
+            FROM ranks ORDER BY subj, pred, obj
+        """,
+        "pred_signatures": f"""
+            WITH triples AS MATERIALIZED ({_KG_SQL}),
+            counts AS (
+              SELECT pred, count(*)::BIGINT AS n_triples,
+                     count(DISTINCT subj)::BIGINT AS n_subj,
+                     count(DISTINCT obj)::BIGINT AS n_obj
+              FROM triples GROUP BY pred),
+            sty AS (SELECT pred, coalesce(split_part(subj, ':', 1), '')
+                           AS ty, count(*) AS n
+                    FROM triples GROUP BY 1, 2),
+            smode AS (SELECT pred, ty AS subj_type FROM (
+                        SELECT pred, ty, row_number() OVER (
+                          PARTITION BY pred ORDER BY n DESC, ty ASC) AS rn
+                        FROM sty) WHERE rn = 1),
+            oty AS (SELECT pred, coalesce(split_part(obj, ':', 1), '')
+                           AS ty, count(*) AS n
+                    FROM triples GROUP BY 1, 2),
+            omode AS (SELECT pred, ty AS obj_type FROM (
+                        SELECT pred, ty, row_number() OVER (
+                          PARTITION BY pred ORDER BY n DESC, ty ASC) AS rn
+                        FROM oty) WHERE rn = 1)
+            SELECT c.pred, n_triples, n_subj, n_obj,
+                   (n_subj * 1000000) // n_triples AS fun_micro,
+                   (n_obj * 1000000) // n_triples AS inv_fun_micro,
+                   subj_type, obj_type
+            FROM counts c
+            JOIN smode USING (pred) JOIN omode USING (pred)
+            ORDER BY pred
         """,
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
