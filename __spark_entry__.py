@@ -1949,6 +1949,194 @@ def _q_pred_signatures(spark, sf_dir):
             .orderBy("pred"))
 
 
+def _hearst_docs(spark, sf_dir):
+    """Deterministic pattern-bearing corpus from the part table: four
+    sentences per part, one per Hearst pattern family, with np-safe
+    tokens (lowercased, spaces and '#' stripped).  The SQL twin is
+    _HEARST_DOCS_SQL — identical string algebra."""
+    p = _read(spark, sf_dir, "part")
+    t1 = F.expr("split_part(p_name, ' ', 1)")
+    t2 = F.expr("split_part(p_name, ' ', 2)")
+    tb = F.expr("lower(replace(p_brand, '#', ''))")
+    tt = F.expr("lower(p_type)")
+    text = F.concat(
+        F.lit("parts such as "), t1, F.lit(", "), t2, F.lit(" and "), tb,
+        F.lit(". products, including "), tt, F.lit(" or "), tb,
+        F.lit(". brands, especially "), tb,
+        F.lit(". "), t1, F.lit(", "), tt, F.lit(" and other goods."))
+    return p.select(F.col("p_partkey").cast("long").alias("doc_id"),
+                    text.alias("text"))
+
+
+_HEARST_DOCS_SQL = """
+  SELECT p_partkey::BIGINT AS doc_id,
+         'parts such as ' || split_part(p_name, ' ', 1) || ', '
+         || split_part(p_name, ' ', 2) || ' and '
+         || lower(replace(p_brand, '#', ''))
+         || '. products, including ' || lower(p_type) || ' or '
+         || lower(replace(p_brand, '#', ''))
+         || '. brands, especially ' || lower(replace(p_brand, '#', ''))
+         || '. ' || split_part(p_name, ' ', 1) || ', ' || lower(p_type)
+         || ' and other goods.' AS text
+  FROM part
+"""
+
+
+def _hearst_sql() -> str:
+    """DuckDB twin of _q_hearst_isa, built from the SAME pattern table the
+    operator uses (no drift possible): per-pattern extract-all → group
+    extracts → joiner split, unioned, then the pooled is-a aggregate."""
+    from climatemind_ontology_processing_spark.operators.hearst import (
+        _JOINER, HEARST_PATTERNS)
+    blocks = []
+    for _name, (pat, g_hyper, g_list) in HEARST_PATTERNS.items():
+        blocks.append(f"""
+              SELECT doc_id,
+                     unnest(string_split_regex(
+                       regexp_extract(m, '{pat}', {g_list}),
+                       '{_JOINER}')) AS hypo,
+                     regexp_extract(m, '{pat}', {g_hyper}) AS hyper
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(text, '{pat}', 0)) AS m
+                    FROM docs)""")
+    union = "\n              UNION ALL".join(blocks)
+    return f"""
+            WITH docs AS MATERIALIZED ({_HEARST_DOCS_SQL}),
+            matches AS ({union})
+            SELECT hypo AS subj, 'is_a' AS pred, hyper AS obj,
+                   count(*)::BIGINT AS n_matches,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM matches
+            WHERE hypo <> '' AND hyper <> '' AND hypo <> hyper
+            GROUP BY 1, 2, 3
+            ORDER BY subj, obj
+        """
+
+
+def _q_hearst_isa(spark, sf_dir):
+    """Hearst-pattern hypernym mining (operators/hearst.hearst_triples):
+    pooled is-a evidence over a deterministic pattern-bearing corpus
+    synthesized from the part table.  The extraction regexes are
+    engine-portable (no lookarounds) and the DuckDB oracle runs them
+    VERBATIM — the hash match proves Java-regex/RE2 agreement on the
+    leftmost-nonoverlapping match set, the group captures, and the
+    joiner split."""
+    from climatemind_ontology_processing_spark.operators.hearst import (
+        hearst_triples)
+    return (hearst_triples(_hearst_docs(spark, sf_dir))
+            .orderBy("subj", "obj"))
+
+
+def _claims_df(spark, sf_dir):
+    """Deterministic conflicting-claims table: every lineitem is a source
+    (supplier) asserting its part's size; a seeded md5 selects ~1/4 of
+    (source, subj) pairs to corrupt by +1..+3.  Mirrors _CLAIMS_SQL."""
+    l = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    subj = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+    source = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.lit("claim|"), source, F.lit("|"), subj)), 1, 15), 16, 10) \
+        .cast("long")
+    obj = F.when(h % 4 == 0,
+                 (F.col("p_size") + 1 + (h % 3)).cast("int")) \
+        .otherwise(F.col("p_size").cast("int")).cast("string")
+    return j.select(subj.alias("subj"), F.lit("size").alias("pred"),
+                    obj.alias("obj"), source.alias("source"))
+
+
+_CLAIMS_SQL = """
+  SELECT 'p:' || l_partkey AS subj, 'size' AS pred,
+         CASE WHEN h % 4 = 0 THEN (p_size + 1 + (h % 3))::INT::VARCHAR
+              ELSE p_size::INT::VARCHAR END AS obj,
+         's:' || l_suppkey AS source
+  FROM (SELECT l_partkey, l_suppkey, p_size,
+               ('0x' || substring(md5(
+                  'claim|s:' || l_suppkey || '|p:' || l_partkey),
+                  1, 15))::BIGINT AS h
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+"""
+
+# 2-round unrolled trust/confidence CTE chain shared by the two fusion
+# oracles (t0 prior 500000, integer micro arithmetic — floor divisions
+# on non-negative BIGINTs match Spark's `div`).
+_FUSION_CTES = f"""
+  claims AS MATERIALIZED ({_CLAIMS_SQL}),
+  a AS MATERIALIZED (SELECT DISTINCT subj, pred, obj, source FROM claims),
+  t0 AS (SELECT DISTINCT source, 500000::BIGINT AS trust FROM a),
+  s1 AS (SELECT subj, pred, obj, sum(trust)::BIGINT AS support
+         FROM a JOIN t0 USING (source) GROUP BY 1, 2, 3),
+  c1 AS MATERIALIZED (
+    SELECT s1.subj, s1.pred, s1.obj,
+           ((support * 1000000) // total)::BIGINT AS conf
+    FROM s1 JOIN (SELECT subj, pred, sum(support)::BIGINT AS total
+                  FROM s1 GROUP BY 1, 2) USING (subj, pred)),
+  t1 AS MATERIALIZED (
+    SELECT source, (sum(conf) // count(*))::BIGINT AS trust
+    FROM a JOIN c1 USING (subj, pred, obj) GROUP BY source),
+  s2 AS (SELECT subj, pred, obj, sum(trust)::BIGINT AS support
+         FROM a JOIN t1 USING (source) GROUP BY 1, 2, 3),
+  c2 AS MATERIALIZED (
+    SELECT s2.subj, s2.pred, s2.obj,
+           ((support * 1000000) // total)::BIGINT AS conf
+    FROM s2 JOIN (SELECT subj, pred, sum(support)::BIGINT AS total
+                  FROM s2 GROUP BY 1, 2) USING (subj, pred)),
+  t2 AS MATERIALIZED (
+    SELECT source, (sum(conf) // count(*))::BIGINT AS trust
+    FROM a JOIN c2 USING (subj, pred, obj) GROUP BY source),
+  s3 AS (SELECT subj, pred, obj, sum(trust)::BIGINT AS support,
+                count(*)::BIGINT AS n_sources
+         FROM a JOIN t2 USING (source) GROUP BY 1, 2, 3),
+  c3 AS (SELECT s3.subj, s3.pred, s3.obj, n_sources,
+                ((support * 1000000) // total)::BIGINT AS conf_micro
+         FROM s3 JOIN (SELECT subj, pred, sum(support)::BIGINT AS total
+                       FROM s3 GROUP BY 1, 2) USING (subj, pred))
+"""
+
+
+def _q_fused_claims(spark, sf_dir):
+    """Multi-source truth discovery (operators/fusion.fuse_claims,
+    rounds=2): resolve each part's claimed size by iterative source-trust
+    voting over a seeded-corruption claims table.  Integer micro
+    arithmetic end-to-end; the oracle unrolls both rounds as CTEs."""
+    from climatemind_ontology_processing_spark.operators.fusion import (
+        fuse_claims)
+    return (fuse_claims(_claims_df(spark, sf_dir), rounds=2)
+            .orderBy("subj"))
+
+
+def _q_claim_source_trust(spark, sf_dir):
+    """Per-source trust after 2 fusion rounds (operators/fusion.
+    source_trust) — corrupting suppliers end measurably below honest
+    ones; same unrolled-CTE oracle as fused_claims."""
+    from climatemind_ontology_processing_spark.operators.fusion import (
+        source_trust)
+    return (source_trust(_claims_df(spark, sf_dir), rounds=2)
+            .orderBy("source"))
+
+
+def _q_region_modularity(spark, sf_dir):
+    """Partition quality of the nation-level trade graph under the
+    region partition (operators/graphstats.community_stats + modularity):
+    per-community structure rows cross-joined with the exact rational
+    modularity (q_num/q_den as DECIMAL(38,0) — BIGINT-overflow-safe at
+    web-scale edge counts)."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        community_stats, modularity)
+    edges = _trade_edges(spark, sf_dir)
+    n = _read(spark, sf_dir, "nation")
+    labels = n.select(F.col("n_nationkey").cast("int").alias("id"),
+                      F.col("n_regionkey").cast("int").alias("label"))
+    cs = community_stats(edges, labels)
+    q = modularity(edges, labels)
+    return (cs.crossJoin(q.select("m", "q_num", "q_den"))
+            .select("label", "n_nodes", "intra_edges", "degree_sum", "m",
+                    F.col("q_num").cast("string").alias("q_num"),
+                    F.col("q_den").cast("string").alias("q_den"))
+            .orderBy("label"))
+
+
 def _betweenness_sql(n_sources: int = 4, levels: int = 5) -> str:
     """Unrolled Brandes: forward BFS-with-sigma rounds f1..fL (past the
     eccentricity the frontier is empty and rounds are no-ops), then
@@ -2965,6 +3153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_colors": _q_wl_colors,
         "transe_ranks": _q_transe_ranks,
         "pred_signatures": _q_pred_signatures,
+        "hearst_isa": _q_hearst_isa,
+        "fused_claims": _q_fused_claims,
+        "claim_source_trust": _q_claim_source_trust,
+        "region_modularity": _q_region_modularity,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_scrub": _q_pii_scrub,
@@ -3719,6 +3911,58 @@ def oracle_sql() -> dict[str, str]:
             FROM counts c
             JOIN smode USING (pred) JOIN omode USING (pred)
             ORDER BY pred
+        """,
+        "hearst_isa": _hearst_sql(),
+        "fused_claims": f"""
+            WITH {_FUSION_CTES},
+            resolved AS (
+              SELECT subj, pred, obj, conf_micro, n_sources,
+                     row_number() OVER (PARTITION BY subj, pred
+                       ORDER BY conf_micro DESC, obj ASC) AS rn
+              FROM c3)
+            SELECT subj, pred, obj, conf_micro, n_sources
+            FROM resolved WHERE rn = 1 ORDER BY subj
+        """,
+        "claim_source_trust": f"""
+            WITH {_FUSION_CTES}
+            SELECT source, trust AS trust_micro FROM t2 ORDER BY source
+        """,
+        "region_modularity": f"""
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+              FROM ({_TRADE_SQL}) WHERE src <> dst),
+            lab AS (SELECT n_nationkey::INT AS id, n_regionkey::INT AS label
+                    FROM nation),
+            tagged AS (
+              SELECT lo, hi, l1.label AS lab_lo, l2.label AS lab_hi
+              FROM e JOIN lab l1 ON l1.id = lo JOIN lab l2 ON l2.id = hi),
+            nn AS (
+              SELECT label, count(*)::BIGINT AS n_nodes
+              FROM (SELECT DISTINCT id FROM
+                      (SELECT lo AS id FROM e UNION SELECT hi FROM e)) n
+              JOIN lab ON lab.id = n.id GROUP BY label),
+            deg AS (
+              SELECT label, count(*)::BIGINT AS degree_sum
+              FROM (SELECT lab_lo AS label FROM tagged
+                    UNION ALL SELECT lab_hi FROM tagged) GROUP BY label),
+            intra AS (
+              SELECT lab_lo AS label, count(*)::BIGINT AS intra_edges
+              FROM tagged WHERE lab_lo = lab_hi GROUP BY 1),
+            cs AS (
+              SELECT nn.label, n_nodes,
+                     coalesce(intra_edges, 0)::BIGINT AS intra_edges,
+                     coalesce(degree_sum, 0)::BIGINT AS degree_sum
+              FROM nn LEFT JOIN deg USING (label)
+              LEFT JOIN intra USING (label)),
+            tot AS (
+              SELECT (sum(degree_sum) // 2)::BIGINT AS m,
+                     sum(intra_edges)::BIGINT AS intra,
+                     sum(degree_sum * degree_sum)::BIGINT AS d2
+              FROM cs)
+            SELECT label, n_nodes, intra_edges, degree_sum, m,
+                   (4 * m * intra - d2)::VARCHAR AS q_num,
+                   (4 * m * m)::VARCHAR AS q_den
+            FROM cs CROSS JOIN tot ORDER BY label
         """,
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),

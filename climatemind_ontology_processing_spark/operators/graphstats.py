@@ -517,3 +517,83 @@ def wl_colors(edges: DataFrame, rounds: int = 3, src: str = "src",
         if (i + 1) % checkpoint_every == 0 or i == rounds - 1:
             state = state.localCheckpoint(eager=True)
     return state
+
+
+def community_stats(edges: DataFrame, labels: DataFrame, src: str = "src",
+                    dst: str = "dst", id_col: str = "id",
+                    label_col: str = "label") -> DataFrame:
+    """Per-community structure over the canonical undirected graph:
+    (label, n_nodes, intra_edges, degree_sum).
+
+    ``labels`` must cover every node incident to an edge — an unlabeled
+    endpoint raises AT EXECUTION TIME (lazy ``raise_error``, same
+    convention as operators/packing.py): a silently-dropped endpoint
+    would deflate intra_edges/degree_sum and corrupt modularity.
+    n_nodes counts labeled nodes that appear in the graph (isolated
+    labeled nodes contribute no degree and no edges, so they are not
+    counted — modularity is defined on the graph's node set).
+    """
+    e = undirected_canonical(edges, src, dst)
+    lab = labels.select(F.col(id_col).alias("_nid"),
+                        F.col(label_col).alias("_lab"))
+
+    def _labeled(side: str) -> DataFrame:
+        j = (e.join(lab.withColumnRenamed("_nid", side), side, "left"))
+        checked = F.when(
+            F.col("_lab").isNull(),
+            F.raise_error(F.concat(
+                F.lit("community_stats: unlabeled node "),
+                F.col(side).cast("string")))).otherwise(F.col("_lab"))
+        return j.select("lo", "hi", checked.alias(f"lab_{side}"))
+
+    lo_lab = _labeled("lo")
+    hi_lab = _labeled("hi").select("lo", "hi", "lab_hi")
+    tagged = lo_lab.join(hi_lab, ["lo", "hi"])
+
+    nodes = (e.select(F.col("lo").alias("_nid"))
+             .unionByName(e.select(F.col("hi").alias("_nid"))).distinct()
+             .join(lab, "_nid"))
+    n_nodes = (nodes.groupBy(F.col("_lab").alias("label"))
+               .agg(F.count("*").cast("long").alias("n_nodes")))
+
+    deg = (tagged.select(F.col("lab_lo").alias("label"))
+           .unionByName(tagged.select(F.col("lab_hi").alias("label")))
+           .groupBy("label")
+           .agg(F.count("*").cast("long").alias("degree_sum")))
+    intra = (tagged.filter(F.col("lab_lo") == F.col("lab_hi"))
+             .groupBy(F.col("lab_lo").alias("label"))
+             .agg(F.count("*").cast("long").alias("intra_edges")))
+    return (n_nodes.join(deg, "label", "left").join(intra, "label", "left")
+            .select("label", "n_nodes",
+                    F.coalesce("intra_edges", F.lit(0)).cast("long")
+                    .alias("intra_edges"),
+                    F.coalesce("degree_sum", F.lit(0)).cast("long")
+                    .alias("degree_sum")))
+
+
+def modularity(edges: DataFrame, labels: DataFrame, src: str = "src",
+               dst: str = "dst", id_col: str = "id",
+               label_col: str = "label") -> DataFrame:
+    """Newman modularity of a node partition, exact rational arithmetic.
+
+    Q = sum_c [ e_c/m - (d_c/2m)^2 ] = (4*m*sum(e_c) - sum(d_c^2)) / (4*m^2)
+
+    Returned as one row (m, n_communities, q_num, q_den) with Q =
+    q_num/q_den — exact integers (q_num/q_den are DECIMAL(38,0): at
+    web-scale m ~ 10^12 edges, 4*m^2 overflows BIGINT).  Three aggregates
+    over keys-only projections; the edge list shuffles once on each
+    endpoint's label — no per-node state, no iteration.
+    """
+    cs = community_stats(edges, labels, src, dst, id_col, label_col)
+    agg = cs.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum("intra_edges").cast("long").alias("_intra"),
+        F.sum(F.col("degree_sum").cast("decimal(38,0)")
+              * F.col("degree_sum")).alias("_d2"),
+        F.expr("sum(degree_sum) div 2").cast("long").alias("m"))
+    md = F.col("m").cast("decimal(38,0)")
+    return agg.select(
+        "m", "n_communities",
+        (F.lit(4) * md * F.col("_intra") - F.col("_d2"))
+        .cast("decimal(38,0)").alias("q_num"),
+        (F.lit(4) * md * md).cast("decimal(38,0)").alias("q_den"))

@@ -1,0 +1,108 @@
+"""Hearst-pattern hypernym extraction over free text.
+
+Not in the reference (its relations come from a curated OWL ontology —
+``/root/reference/ontology_processing/graph_creation/ontology_processing_utils.py``
+consumes hand-authored ``causes_or_promotes`` / ``is_inhibited_or_prevented_by``
+properties).  At web scale the is-a backbone of the KG has to be *mined*
+from text; the standard baseline is Hearst (1992) lexico-syntactic
+patterns ("X such as Y", "Y and other X", "X, including Y",
+"X, especially Y").
+
+Spark-first shape: the whole extractor is JVM-side regex work
+(``regexp_extract_all`` + ``regexp_extract`` + ``split``) — no Python UDF,
+so it whole-stage-codegens and scales as a pure map over the corpus.  The
+patterns are deliberately engine-portable (no lookarounds, no backrefs) so
+the same extraction replays on RE2-based engines (the DuckDB oracle runs
+them verbatim).
+
+NP approximation: a single lowercase token ``[a-z][a-z0-9_-]*``.  A real
+deployment would swap in a chunker via mapInPandas; the pattern algebra
+(match → group-split → explode → aggregate) is unchanged.
+
+Known Hearst artifact (kept, documented): the hypo-list capture is greedy,
+so "metals such as iron, copper and other elements" yields hypos
+{iron, copper, other, elements} for hyper=metals — the classic
+pattern-overlap noise that downstream taxonomy cleaning (dedup +
+acyclic cut) removes.
+"""
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NP = r"[a-z][a-z0-9_-]*"
+_JOINER = r"(?:, | and | or )"
+_LIST = rf"(?:{_NP}{_JOINER})*{_NP}"
+
+#: pattern name -> (regex, hyper group idx, hypo-list group idx)
+HEARST_PATTERNS: dict[str, tuple[str, int, int]] = {
+    "such_as":    (rf"\b({_NP}) such as ({_LIST})", 1, 2),
+    "including":  (rf"\b({_NP}),? including ({_LIST})", 1, 2),
+    "especially": (rf"\b({_NP}),? especially ({_LIST})", 1, 2),
+    "and_other":  (rf"\b({_LIST}),? and other ({_NP})", 2, 1),
+    "or_other":   (rf"\b({_LIST}),? or other ({_NP})", 2, 1),
+}
+
+
+def hearst_matches(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   patterns: dict[str, tuple[str, int, int]] | None = None,
+                   ) -> DataFrame:
+    """One row per (doc, pattern match, hypo token).
+
+    Output: (<id_col>, hypo, hyper, pattern).  Text is lowercased before
+    matching; matches are leftmost non-overlapping per pattern (patterns
+    are independent — the same span may fire several patterns, which is
+    what the per-pattern provenance column is for).
+    """
+    pats = patterns or HEARST_PATTERNS
+    outs = []
+    for name, (pat, g_hyper, g_list) in pats.items():
+        lowered = F.lower(F.col(text_col))
+        matched = docs.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(lowered, F.lit(pat), F.lit(0))
+            ).alias("_m"))
+        outs.append(matched.select(
+            id_col,
+            F.explode(
+                F.split(F.regexp_extract("_m", pat, g_list), _JOINER)
+            ).alias("hypo"),
+            F.regexp_extract("_m", pat, g_hyper).alias("hyper"),
+            F.lit(name).alias("pattern")))
+    allm = reduce(DataFrame.unionByName, outs)
+    return allm.filter((F.col("hypo") != "") & (F.col("hyper") != "")
+                       & (F.col("hypo") != F.col("hyper")))
+
+
+def hypernym_counts(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    patterns: dict[str, tuple[str, int, int]] | None = None,
+                    ) -> DataFrame:
+    """Corpus-level is-a evidence: (hypo, hyper, pattern, n_matches,
+    n_docs).  The aggregate is map-side combinable (plain groupBy over the
+    exploded matches) — corpus size only widens the map stage."""
+    m = hearst_matches(docs, text_col, id_col, patterns)
+    return (m.groupBy("hypo", "hyper", "pattern")
+            .agg(F.count("*").cast("long").alias("n_matches"),
+                 F.countDistinct(id_col).cast("long").alias("n_docs")))
+
+
+def hearst_triples(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_docs: int = 1,
+                   patterns: dict[str, tuple[str, int, int]] | None = None,
+                   ) -> DataFrame:
+    """Distinct (subj, pred, obj) is-a triples with pooled evidence:
+    pattern-agnostic totals, thresholded on distinct supporting docs.
+    Feeds the same downstream shape as ``functions.triples`` output
+    (canonicalize → acyclic cut → materialize)."""
+    m = hearst_matches(docs, text_col, id_col, patterns)
+    return (m.groupBy(F.col("hypo").alias("subj"), F.col("hyper").alias("obj"))
+            .agg(F.count("*").cast("long").alias("n_matches"),
+                 F.countDistinct(id_col).cast("long").alias("n_docs"))
+            .filter(F.col("n_docs") >= F.lit(int(min_docs)))
+            .select("subj", F.lit("is_a").alias("pred"), "obj",
+                    "n_matches", "n_docs"))
