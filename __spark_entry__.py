@@ -2137,6 +2137,54 @@ def _q_region_modularity(spark, sf_dir):
             .orderBy("label"))
 
 
+def _q_node2vec_walks(spark, sf_dir):
+    """Second-order biased walks (operators/graphstats.node2vec_walks,
+    Grover & Leskovec p/q semantics) over the trade graph: length 3,
+    return penalty 4.0, exploration bonus 0.5, every hop an
+    md5_40-hash argmin — the oracle unrolls the three steps as CTEs with
+    the identical integer penalty arithmetic and left-joins the
+    symmetrized edge set for the distance-1 test."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        node2vec_walks)
+    return (node2vec_walks(_trade_edges(spark, sf_dir), length=3,
+                           p_micro=4_000_000, q_micro=500_000)
+            .orderBy("start", "step"))
+
+
+def _node2vec_sql(steps: int = 3, p_micro: int = 4_000_000,
+                  q_micro: int = 500_000, seed: str = "n2v") -> str:
+    """DuckDB twin of _q_node2vec_walks: per-step biased-argmin CTEs."""
+    ctes = [f"""
+            e AS MATERIALIZED (
+              SELECT src AS c, dst AS n FROM ({_TRADE_SQL})),
+            und AS MATERIALIZED (
+              SELECT c AS pv, n, 1 AS _adj FROM e
+              UNION SELECT n, c, 1 FROM e),
+            w0 AS (SELECT DISTINCT c AS start, c AS node, NULL::INT AS prev
+                   FROM e)"""]
+    for t in range(1, steps + 1):
+        ctes.append(f"""
+            w{t} AS MATERIALIZED (
+              SELECT start, n AS node, node AS prev FROM (
+                SELECT cur.start, cur.node, e.n,
+                       row_number() OVER (PARTITION BY cur.start ORDER BY
+                         (('0x' || substring(md5('{seed}|{t}|'
+                            || coalesce(cur.prev::VARCHAR, '-') || '|'
+                            || cur.node || '|' || e.n), 1, 10))::BIGINT
+                          * CASE WHEN e.n = cur.prev THEN {p_micro}
+                                 WHEN u._adj IS NOT NULL THEN 1000000
+                                 ELSE {q_micro} END), e.n) AS rn
+                FROM w{t - 1} cur
+                JOIN e ON e.c = cur.node
+                LEFT JOIN und u ON u.pv = cur.prev AND u.n = e.n
+              ) WHERE rn = 1)""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT start, {t} AS step, node FROM w{t}"
+        for t in range(steps + 1))
+    return ("WITH " + ",".join(ctes)
+            + f"\n            {union}\n            ORDER BY start, step")
+
+
 def _betweenness_sql(n_sources: int = 4, levels: int = 5) -> str:
     """Unrolled Brandes: forward BFS-with-sigma rounds f1..fL (past the
     eccentricity the frontier is empty and rounds are no-ops), then
@@ -3157,6 +3205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fused_claims": _q_fused_claims,
         "claim_source_trust": _q_claim_source_trust,
         "region_modularity": _q_region_modularity,
+        "node2vec_walks": _q_node2vec_walks,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_scrub": _q_pii_scrub,
@@ -3964,6 +4013,7 @@ def oracle_sql() -> dict[str, str]:
                    (4 * m * m)::VARCHAR AS q_den
             FROM cs CROSS JOIN tot ORDER BY label
         """,
+        "node2vec_walks": _node2vec_sql(),
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (

@@ -597,3 +597,81 @@ def modularity(edges: DataFrame, labels: DataFrame, src: str = "src",
         (F.lit(4) * md * F.col("_intra") - F.col("_d2"))
         .cast("decimal(38,0)").alias("q_num"),
         (F.lit(4) * md * md).cast("decimal(38,0)").alias("q_den"))
+
+
+def node2vec_walks(edges: DataFrame, length: int = 4,
+                   p_micro: int = 1_000_000, q_micro: int = 1_000_000,
+                   src: str = "src", dst: str = "dst",
+                   seed: str = "n2v") -> DataFrame:
+    """Deterministic node2vec-style SECOND-ORDER biased walks (Grover &
+    Leskovec 2016).  Where ``random_walks`` picks hops uniformly, here a
+    candidate hop x from node c with previous node t is penalized by an
+    integer multiplier chosen by d(t, x):
+
+      x == t            -> p_micro   (return penalty, node2vec's p)
+      t–x edge exists   -> 1_000_000 (distance-1, weight 1)
+      otherwise         -> q_micro   (exploration penalty, node2vec's q)
+
+    and the walk takes ``argmin over x of H40(seed|t|prev|c|x) * mult``
+    — a 40-bit md5 hash (DuckDB-replayable) times the penalty, so larger
+    penalties are proportionally less likely to win, ties broken
+    x-ascending.  Every choice derives from (seed, step, prev, cur, x):
+    task retries reproduce the walk exactly (seeded-randomness
+    invariant).  Step 1 has no previous node and is unbiased.
+
+    The d(t,x) test uses the SYMMETRIZED edge set (node2vec is defined on
+    the undirected neighborhood structure) while hops follow directed
+    out-edges.  Per step: frontier ⋈ out-edges + left-semi-style probe of
+    the (prev, cand) pair against the symmetric edge set + one min_by —
+    keys-only shuffles, O(W·deg) candidate rows, localCheckpoint keeps
+    lineage flat.  Returns (start, step, node), step 0 = start.
+    """
+    if length < 1:
+        raise ValueError("length must be >= 1")
+    for nm, v in (("p_micro", p_micro), ("q_micro", q_micro)):
+        if not 1 <= v <= 8_000_000:
+            # H40 < 2^40; mult <= 8e6 keeps H40 * mult < 2^63
+            raise ValueError(f"{nm} must be in [1, 8000000], got {v}")
+    e = (edges.select(F.col(src).alias("c"), F.col(dst).alias("n"))
+         .filter(F.col("c").isNotNull() & F.col("n").isNotNull())
+         .filter(F.col("c") != F.col("n"))
+         .distinct().localCheckpoint(eager=True))
+    und = (e.unionByName(e.select(F.col("n").alias("c"),
+                                  F.col("c").alias("n")))
+           .distinct()
+           .select(F.col("c").alias("prev"), F.col("n").alias("n"),
+                   F.lit(1).alias("_adj")))
+
+    def h40(step: int):
+        key = F.concat_ws("|", F.lit(seed), F.lit(str(step)),
+                          F.coalesce(F.col("prev").cast("string"),
+                                     F.lit("-")),
+                          F.col("node").cast("string"),
+                          F.col("n").cast("string"))
+        return F.conv(F.substring(F.md5(key), 1, 10), 16, 10).cast("long")
+
+    def step_df(cur: DataFrame, t: int) -> DataFrame:
+        cand = cur.join(e.withColumnRenamed("c", "node"), "node")
+        cand = cand.join(und, ["prev", "n"], "left")
+        mult = (F.when(F.col("n") == F.col("prev"), F.lit(int(p_micro)))
+                .when(F.col("_adj").isNotNull(), F.lit(1_000_000))
+                .otherwise(F.lit(int(q_micro)))).cast("long")
+        score = h40(t) * mult
+        return (cand.groupBy("start")
+                .agg(F.min_by(F.struct(F.col("n"), F.col("node")),
+                              F.struct(score.alias("s"),
+                                       F.col("n").alias("n"))).alias("_nx"))
+                .select("start", F.col("_nx.n").alias("node"),
+                        F.col("_nx.node").alias("prev"))
+                .localCheckpoint(eager=True))
+
+    starts = e.select(F.col("c").alias("start")).distinct()
+    cur = starts.select("start", F.col("start").alias("node"),
+                        F.lit(None).cast(starts.schema["start"].dataType)
+                        .alias("prev"))
+    out = cur.select("start", F.lit(0).alias("step"), "node")
+    for t in range(1, length + 1):
+        cur = step_df(cur, t)
+        out = out.unionByName(
+            cur.select("start", F.lit(t).alias("step"), "node"))
+    return out
