@@ -2185,6 +2185,57 @@ def _node2vec_sql(steps: int = 3, p_micro: int = 4_000_000,
             + f"\n            {union}\n            ORDER BY start, step")
 
 
+def _q_hyperball(spark, sf_dir):
+    """HyperBall approximate-neighborhood-function (operators/anf.
+    hyperball, Boldi-Rosa-Vigna): per-node HLL ball sketches over the
+    trade graph, 3 rounds at p=5, exposed as the exact integer sketch
+    summary (n_registers, harm_total) — the float estimator column is
+    dropped here (pinned by pytest vs exact BFS instead) so the oracle
+    replay is pure integer register algebra."""
+    from climatemind_ontology_processing_spark.operators.anf import (
+        hyperball)
+    return (hyperball(_trade_edges(spark, sf_dir), rounds=3, p=5)
+            .select(F.col("id").cast("int").alias("id"), "step",
+                    "n_registers", "harm_total")
+            .orderBy("id", "step"))
+
+
+def _hyperball_sql(rounds: int = 3, p: int = 5) -> str:
+    """DuckDB twin of _q_hyperball: unrolled register-merge rounds."""
+    rem_bits = 60 - p
+    mask = 2 ** rem_bits - 1
+    s_exp = rem_bits + 1
+    m = 2 ** p
+    ctes = [f"""
+            e AS MATERIALIZED (
+              SELECT src AS c, dst AS n FROM ({_TRADE_SQL})),
+            nodes AS (SELECT c AS id FROM e UNION SELECT n FROM e),
+            s0 AS MATERIALIZED (
+              SELECT id, hv >> {rem_bits} AS register,
+                     CASE WHEN (hv & {mask}) > 0
+                          THEN {s_exp} - length(bin(hv & {mask}))
+                          ELSE {s_exp} END AS rho
+              FROM (SELECT id, ('0x' || substring(md5(id::VARCHAR), 1, 15))
+                               ::BIGINT AS hv
+                    FROM nodes))"""]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""
+            s{t} AS MATERIALIZED (
+              SELECT id, register, max(rho) AS rho FROM (
+                SELECT id, register, rho FROM s{t - 1}
+                UNION ALL
+                SELECT e.c AS id, s.register, s.rho
+                FROM e JOIN s{t - 1} s ON s.id = e.n
+              ) GROUP BY id, register)""")
+    steps = "\n            UNION ALL ".join(f"""
+            SELECT id, {t} AS step, count(*)::BIGINT AS n_registers,
+                   (sum(CAST(pow(2.0, {s_exp} - rho) AS BIGINT))
+                    + ({m} - count(*)) * {2 ** s_exp})::BIGINT AS harm_total
+            FROM s{t} GROUP BY id""" for t in range(rounds + 1))
+    return ("WITH " + ",".join(ctes) + steps
+            + "\n            ORDER BY id, step")
+
+
 def _betweenness_sql(n_sources: int = 4, levels: int = 5) -> str:
     """Unrolled Brandes: forward BFS-with-sigma rounds f1..fL (past the
     eccentricity the frontier is empty and rounds are no-ops), then
@@ -3192,8 +3243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_distances": _q_landmark_distances,
         "rule_mining": _q_rule_mining,
         "sampled_betweenness": _q_sampled_betweenness,
-        # -- window pad: round-4 entries re-checked (harmless double cover)
-        "curation_preview": _q_curation_preview,
+        # -- slot 50 of the driver window: the newest family each round
+        "hearst_isa": _q_hearst_isa,
         # --- round-5 late additions (outside the 50-window this round;
         # sweep-verified via tools/verify_oracles.py; rotate into the
         # window in round 6) ------------------------------------------
@@ -3201,11 +3252,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_colors": _q_wl_colors,
         "transe_ranks": _q_transe_ranks,
         "pred_signatures": _q_pred_signatures,
-        "hearst_isa": _q_hearst_isa,
         "fused_claims": _q_fused_claims,
         "claim_source_trust": _q_claim_source_trust,
         "region_modularity": _q_region_modularity,
         "node2vec_walks": _q_node2vec_walks,
+        "hyperball_anf": _q_hyperball,
+        "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_scrub": _q_pii_scrub,
@@ -4014,6 +4066,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cs CROSS JOIN tot ORDER BY label
         """,
         "node2vec_walks": _node2vec_sql(),
+        "hyperball_anf": _hyperball_sql(),
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (
