@@ -2236,6 +2236,32 @@ def _hyperball_sql(rounds: int = 3, p: int = 5) -> str:
             + "\n            ORDER BY id, step")
 
 
+def _q_anchor_aliases(spark, sf_dir):
+    """Anchor-text alias-dictionary mining (functions/links.extract_links
+    + anchor_aliases): deterministic HTML synthesized from the part table
+    — two links per page exercising host-case folding, fragment drop,
+    tracking-param strip, nested tags, and entity unescape.  The oracle
+    is the CLOSED-FORM expectation of what the scanner + canonicalizer
+    must produce (independent expectation, not a SQL re-implementation —
+    the media_features pattern)."""
+    from climatemind_ontology_processing_spark.functions.links import (
+        anchor_aliases, extract_links)
+    p = _read(spark, sf_dir, "part")
+    tb = F.expr("lower(replace(p_brand, '#', ''))")
+    html = F.concat(
+        F.lit('<html><body><p>see <a href="HTTP://EX.com/part/'),
+        F.col("p_partkey").cast("string"),
+        F.lit('?utm_source=mail&x=1#top">'), F.col("p_name"),
+        F.lit(" &amp; co</a> or <a href='http://ex.com/brand/"), tb,
+        F.lit("'>the <b>"), tb, F.lit("</b></a>.</p></body></html>"))
+    pages = p.select(
+        F.concat(F.lit("http://pages.ex.com/"),
+                 F.col("p_partkey").cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"))
+    return (anchor_aliases(extract_links(pages))
+            .orderBy("target", "alias"))
+
+
 def _betweenness_sql(n_sources: int = 4, levels: int = 5) -> str:
     """Unrolled Brandes: forward BFS-with-sigma rounds f1..fL (past the
     eccentricity the frontier is empty and rounds are no-ops), then
@@ -3257,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_modularity": _q_region_modularity,
         "node2vec_walks": _q_node2vec_walks,
         "hyperball_anf": _q_hyperball,
+        "anchor_alias_dict": _q_anchor_aliases,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4067,6 +4094,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "node2vec_walks": _node2vec_sql(),
         "hyperball_anf": _hyperball_sql(),
+        "anchor_alias_dict": """
+            WITH part_links AS (
+              SELECT 'http://pages.ex.com/' || p_partkey AS page_url,
+                     'http://ex.com/part/' || p_partkey || '?x=1' AS target,
+                     p_name || ' & co' AS alias
+              FROM part),
+            brand_links AS (
+              SELECT 'http://pages.ex.com/' || p_partkey AS page_url,
+                     'http://ex.com/brand/' || lower(replace(p_brand, '#', ''))
+                       AS target,
+                     'the ' || lower(replace(p_brand, '#', '')) AS alias
+              FROM part),
+            all_links AS (SELECT * FROM part_links
+                          UNION ALL SELECT * FROM brand_links)
+            SELECT target, alias, count(*)::BIGINT AS n_links,
+                   count(DISTINCT page_url)::BIGINT AS n_pages
+            FROM all_links GROUP BY 1, 2 ORDER BY target, alias
+        """,
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (
