@@ -2262,6 +2262,87 @@ def _q_anchor_aliases(spark, sf_dir):
             .orderBy("target", "alias"))
 
 
+def _q_alias_commonness(spark, sf_dir):
+    """Entity-linking commonness prior (functions/links.alias_commonness,
+    Milne & Witten): P(target | alias) as integer micros over the mined
+    anchor dictionary of _q_anchor_aliases.  Naturally ambiguous — every
+    part sharing a p_name contributes a distinct '<p_name> & co' sense,
+    and each brand alias has exactly one."""
+    from climatemind_ontology_processing_spark.functions.links import (
+        alias_commonness, anchor_aliases, extract_links)
+    p = _read(spark, sf_dir, "part")
+    tb = F.expr("lower(replace(p_brand, '#', ''))")
+    html = F.concat(
+        F.lit('<html><body><p>see <a href="HTTP://EX.com/part/'),
+        F.col("p_partkey").cast("string"),
+        F.lit('?utm_source=mail&x=1#top">'), F.col("p_name"),
+        F.lit(" &amp; co</a> or <a href='http://ex.com/brand/"), tb,
+        F.lit("'>the <b>"), tb, F.lit("</b></a>.</p></body></html>"))
+    pages = p.select(
+        F.concat(F.lit("http://pages.ex.com/"),
+                 F.col("p_partkey").cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"))
+    return (alias_commonness(anchor_aliases(extract_links(pages)))
+            .orderBy("alias", "rank"))
+
+
+def _q_luby_mis(spark, sf_dir):
+    """Deterministic Luby maximal independent set (operators/graphstats.
+    luby_mis) on the customer-supplier buys_from graph (sparse bipartite
+    with supplier hubs — a nation-level graph is near-complete and gives
+    a trivial 1-node MIS); the oracle unrolls 8 rounds (surplus rounds
+    are empty no-ops, and any winner past round 8 would surface as a
+    row-count mismatch)."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        luby_mis)
+    trip = _tpch_kg_triples(spark, sf_dir).filter(
+        F.col("pred") == "buys_from")
+    return (luby_mis(trip, src="subj", dst="obj")
+            .orderBy("id"))
+
+
+_BUYS_SQL = """
+  SELECT DISTINCT 'c:' || c.c_custkey AS src, 's:' || s.s_suppkey AS dst
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+"""
+
+
+def _luby_sql(rounds: int = 8, seed: str = "mis") -> str:
+    """DuckDB twin of _q_luby_mis: per-round winner/peel CTEs."""
+    ctes = [f"""
+            e AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+              FROM ({_BUYS_SQL}) WHERE src <> dst),
+            sym AS MATERIALIZED (
+              SELECT lo AS id, hi AS nbr FROM e
+              UNION ALL SELECT hi, lo FROM e),
+            live0 AS (SELECT DISTINCT id FROM sym)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+            pri{r} AS MATERIALIZED (
+              SELECT id, ('0x' || substring(md5('{seed}|{r}|' || id), 1, 15))
+                           ::BIGINT AS h
+              FROM live{r - 1}),
+            win{r} AS MATERIALIZED (
+              SELECT p.id FROM pri{r} p WHERE NOT EXISTS (
+                SELECT 1 FROM sym s JOIN pri{r} q ON q.id = s.nbr
+                WHERE s.id = p.id
+                  AND (q.h < p.h OR (q.h = p.h AND q.id < p.id)))),
+            live{r} AS MATERIALIZED (
+              SELECT id FROM live{r - 1}
+              WHERE id NOT IN (SELECT id FROM win{r})
+                AND id NOT IN (SELECT s.id FROM sym s
+                               JOIN win{r} w ON w.id = s.nbr))""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT id, {r} AS mis_round FROM win{r}"
+        for r in range(1, rounds + 1))
+    return ("WITH " + ",".join(ctes)
+            + f"\n            {union}\n            ORDER BY id")
+
+
 def _betweenness_sql(n_sources: int = 4, levels: int = 5) -> str:
     """Unrolled Brandes: forward BFS-with-sigma rounds f1..fL (past the
     eccentricity the frontier is empty and rounds are no-ops), then
@@ -3284,6 +3365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": _q_node2vec_walks,
         "hyperball_anf": _q_hyperball,
         "anchor_alias_dict": _q_anchor_aliases,
+        "alias_commonness": _q_alias_commonness,
+        "luby_mis": _q_luby_mis,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4112,6 +4195,33 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT page_url)::BIGINT AS n_pages
             FROM all_links GROUP BY 1, 2 ORDER BY target, alias
         """,
+        "alias_commonness": """
+            WITH part_links AS (
+              SELECT 'http://pages.ex.com/' || p_partkey AS page_url,
+                     'http://ex.com/part/' || p_partkey || '?x=1' AS target,
+                     p_name || ' & co' AS alias
+              FROM part),
+            brand_links AS (
+              SELECT 'http://pages.ex.com/' || p_partkey AS page_url,
+                     'http://ex.com/brand/' || lower(replace(p_brand, '#', ''))
+                       AS target,
+                     'the ' || lower(replace(p_brand, '#', '')) AS alias
+              FROM part),
+            d AS (
+              SELECT target, alias, count(*)::BIGINT AS n_links
+              FROM (SELECT * FROM part_links
+                    UNION ALL SELECT * FROM brand_links)
+              GROUP BY 1, 2),
+            tot AS (SELECT alias, sum(n_links)::BIGINT AS _tot
+                    FROM d GROUP BY alias)
+            SELECT d.alias, target, n_links,
+                   ((n_links * 1000000) // _tot)::BIGINT AS commonness_micro,
+                   row_number() OVER (PARTITION BY d.alias
+                     ORDER BY n_links DESC, target ASC)::BIGINT AS rank
+            FROM d JOIN tot ON tot.alias = d.alias
+            ORDER BY d.alias, rank
+        """,
+        "luby_mis": _luby_sql(),
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (

@@ -117,3 +117,24 @@ def anchor_aliases(links: DataFrame, top_k: int | None = None,
         agg = (agg.withColumn("_rk", F.row_number().over(w))
                .filter(F.col("_rk") <= int(top_k)).drop("_rk"))
     return agg
+
+
+def alias_commonness(aliases: DataFrame) -> DataFrame:
+    """The entity-linking prior P(target | alias) from an alias
+    dictionary (the ``anchor_aliases`` output): for every alias, each
+    candidate target's link share as an integer micro probability plus
+    its rank — the "commonness" model of Wikipedia-anchor entity linking
+    (Milne & Witten 2008).  Returns (alias, target, n_links,
+    commonness_micro, rank) with rank 1 = most likely sense;
+    commonness_micro = floor(1e6 * n_links / total_links(alias)).
+    One groupBy + one window over the (small) dictionary — the corpus
+    itself is never touched."""
+    tot = (aliases.groupBy("alias")
+           .agg(F.sum("n_links").cast("long").alias("_tot")))
+    w = Window.partitionBy("alias").orderBy(
+        F.col("n_links").desc(), F.col("target").asc())
+    return (aliases.join(tot, "alias")
+            .select("alias", "target", "n_links",
+                    F.expr("(n_links * 1000000) div _tot").cast("long")
+                    .alias("commonness_micro"),
+                    F.row_number().over(w).alias("rank")))

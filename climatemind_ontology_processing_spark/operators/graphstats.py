@@ -675,3 +675,62 @@ def node2vec_walks(edges: DataFrame, length: int = 4,
         out = out.unionByName(
             cur.select("start", F.lit(t).alias("step"), "node"))
     return out
+
+
+def luby_mis(edges: DataFrame, src: str = "src", dst: str = "dst",
+             seed: str = "mis", max_rounds: int = 40) -> DataFrame:
+    """Maximal independent set via Luby's algorithm (Luby 1986) with
+    deterministic per-round hash priorities — the standard symmetry-
+    breaking primitive (conflict-free scheduling, coordinated crawl
+    politeness, greedy graph coloring seeds).
+
+    Round r: every live node draws priority H(seed|r|id) (md5_60 —
+    DuckDB-replayable); a node enters the MIS iff its (priority, id)
+    tuple beats every live neighbor's (ties are id-broken, so the round
+    is a total order and retries reproduce it).  Winners and their
+    neighbors leave the live set.  Luby's analysis gives O(log V)
+    expected rounds; per round this is one join of the live adjacency
+    against priorities + one min aggregation — keys-only.  The round cap
+    RAISES on exhaustion (repo invariant: truncated fixpoints never
+    return silently).  Returns (id, mis_round).
+    """
+    e = undirected_canonical(edges, src, dst)
+    sym = (e.select(F.col("lo").alias("id"), F.col("hi").alias("nbr"))
+           .unionByName(e.select(F.col("hi").alias("id"),
+                                 F.col("lo").alias("nbr")))
+           .localCheckpoint(eager=True))
+    live = sym.select("id").distinct().localCheckpoint(eager=True)
+    out = None
+    for r in range(1, max_rounds + 1):
+        if live.isEmpty():
+            return out if out is not None else live.select(
+                "id", F.lit(0).alias("mis_round")).limit(0)
+        pri_col = F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.lit(seed), F.lit(str(r)),
+            F.col("id").cast("string"))), 1, 15), 16, 10).cast("long")
+        pri = live.select("id", pri_col.alias("h"))
+        live_sym = (sym.join(live, "id", "left_semi")
+                    .join(live.withColumnRenamed("id", "nbr"), "nbr",
+                          "left_semi"))
+        nbr_best = (live_sym
+                    .join(pri.select(F.col("id").alias("nbr"),
+                                     F.col("h").alias("nh")), "nbr")
+                    .groupBy("id")
+                    .agg(F.min(F.struct(F.col("nh"), F.col("nbr")))
+                         .alias("_b")))
+        winners = (pri.join(nbr_best, "id", "left")
+                   .filter(F.col("_b").isNull()
+                           | (F.struct(F.col("h"), F.col("id"))
+                              < F.col("_b")))
+                   .select("id").localCheckpoint(eager=True))
+        rows = winners.select("id", F.lit(r).alias("mis_round"))
+        out = rows if out is None else out.unionByName(rows)
+        removed = (winners.unionByName(
+            live_sym.join(winners, "id", "left_semi").select(
+                F.col("nbr").alias("id")))
+            .distinct())
+        live = live.join(removed, "id", "left_anti") \
+            .localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"luby_mis did not empty the live set within max_rounds="
+        f"{max_rounds}")

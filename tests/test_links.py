@@ -85,3 +85,15 @@ def test_top_k_per_target(spark):
     assert [(r["alias"], r["n_links"]) for r in
             sorted(top2, key=lambda r: -r["n_links"])] == [("x", 3),
                                                            ("y", 2)]
+
+
+def test_alias_commonness(spark):
+    from climatemind_ontology_processing_spark.functions.links import (
+        alias_commonness)
+    aliases = spark.createDataFrame(
+        [("t1", "a", 3, 2), ("t2", "a", 1, 1), ("t1", "b", 2, 2)],
+        "target string, alias string, n_links long, n_pages long")
+    got = {(r["alias"], r["target"]): (r["commonness_micro"], r["rank"])
+           for r in alias_commonness(aliases).collect()}
+    assert got == {("a", "t1"): (750000, 1), ("a", "t2"): (250000, 2),
+                   ("b", "t1"): (1000000, 1)}
