@@ -2343,6 +2343,61 @@ def _luby_sql(rounds: int = 8, seed: str = "mis") -> str:
             + f"\n            {union}\n            ORDER BY id")
 
 
+def _q_inferred_types(spark, sf_dir):
+    """Seeded entity-type inference (operators/types.assign_types, Zhu-
+    Ghahramani clamped label spreading, 2 rounds) over the TPC-H KG:
+    seeds are the ~1/5 hash-selected entities with their true prefix as
+    type; everything else infers a posterior from its neighborhood.
+    Integer-micro mass arithmetic; the oracle unrolls both rounds."""
+    from climatemind_ontology_processing_spark.operators.types import (
+        assign_types)
+    trip = _tpch_kg_triples(spark, sf_dir)
+    ents = (trip.select(F.col("subj").alias("id"))
+            .unionByName(trip.select(F.col("obj").alias("id"))).distinct())
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("seed|"), F.col("id"))),
+                           1, 15), 16, 10).cast("long")
+    seeds = (ents.filter(h % 5 == 0)
+             .select("id", F.expr("split_part(id, ':', 1)").alias("type")))
+    return (assign_types(trip, seeds, rounds=2, src="subj", dst="obj")
+            .orderBy("id"))
+
+
+def _spread_sql(rounds: int = 2) -> str:
+    """DuckDB twin of _q_inferred_types: unrolled clamped-spreading CTEs."""
+    ctes = [f"""
+            triples AS MATERIALIZED ({_KG_SQL}),
+            e AS (SELECT DISTINCT subj AS a, obj AS b FROM triples
+                  WHERE subj <> obj),
+            sym AS MATERIALIZED (
+              SELECT a AS id, b AS nbr FROM e UNION SELECT b, a FROM e),
+            ents AS (SELECT DISTINCT id FROM sym),
+            seeds AS MATERIALIZED (
+              SELECT id, split_part(id, ':', 1) AS type FROM ents
+              WHERE ('0x' || substring(md5('seed|' || id), 1, 15))::BIGINT
+                      % 5 = 0),
+            s0 AS (SELECT id, type, 1000000::BIGINT AS score FROM seeds)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+            g{r} AS MATERIALIZED (
+              SELECT s.id, st.type, sum(st.score)::BIGINT AS g
+              FROM sym s JOIN s{r - 1} st ON st.id = s.nbr GROUP BY 1, 2),
+            s{r} AS MATERIALIZED (
+              SELECT g{r}.id, type,
+                     ((g * 1000000) // tot)::BIGINT AS score
+              FROM g{r} JOIN (SELECT id, sum(g)::BIGINT AS tot
+                              FROM g{r} GROUP BY id) t USING (id)
+              WHERE g{r}.id NOT IN (SELECT id FROM seeds)
+              UNION ALL SELECT id, type, score FROM s0)""")
+    return ("WITH " + ",".join(ctes) + f"""
+            SELECT b.id, b.type, b.score AS score_micro,
+                   (CASE WHEN b.id IN (SELECT id FROM seeds)
+                         THEN 1 ELSE 0 END)::INT AS is_seed
+            FROM (SELECT id, type, score, row_number() OVER (
+                    PARTITION BY id ORDER BY score DESC, type ASC) AS rn
+                  FROM s{rounds}) b
+            WHERE rn = 1 ORDER BY b.id""")
+
+
 def _betweenness_sql(n_sources: int = 4, levels: int = 5) -> str:
     """Unrolled Brandes: forward BFS-with-sigma rounds f1..fL (past the
     eccentricity the frontier is empty and rounds are no-ops), then
@@ -3367,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_alias_dict": _q_anchor_aliases,
         "alias_commonness": _q_alias_commonness,
         "luby_mis": _q_luby_mis,
+        "inferred_types": _q_inferred_types,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4222,6 +4278,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.alias, rank
         """,
         "luby_mis": _luby_sql(),
+        "inferred_types": _spread_sql(),
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (
