@@ -2398,6 +2398,72 @@ def _spread_sql(rounds: int = 2) -> str:
             WHERE rn = 1 ORDER BY b.id""")
 
 
+def _q_entity_alignment(spark, sf_dir):
+    """Cross-KG sameAs alignment (operators/align.align_entities, PARIS-
+    style shared-fact evidence): the left KG is each customer's bought-
+    part fact set; the right KG renames the ids and hash-drops ~1/3 of
+    the facts — alignment must still rank the true counterpart first.
+    Integer micro weights (1e6 div holders), hub guard at 100 holders."""
+    from climatemind_ontology_processing_spark.operators.align import (
+        align_entities)
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    facts = (o.join(l, l.l_orderkey == o.o_orderkey)
+             .filter(F.col("o_custkey") <= 300)
+             .select(F.col("o_custkey").alias("ck"),
+                     F.col("l_partkey").alias("pk"))
+             .distinct())
+    left = facts.select(
+        F.concat(F.lit("c:"), F.col("ck").cast("string")).alias("subj"),
+        F.lit("bought").alias("pred"),
+        F.concat(F.lit("p:"), F.col("pk").cast("string")).alias("obj"))
+    keep_h = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.lit("keep"), F.col("ck").cast("string"),
+        F.col("pk").cast("string"))), 1, 15), 16, 10).cast("long")
+    right = (facts.filter(keep_h % 3 != 0)
+             .select(F.concat(F.lit("cust-"), F.col("ck").cast("string"))
+                     .alias("subj"),
+                     F.lit("bought").alias("pred"),
+                     F.concat(F.lit("p:"), F.col("pk").cast("string"))
+                     .alias("obj")))
+    return (align_entities(left, right, max_holders=100, top_k=3,
+                           min_shared=2)
+            .orderBy("x", "rank"))
+
+
+_ALIGN_SQL = """
+            WITH facts AS MATERIALIZED (
+              SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE o_custkey <= 300),
+            lft AS (SELECT 'c:' || ck AS subj, 'bought' AS pred,
+                           'p:' || pk AS obj FROM facts),
+            rgt AS (SELECT 'cust-' || ck AS subj, 'bought' AS pred,
+                           'p:' || pk AS obj FROM facts
+                    WHERE ('0x' || substring(md5(
+                            'keep|' || ck || '|' || pk), 1, 15))::BIGINT
+                          % 3 <> 0),
+            u AS (SELECT * FROM lft UNION ALL SELECT * FROM rgt),
+            w AS MATERIALIZED (
+              SELECT pred, obj,
+                     (1000000 // count(DISTINCT subj))::BIGINT AS _w
+              FROM u GROUP BY pred, obj
+              HAVING count(DISTINCT subj) <= 100),
+            cand AS (
+              SELECT lft.subj AS x, rgt.subj AS y,
+                     count(*)::BIGINT AS n_shared,
+                     sum(_w)::BIGINT AS score_micro
+              FROM lft JOIN w USING (pred, obj) JOIN rgt USING (pred, obj)
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            ranked AS (
+              SELECT x, y, n_shared, score_micro, row_number() OVER (
+                PARTITION BY x ORDER BY score_micro DESC, y ASC) AS rank
+              FROM cand)
+            SELECT x, y, n_shared, score_micro, rank FROM ranked
+            WHERE rank <= 3 ORDER BY x, rank
+"""
+
+
 def _betweenness_sql(n_sources: int = 4, levels: int = 5) -> str:
     """Unrolled Brandes: forward BFS-with-sigma rounds f1..fL (past the
     eccentricity the frontier is empty and rounds are no-ops), then
@@ -3423,6 +3489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_commonness": _q_alias_commonness,
         "luby_mis": _q_luby_mis,
         "inferred_types": _q_inferred_types,
+        "entity_alignment": _q_entity_alignment,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4279,6 +4346,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "luby_mis": _luby_sql(),
         "inferred_types": _spread_sql(),
+        "entity_alignment": _ALIGN_SQL,
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (
