@@ -119,6 +119,10 @@ def main() -> None:
         # sampled Brandes betweenness, landmark distance index
         "dsir_scores", "rule_mining", "sampled_betweenness",
         "landmark_distances",
+        # round-5 late additions: Hearst hypernym mining, HyperBall ANF,
+        # cross-KG alignment, biased node2vec walks
+        "hearst_isa", "hyperball_anf", "entity_alignment",
+        "node2vec_walks",
     ]
     qs = entrymod.queries()
     for name in headline:
