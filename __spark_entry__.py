@@ -1890,6 +1890,54 @@ def _q_k_truss(spark, sf_dir):
             .orderBy("lo", "hi"))
 
 
+# RDFS schema for the TPC-H KG: a 3-level class hierarchy, a 2-level
+# property hierarchy, and domain/range rows (one declared on a
+# SUPERproperty — trades_with — so the rdfs7+rdfs2 interplay is exercised).
+_RDFS_SCHEMA = [
+    ("Customer", "subClassOf", "Agent"), ("Supplier", "subClassOf", "Agent"),
+    ("Agent", "subClassOf", "Entity"), ("Nation", "subClassOf", "Place"),
+    ("Region", "subClassOf", "Place"), ("Place", "subClassOf", "Entity"),
+    ("buys_from", "subPropertyOf", "trades_with"),
+    ("trades_with", "subPropertyOf", "related_to"),
+    ("located_in", "subPropertyOf", "related_to"),
+    ("buys_from", "domain", "Customer"), ("buys_from", "range", "Supplier"),
+    ("in_nation", "domain", "Agent"), ("in_nation", "range", "Nation"),
+    ("in_region", "domain", "Nation"), ("in_region", "range", "Region"),
+    ("located_in", "range", "Region"),
+    ("trades_with", "domain", "Agent"), ("trades_with", "range", "Agent"),
+]
+
+
+def _q_rdfs_closure(spark, sf_dir):
+    """RDFS entailment closure (operators/rdfs.rdfs_closure — W3C RDF 1.1
+    Semantics rules rdfs2/3/5/7/9/11) over the TPC-H KG plus a literal
+    schema: subClassOf/subPropertyOf transitivity, property propagation,
+    domain/range type inference (one domain declared on a SUPERproperty,
+    pinning the sp-closed domain map), and type propagation up the class
+    hierarchy.  buys_from is md5-sliced to 1/20 so the output stays
+    compare-sized; declared types derive from the entity prefix.  The
+    oracle evaluates the same stratified rules with recursive CTEs
+    (UNION dedup, per the dag_layers lesson)."""
+    from climatemind_ontology_processing_spark.operators.rdfs import (
+        rdfs_closure)
+    trip = _tpch_kg_triples(spark, sf_dir)
+    keep = (F.conv(F.substring(F.md5(F.concat_ws("|", "subj", "obj")),
+                               1, 15), 16, 10).cast("long") % 20 == 0)
+    inst0 = trip.filter((F.col("pred") != "buys_from") | keep)
+    ents = (inst0.select(F.col("subj").alias("e"))
+            .unionByName(inst0.select(F.col("obj").alias("e"))).distinct())
+    decl = ents.select(
+        F.col("e").alias("subj"), F.lit("type").alias("pred"),
+        F.when(F.col("e").startswith("c:"), F.lit("Customer"))
+         .when(F.col("e").startswith("s:"), F.lit("Supplier"))
+         .when(F.col("e").startswith("n:"), F.lit("Nation"))
+         .otherwise(F.lit("Region")).alias("obj"))
+    inst = inst0.unionByName(decl)
+    sch = spark.createDataFrame(_RDFS_SCHEMA,
+                                "subj string, pred string, obj string")
+    return rdfs_closure(inst, sch).orderBy("subj", "pred", "obj")
+
+
 def _q_motif_matches(spark, sf_dir):
     """Basic-graph-pattern matching (operators/motifs.match_motif — the
     GraphFrames find() / SPARQL BGP shape): the located_in closure
@@ -2429,6 +2477,101 @@ def _q_entity_alignment(spark, sf_dir):
     return (align_entities(left, right, max_holders=100, top_k=3,
                            min_shared=2)
             .orderBy("x", "rank"))
+
+
+def _rdfs_sql() -> str:
+    """DuckDB twin of _q_rdfs_closure: the same stratified RDFS rules,
+    with the subClassOf/subPropertyOf transitive closures as recursive
+    CTEs (UNION dedup keeps cyclic schemas bounded — dag_layers lesson)
+    and the schema VALUES built from the SAME _RDFS_SCHEMA literal the
+    Spark query uses."""
+    vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA)
+    # NOTE: under WITH RECURSIVE, DuckDB 1.0 does NOT dedupe a plain
+    # `A UNION B` across arms in a NON-self-referencing CTE (minimal
+    # repro in CLAUDE.md round-5 lessons) — every non-recursive union
+    # below is therefore SELECT DISTINCT over UNION ALL; only the truly
+    # recursive sc/sp CTEs use UNION (where recursive semantics apply
+    # and dedup correctly).
+    return f"""
+        WITH RECURSIVE
+        tk AS MATERIALIZED ({_KG_SQL}),
+        inst0 AS MATERIALIZED (
+          SELECT subj, pred, obj FROM tk
+          WHERE pred <> 'buys_from'
+             OR ('0x' || substring(md5(subj || '|' || obj), 1, 15))::BIGINT
+                % 20 = 0),
+        ents AS (SELECT DISTINCT e FROM (
+                   SELECT subj AS e FROM inst0
+                   UNION ALL SELECT obj FROM inst0)),
+        decl AS (SELECT e AS subj, 'type' AS pred,
+                        CASE substring(e, 1, 2)
+                          WHEN 'c:' THEN 'Customer'
+                          WHEN 's:' THEN 'Supplier'
+                          WHEN 'n:' THEN 'Nation'
+                          ELSE 'Region' END AS obj
+                 FROM ents),
+        inst AS MATERIALIZED (
+          SELECT DISTINCT subj, pred, obj FROM (
+            SELECT subj, pred, obj FROM inst0
+            UNION ALL SELECT subj, pred, obj FROM decl)),
+        sch(subj, pred, obj) AS (VALUES {vals}),
+        sc(c, d) AS (
+          SELECT subj, obj FROM sch WHERE pred = 'subClassOf'
+          UNION
+          SELECT sc.c, s2.obj FROM sc JOIN sch s2
+            ON s2.pred = 'subClassOf' AND s2.subj = sc.d),
+        sp(p, q) AS (
+          SELECT subj, obj FROM sch WHERE pred = 'subPropertyOf'
+          UNION
+          SELECT sp.p, s2.obj FROM sp JOIN sch s2
+            ON s2.pred = 'subPropertyOf' AND s2.subj = sp.q),
+        a0 AS (SELECT subj, pred, obj FROM inst WHERE pred <> 'type'),
+        exta AS (
+          SELECT DISTINCT subj, pred, obj FROM (
+            SELECT subj, pred, obj FROM a0
+            UNION ALL
+            SELECT a0.subj, sp.q, a0.obj FROM a0 JOIN sp ON sp.p = a0.pred)),
+        dome AS (
+          SELECT DISTINCT p, c FROM (
+            SELECT subj AS p, obj AS c FROM sch WHERE pred = 'domain'
+            UNION ALL
+            SELECT sp.p, d.obj FROM sp JOIN sch d
+              ON d.pred = 'domain' AND d.subj = sp.q)),
+        rnge AS (
+          SELECT DISTINCT p, c FROM (
+            SELECT subj AS p, obj AS c FROM sch WHERE pred = 'range'
+            UNION ALL
+            SELECT sp.p, r.obj FROM sp JOIN sch r
+              ON r.pred = 'range' AND r.subj = sp.q)),
+        typ AS (
+          SELECT DISTINCT subj, c FROM (
+            SELECT subj, obj AS c FROM inst WHERE pred = 'type'
+            UNION ALL
+            SELECT a0.subj, dome.c FROM a0 JOIN dome ON dome.p = a0.pred
+            UNION ALL
+            SELECT a0.obj, rnge.c FROM a0 JOIN rnge ON rnge.p = a0.pred)),
+        typall AS (
+          SELECT DISTINCT subj, c FROM (
+            SELECT subj, c FROM typ
+            UNION ALL
+            SELECT typ.subj, sc.d FROM typ JOIN sc ON sc.c = typ.c)),
+        ent AS (
+          SELECT DISTINCT subj, pred, obj FROM (
+            SELECT subj, pred, obj FROM exta
+            UNION ALL SELECT subj, 'type', c FROM typall
+            UNION ALL SELECT c, 'subClassOf', d FROM sc
+            UNION ALL SELECT p, 'subPropertyOf', q FROM sp
+            UNION ALL SELECT subj, pred, obj FROM sch)),
+        asrt AS (
+          SELECT DISTINCT subj, pred, obj FROM (
+            SELECT subj, pred, obj FROM inst
+            UNION ALL SELECT subj, pred, obj FROM sch))
+        SELECT e.subj, e.pred, e.obj,
+               CASE WHEN a.subj IS NULL THEN 1 ELSE 0 END AS derived
+        FROM ent e LEFT JOIN asrt a
+          ON a.subj = e.subj AND a.pred = e.pred AND a.obj = e.obj
+        ORDER BY e.subj, e.pred, e.obj
+    """
 
 
 _ALIGN_SQL = """
@@ -3490,6 +3633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luby_mis": _q_luby_mis,
         "inferred_types": _q_inferred_types,
         "entity_alignment": _q_entity_alignment,
+        "rdfs_closure": _q_rdfs_closure,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4347,6 +4491,7 @@ def oracle_sql() -> dict[str, str]:
         "luby_mis": _luby_sql(),
         "inferred_types": _spread_sql(),
         "entity_alignment": _ALIGN_SQL,
+        "rdfs_closure": _rdfs_sql(),
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (

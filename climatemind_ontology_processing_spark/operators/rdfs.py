@@ -1,0 +1,159 @@
+"""RDFS entailment closure over a distributed triple table.
+
+The reference's only reasoning step is owlready2's ``sync_reasoner`` run
+over the curated ontology, whose sole observable effect on the pipeline
+output is the class-ancestor closure (SURVEY §2 X1;
+/root/reference/ontology_processing/process_new_ontology_file.py — the
+repo computes that closure from scratch in sources/owl_reader.py:160).
+This module generalizes that step to web-scale KG construction: the
+standard RDFS entailment rules (Hayes & Patel-Schneider, "RDF 1.1
+Semantics" §9.2.1) evaluated as DataFrame joins over (subj, pred, obj)
+rows, so a 10^12-triple extracted KG gets the same schema-aware closure
+the reference gets from a single in-memory ontology.
+
+Rules implemented (their W3C names):
+
+- rdfs11  subClassOf transitivity
+- rdfs9   (x type c), (c subClassOf d)      => (x type d)
+- rdfs5   subPropertyOf transitivity
+- rdfs7   (x p y), (p subPropertyOf q)      => (x q y)
+- rdfs2   (p domain c), (x p y)             => (x type c)
+- rdfs3   (p range c),  (x p y)             => (y type c)
+
+Evaluation is STRATIFIED, which is the complete fixpoint for this rule
+subset: schema closures (rdfs5/11) depend only on schema; rdfs7 reads
+instance assertions + the subPropertyOf closure; rdfs2/3 read the
+EXTENDED assertion set (so a domain declared on a superproperty fires
+for subproperty assertions); rdfs9 reads the resulting type set + the
+subClassOf closure.  No rule feeds back into an earlier stratum — RDF
+metamodeling (subPropertyOf of subClassOf itself, container membership,
+rdfs4 literal generalization) is deliberately out of scope and
+documented here.
+
+Scale shape: the schema side (classes + properties) is vocabulary-sized
+— its closures are tiny and BROADCAST into every instance-side join, so
+the only full-size operations are one map-side-joined projection per
+rule plus the final distinct.  The transitive closures themselves run
+semi-naive (frontier joins new facts only) with the repo's loud round
+cap (a truncated fixpoint is invisible — CLAUDE.md invariant).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+S, P, O = "subj", "pred", "obj"
+
+
+def transitive_closure(pairs: DataFrame, a: str = "a", b: str = "b",
+                       max_rounds: int = 25) -> DataFrame:
+    """Transitive closure of a binary relation as (a, b) pairs.
+
+    Semi-naive evaluation: each round extends only the NEW pairs of the
+    previous round by one hop, then anti-joins the accumulated closure,
+    so converged chains stop contributing work.  Rounds grow closure
+    depth by 1, hence ``max_rounds`` bounds the longest chain; RAISES on
+    exhaustion (loud-cap invariant).  Cycles are fine — reflexive pairs
+    appear iff a node reaches itself through the cycle.
+    """
+    base = pairs.select(F.col(a).alias("a"), F.col(b).alias("b")) \
+                .distinct().localCheckpoint(eager=True)
+    closure = base
+    frontier = base
+    for _ in range(max_rounds):
+        if frontier.isEmpty():
+            return closure.select(F.col("a").alias(a), F.col("b").alias(b))
+        step = (frontier.alias("f")
+                .join(base.alias("e"), F.col("f.b") == F.col("e.a"))
+                .select(F.col("f.a").alias("a"), F.col("e.b").alias("b"))
+                .distinct())
+        frontier = step.join(closure, ["a", "b"], "left_anti") \
+                       .localCheckpoint(eager=True)
+        closure = closure.unionByName(frontier).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"transitive_closure did not converge within max_rounds="
+        f"{max_rounds} — raise max_rounds (chain deeper than the cap)")
+
+
+def rdfs_closure(instance: DataFrame, schema: DataFrame,
+                 type_pred: str = "type", sub_class: str = "subClassOf",
+                 sub_prop: str = "subPropertyOf", domain: str = "domain",
+                 range_: str = "range", max_rounds: int = 25) -> DataFrame:
+    """Full RDFS entailment of ``instance`` triples under ``schema``.
+
+    Both inputs are (subj, pred, obj) tables; ``schema`` holds the
+    subClassOf / subPropertyOf / domain / range rows (vocabulary-sized,
+    broadcast), ``instance`` holds assertions including declared
+    ``type`` rows (corpus-sized, never collected).
+
+    Returns the deductive closure — asserted rows (instance AND schema)
+    plus every entailed triple — as (subj, pred, obj, derived) with
+    ``derived`` = 0 for asserted rows, 1 for rows that exist only by
+    entailment.  Output is distinct; an entailed triple that is also
+    asserted reports derived = 0.
+    """
+    sch = schema.select(S, P, O).distinct()
+    inst = instance.select(S, P, O).distinct()
+
+    # --- schema stratum: rdfs11 / rdfs5 closures (vocabulary-sized) ------
+    sc = transitive_closure(
+        sch.filter(F.col(P) == sub_class).select(S, O), a=S, b=O,
+        max_rounds=max_rounds).withColumnRenamed(S, "c") \
+        .withColumnRenamed(O, "d")
+    sp = transitive_closure(
+        sch.filter(F.col(P) == sub_prop).select(S, O), a=S, b=O,
+        max_rounds=max_rounds).withColumnRenamed(S, "p") \
+        .withColumnRenamed(O, "q")
+    dom = sch.filter(F.col(P) == domain) \
+             .select(F.col(S).alias("p"), F.col(O).alias("c"))
+    rng = sch.filter(F.col(P) == range_) \
+             .select(F.col(S).alias("p"), F.col(O).alias("c"))
+    # domain/range of a SUPERproperty apply to subproperty assertions:
+    # close the property key through sp once, schema-side (still tiny).
+    dom_eff = dom.unionByName(
+        sp.join(dom.withColumnRenamed("p", "q"), "q").select("p", "c")) \
+        .distinct()
+    rng_eff = rng.unionByName(
+        sp.join(rng.withColumnRenamed("p", "q"), "q").select("p", "c")) \
+        .distinct()
+
+    # --- instance stratum ------------------------------------------------
+    asserted_a = inst.filter(F.col(P) != type_pred)
+    # rdfs7: propagate assertions up the property hierarchy
+    ext_a = asserted_a.unionByName(
+        asserted_a.join(F.broadcast(sp), asserted_a[P] == sp["p"])
+        .select(S, F.col("q").alias(P), O)).distinct()
+
+    declared_t = inst.filter(F.col(P) == type_pred) \
+                     .select(S, F.col(O).alias("c"))
+    # rdfs2/3 over the RAW assertions with sp-closed domain/range maps
+    # (equivalent to running them over ext_a with the raw maps, one
+    # corpus-side join cheaper).
+    dom_t = asserted_a.join(F.broadcast(dom_eff),
+                            asserted_a[P] == dom_eff["p"]).select(S, "c")
+    rng_t = asserted_a.join(F.broadcast(rng_eff),
+                            asserted_a[P] == rng_eff["p"]) \
+                      .select(F.col(O).alias(S), "c")
+    types = declared_t.unionByName(dom_t).unionByName(rng_t).distinct()
+    # rdfs9: propagate types up the class hierarchy
+    all_types = types.unionByName(
+        types.join(F.broadcast(sc), "c")
+        .select(S, F.col("d").alias("c"))).distinct()
+
+    entailed = (ext_a
+                .unionByName(all_types.select(
+                    S, F.lit(type_pred).alias(P), F.col("c").alias(O)))
+                .unionByName(sc.select(F.col("c").alias(S),
+                                       F.lit(sub_class).alias(P),
+                                       F.col("d").alias(O)))
+                .unionByName(sp.select(F.col("p").alias(S),
+                                       F.lit(sub_prop).alias(P),
+                                       F.col("q").alias(O)))
+                .unionByName(sch)
+                .distinct())
+    asserted = inst.unionByName(sch).distinct() \
+                   .withColumn("_asserted", F.lit(1))
+    return (entailed.join(asserted, [S, P, O], "left")
+            .select(S, P, O,
+                    F.when(F.col("_asserted").isNotNull(), F.lit(0))
+                     .otherwise(F.lit(1)).alias("derived")))
