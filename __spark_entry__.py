@@ -1986,6 +1986,25 @@ def _q_transe_ranks(spark, sf_dir):
             .orderBy("subj", "pred", "obj"))
 
 
+def _q_distmult_ranks(spark, sf_dir):
+    """DistMult link-prediction rank evaluation (operators/negatives.
+    distmult_rank_eval, Yang et al. 2015) over the same
+    supplier/nation/region KG slice as transe_ranks: the bilinear-diagonal
+    score sum_i h_i*r_i*t_i (HIGHER better), integer hash embeddings
+    (dim 8, mod 1009), deterministic tie-break, hits@10.  The two
+    protocols share one candidate-join shape; only the score expression
+    and comparison direction differ — a model-swap costs zero plan
+    changes."""
+    from climatemind_ontology_processing_spark.operators.negatives import (
+        distmult_rank_eval)
+    trip = _tpch_kg_triples(spark, sf_dir).filter(
+        (F.col("pred") == "in_region") |
+        ((F.col("pred") == "in_nation") & F.col("subj").startswith("s:")))
+    return (distmult_rank_eval(trip, dim=8, modulus=1009, k_hits=10,
+                               hash_family="md5_60")
+            .orderBy("subj", "pred", "obj"))
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -3634,6 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inferred_types": _q_inferred_types,
         "entity_alignment": _q_entity_alignment,
         "rdfs_closure": _q_rdfs_closure,
+        "distmult_ranks": _q_distmult_ranks,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4352,6 +4372,40 @@ def oracle_sql() -> dict[str, str]:
             ranks AS (
               SELECT c.subj, c.pred, c.obj,
                      (1 + sum(CASE WHEN c.score < t.true_score
+                                    OR (c.score = t.true_score
+                                        AND c.cand < c.obj)
+                              THEN 1 ELSE 0 END))::BIGINT AS rank
+              FROM cands c JOIN trues t USING (subj, pred, obj)
+              GROUP BY 1, 2, 3)
+            SELECT subj, pred, obj, rank,
+                   (CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::INT AS hit
+            FROM ranks ORDER BY subj, pred, obj
+        """,
+        "distmult_ranks": """
+            WITH triples AS MATERIALIZED (
+              SELECT 's:' || s_suppkey AS subj, 'in_nation' AS pred,
+                     'n:' || s_nationkey AS obj FROM supplier
+              UNION ALL
+              SELECT 'n:' || n_nationkey, 'in_region', 'r:' || n_regionkey
+              FROM nation),
+            ents AS (SELECT DISTINCT subj AS id FROM triples
+                     UNION SELECT DISTINCT obj FROM triples),
+            cands AS MATERIALIZED (
+              SELECT t.subj, t.pred, t.obj, e.id AS cand,
+                     list_sum(list_transform(range(0, 8), i ->
+                         (('0x' || substring(md5('e|' || t.subj || '|' || i),
+                                             1, 15))::BIGINT % 1009)
+                       * (('0x' || substring(md5('r|' || t.pred || '|' || i),
+                                             1, 15))::BIGINT % 1009)
+                       * (('0x' || substring(md5('e|' || e.id || '|' || i),
+                                             1, 15))::BIGINT % 1009)
+                     ))::BIGINT AS score
+              FROM triples t CROSS JOIN ents e),
+            trues AS (SELECT subj, pred, obj, score AS true_score
+                      FROM cands WHERE cand = obj),
+            ranks AS (
+              SELECT c.subj, c.pred, c.obj,
+                     (1 + sum(CASE WHEN c.score > t.true_score
                                     OR (c.score = t.true_score
                                         AND c.cand < c.obj)
                               THEN 1 ELSE 0 END))::BIGINT AS rank

@@ -143,6 +143,40 @@ def test_transe_candidate_guard(spark):
         transe_rank_eval(_triples(spark, T), max_candidates=10)
 
 
+def test_distmult_rank_matches_replica(spark):
+    from climatemind_ontology_processing_spark.operators.negatives import (
+        distmult_rank_eval)
+    T = [("a", "r1", "b"), ("b", "r1", "c"), ("c", "r2", "a"),
+         ("d", "r2", "b"), ("a", "r2", "d")]
+    got = {(r.subj, r.pred, r.obj): (r.rank, r.hit)
+           for r in distmult_rank_eval(_triples(spark, T), dim=4, modulus=97,
+                                       k_hits=2).collect()}
+
+    def h60(x):
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    ents = sorted({x for t in T for x in (t[0], t[2])})
+    emb = lambda p, i: [h60(f"{p}|{i}|{j}") % 97 for j in range(4)]
+    E = {e: emb("e", e) for e in ents}
+    R = {r: emb("r", r) for r in {t[1] for t in T}}
+    score = lambda h, r, t: sum(
+        a * b * c for a, b, c in zip(E[h], R[r], E[t]))
+    for s, p, o in T:
+        st = score(s, p, o)
+        rank = 1 + sum(1 for c in ents
+                       if score(s, p, c) > st or
+                       (score(s, p, c) == st and c < o))
+        assert got[(s, p, o)] == (rank, int(rank <= 2))
+
+
+def test_distmult_overflow_guard(spark):
+    from climatemind_ontology_processing_spark.operators.negatives import (
+        distmult_rank_eval)
+    T = [("a", "r", "b")]
+    with pytest.raises(ValueError, match="overflows"):
+        distmult_rank_eval(_triples(spark, T), dim=8, modulus=2 ** 21)
+
+
 def test_pred_signatures_counts_and_modal_types(spark):
     T = [("c:1", "in_nation", "n:1"), ("c:2", "in_nation", "n:1"),
          ("c:3", "in_nation", "n:2"), ("s:1", "in_nation", "n:2"),
