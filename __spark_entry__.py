@@ -1793,6 +1793,47 @@ def _q_landmark_distances(spark, sf_dir):
             .orderBy("landmark", "id"))
 
 
+def _q_katz_centrality(spark, sf_dir):
+    """Katz centrality (operators/pagerank.katz_centrality, Katz 1953)
+    over the trade graph: exact BIGINT walk counts per length (4 rounds,
+    alpha=1/4), each term micro-BIGINT truncated independently so the
+    score is order-independent and engine-exact.  The oracle unrolls the
+    4 power-iteration rounds as CTEs."""
+    from climatemind_ontology_processing_spark.operators.pagerank import (
+        katz_centrality)
+    edges = _trade_edges(spark, sf_dir)
+    return (katz_centrality(edges, rounds=4, atten_denom=4)
+            .select(F.col("id").cast("int").alias("id"), "katz_micro")
+            .orderBy("id"))
+
+
+def _katz_sql(rounds: int = 4, a: int = 4) -> str:
+    """DuckDB twin of _q_katz_centrality: w_k CTEs unrolled, per-term
+    truncating division (// on nonnegative BIGINTs == Spark DIV)."""
+    ws = []
+    for k in range(1, rounds + 1):
+        prev = "w0" if k == 1 else f"w{k - 1}"
+        ws.append(f"""w{k} AS MATERIALIZED (
+              SELECT e.dst AS id, sum(p.w)::BIGINT AS w
+              FROM e JOIN {prev} p ON p.id = e.src GROUP BY e.dst)""")
+    terms = " + ".join(
+        f"coalesce((w{k}.w * 1000000) // {a ** k}, 0)"
+        for k in range(1, rounds + 1))
+    joins = "\n            ".join(
+        f"LEFT JOIN w{k} ON w{k}.id = n.id" for k in range(1, rounds + 1))
+    return f"""
+        WITH e AS MATERIALIZED ({_TRADE_SQL}),
+        nodes AS (SELECT DISTINCT id FROM (
+          SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        w0 AS (SELECT id, 1::BIGINT AS w FROM nodes),
+        {", ".join(ws)}
+        SELECT n.id::INT AS id, ({terms})::BIGINT AS katz_micro
+        FROM nodes n
+            {joins}
+        ORDER BY n.id
+    """
+
+
 def _tpch_kg_triples(spark, sf_dir):
     """Multi-predicate KG derived from the TPC-H tables — the rule-mining
     substrate: in_nation (customers+suppliers), in_region (nations),
@@ -3654,6 +3695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_alignment": _q_entity_alignment,
         "rdfs_closure": _q_rdfs_closure,
         "distmult_ranks": _q_distmult_ranks,
+        "katz_centrality": _q_katz_centrality,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4546,6 +4588,7 @@ def oracle_sql() -> dict[str, str]:
         "inferred_types": _spread_sql(),
         "entity_alignment": _ALIGN_SQL,
         "rdfs_closure": _rdfs_sql(),
+        "katz_centrality": _katz_sql(4, 4),
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (

@@ -164,3 +164,53 @@ def personalized_pagerank(edges: DataFrame, seeds: list | dict,
         if (i + 1) % checkpoint_every == 0 or i == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def katz_centrality(edges: DataFrame, rounds: int = 4, atten_denom: int = 4,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """Katz centrality (Katz 1953) with EXACT integer arithmetic:
+
+        katz(v) = sum_{k=1..rounds} alpha^k * |walks of length k ending at v|
+
+    with alpha = 1/atten_denom.  Walk counts are BIGINTs (w_k(v) =
+    sum over in-edges of w_{k-1}(u), one join + one groupBy per round —
+    the matrix-free power iteration), and each term is micro-BIGINT
+    truncated INDEPENDENTLY (term_k = w_k * 10^6 DIV atten_denom^k), so
+    the final sum is order-independent and engine-exact (CLAUDE.md
+    micro-BIGINT convention).  Truncation at alpha^k-granularity differs
+    from float Katz by < rounds microunits — document, don't float.
+
+    A per-round max-aggregate guards the w_k * 10^6 product: RAISES
+    loudly when walk counts approach 2^63/10^6 (dense graphs explode
+    combinatorially — at that point Katz needs float/log space, a
+    different contract).  Returns (id, katz_micro) for every node.
+    """
+    if rounds < 1 or atten_denom < 2:
+        raise ValueError("rounds >= 1 and atten_denom >= 2 required")
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("id"))
+             .unionByName(e.select(F.col("v").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+    limit = (2 ** 63 - 1) // 1_000_000
+    w = nodes.select("id", F.lit(1).cast("long").alias("w"))
+    acc = nodes.select("id", F.lit(0).cast("long").alias("katz_micro"))
+    for k in range(1, rounds + 1):
+        w = (e.join(w.withColumnRenamed("id", "u"), "u")
+             .groupBy(F.col("v").alias("id"))
+             .agg(F.sum("w").alias("w"))
+             .localCheckpoint(eager=True))
+        mx = w.agg(F.coalesce(F.max("w"), F.lit(0))).first()[0]
+        if mx > limit:
+            raise RuntimeError(
+                f"katz_centrality round {k}: walk count {mx} overflows the "
+                "micro-BIGINT term — reduce rounds or use a float variant")
+        term = w.select("id", F.expr(
+            f"(w * 1000000L) DIV {atten_denom ** k}L").alias("t"))
+        acc = (acc.join(term, "id", "left")
+               .select("id", (F.col("katz_micro")
+                              + F.coalesce("t", F.lit(0)))
+                       .alias("katz_micro"))
+               .localCheckpoint(eager=True))
+    return acc
