@@ -2135,6 +2135,57 @@ def _q_hearst_isa(spark, sf_dir):
             .orderBy("subj", "obj"))
 
 
+# verb lexicon fitted to the synthetic documents vocabulary (the corpus
+# is word soup, so extractions are arbitrary-but-deterministic trigrams —
+# exactly what a correctness gate needs; swap real verb lists in prod).
+_OPENIE_VERBS = ("scan", "merge", "join", "filter", "sort", "group")
+
+
+def _q_open_triples(spark, sf_dir):
+    """ReVerb-lite open IE (operators/openie.open_triple_counts — Fader
+    et al. 2011): (NP) (V [P]) [DET] (NP) surface extraction with the
+    relation-word-out-of-argument-slots constraint, pooled into
+    (arg1, rel, arg2, n_mentions, n_docs) with min_docs=2.  The oracle
+    runs the IDENTICAL regex under RE2 — the hash match certifies
+    Java-regex ≡ RE2 leftmost-nonoverlapping agreement (hearst_isa
+    precedent) plus the post-match constraint filter."""
+    from climatemind_ontology_processing_spark.operators.openie import (
+        open_triple_counts)
+    docs = _read(spark, sf_dir, "documents")
+    return (open_triple_counts(docs, _OPENIE_VERBS, min_docs=2)
+            .orderBy("arg1", "rel", "arg2"))
+
+
+def _openie_sql() -> str:
+    """DuckDB twin of _q_open_triples: the same pattern string (built by
+    the same reverb_pattern call — no drift possible) and stop list."""
+    from climatemind_ontology_processing_spark.operators.openie import (
+        DEFAULT_DETS, DEFAULT_PREPS, reverb_pattern)
+    pat = reverb_pattern(_OPENIE_VERBS)
+    stop = ", ".join(f"'{w}'" for w in
+                     _OPENIE_VERBS + DEFAULT_PREPS + DEFAULT_DETS)
+    return f"""
+        WITH m AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '{pat}', 0)) AS m
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 regexp_extract(m, '{pat}', 1) AS arg1,
+                 regexp_extract(m, '{pat}', 2) AS rel,
+                 regexp_extract(m, '{pat}', 3) AS arg2
+          FROM m)
+        SELECT arg1, rel, arg2, count(*)::BIGINT AS n_mentions,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM g
+        WHERE arg1 NOT IN ({stop}) AND arg2 NOT IN ({stop})
+          AND arg1 <> '' AND arg2 <> ''
+        GROUP BY 1, 2, 3
+        HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY arg1, rel, arg2
+    """
+
+
 def _claims_df(spark, sf_dir):
     """Deterministic conflicting-claims table: every lineitem is a source
     (supplier) asserting its part's size; a seeded md5 selects ~1/4 of
@@ -3696,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_closure": _q_rdfs_closure,
         "distmult_ranks": _q_distmult_ranks,
         "katz_centrality": _q_katz_centrality,
+        "open_triples": _q_open_triples,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4589,6 +4641,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_alignment": _ALIGN_SQL,
         "rdfs_closure": _rdfs_sql(),
         "katz_centrality": _katz_sql(4, 4),
+        "open_triples": _openie_sql(),
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (
