@@ -2521,6 +2521,82 @@ def _q_inferred_types(spark, sf_dir):
             .orderBy("id"))
 
 
+def _q_jp_coloring(spark, sf_dir):
+    """Jones-Plassmann greedy coloring (operators/coloring.jp_coloring,
+    Jones & Plassmann 1993) over a 1/10 md5-slice of the customer-supplier
+    graph: static md5_60 priorities, per-round local-minimum winners, mex
+    color choice.  Equivalent by construction to SEQUENTIAL greedy in
+    (priority, id) order (pinned in tests); the oracle unrolls 36 JP
+    rounds — past the fixpoint (29 measured at sf0.01, 8 at sf0.001)
+    further rounds are no-ops, same covering-unroll contract as
+    k_truss."""
+    from climatemind_ontology_processing_spark.operators.coloring import (
+        jp_coloring)
+    buys = (_tpch_kg_triples(spark, sf_dir)
+            .filter(F.col("pred") == "buys_from")
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    sl = buys.filter(
+        F.conv(F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 15),
+               16, 10).cast("long") % 10 == 0)
+    return (jp_coloring(sl, seed="color")
+            .select("id", F.col("color").cast("long").alias("color"),
+                    "jp_round")
+            .orderBy("id"))
+
+
+def _jp_sql(rounds: int = 36, seed: str = "color") -> str:
+    """DuckDB twin of _q_jp_coloring: per-round winner/mex/accumulate
+    CTEs (AS MATERIALIZED — round-5 re-inlining lesson)."""
+    ctes = [f"""
+            e AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+              FROM ({_BUYS_SQL.strip()}) WHERE src <> dst
+                AND ('0x' || substring(md5(src || '|' || dst), 1, 15))
+                      ::BIGINT % 10 = 0),
+            sym AS MATERIALIZED (
+              SELECT lo AS id, hi AS nbr FROM e
+              UNION ALL SELECT hi, lo FROM e),
+            pri AS MATERIALIZED (
+              SELECT id, ('0x' || substring(md5('{seed}|' || id), 1, 15))
+                           ::BIGINT AS h
+              FROM (SELECT DISTINCT id FROM sym)),
+            live0 AS (SELECT id FROM pri),
+            col0 AS (SELECT NULL::VARCHAR AS id, NULL::BIGINT AS color,
+                            NULL::INT AS jp_round WHERE false)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+            win{r} AS MATERIALIZED (
+              SELECT p.id FROM pri p
+              JOIN live{r - 1} lv ON lv.id = p.id
+              WHERE NOT EXISTS (
+                SELECT 1 FROM sym s
+                JOIN pri q ON q.id = s.nbr
+                JOIN live{r - 1} lq ON lq.id = s.nbr
+                WHERE s.id = p.id
+                  AND (q.h < p.h OR (q.h = p.h AND q.id < p.id)))),
+            asg{r} AS MATERIALIZED (
+              SELECT w.id,
+                     coalesce(list_min(list_filter(
+                       range(0, coalesce(len(nb.cols), 0) + 2),
+                       x -> NOT list_contains(
+                         coalesce(nb.cols, []::BIGINT[]), x))), 0)::BIGINT
+                       AS color,
+                     {r} AS jp_round
+              FROM win{r} w LEFT JOIN (
+                SELECT s.id, list(DISTINCT c.color) AS cols
+                FROM sym s JOIN col{r - 1} c ON c.id = s.nbr
+                GROUP BY s.id) nb ON nb.id = w.id),
+            col{r} AS MATERIALIZED (
+              SELECT id, color, jp_round FROM col{r - 1}
+              UNION ALL SELECT id, color, jp_round FROM asg{r}),
+            live{r} AS MATERIALIZED (
+              SELECT id FROM live{r - 1}
+              WHERE id NOT IN (SELECT id FROM win{r}))""")
+    return ("WITH " + ",".join(ctes)
+            + f"\n            SELECT id, color, jp_round FROM col{rounds}"
+            + "\n            ORDER BY id")
+
+
 def _spread_sql(rounds: int = 2) -> str:
     """DuckDB twin of _q_inferred_types: unrolled clamped-spreading CTEs."""
     ctes = [f"""
@@ -3748,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distmult_ranks": _q_distmult_ranks,
         "katz_centrality": _q_katz_centrality,
         "open_triples": _q_open_triples,
+        "jp_coloring": _q_jp_coloring,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4642,6 +4719,7 @@ def oracle_sql() -> dict[str, str]:
         "rdfs_closure": _rdfs_sql(),
         "katz_centrality": _katz_sql(4, 4),
         "open_triples": _openie_sql(),
+        "jp_coloring": _jp_sql(36),
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (
