@@ -1793,6 +1793,56 @@ def _q_landmark_distances(spark, sf_dir):
             .orderBy("landmark", "id"))
 
 
+def _q_simrank(spark, sf_dir):
+    """SimRank structural similarity (operators/simrank.simrank, Jeh &
+    Widom 2002) over the trade graph, 3 rounds, C=4/5, micro-BIGINT
+    per-pair truncation — the in-neighborhood entity-resolution signal.
+    The oracle unrolls the 3 pair-join rounds; the trade graph's 25
+    nodes keep exact pair state tiny (the operator's max_edges guard
+    documents the |E|^2 envelope)."""
+    from climatemind_ontology_processing_spark.operators.simrank import (
+        simrank)
+    edges = _trade_edges(spark, sf_dir)
+    return (simrank(edges, rounds=3)
+            .select(F.col("a").cast("int").alias("a"),
+                    F.col("b").cast("int").alias("b"), "s_micro")
+            .orderBy("a", "b"))
+
+
+def _simrank_sql(rounds: int = 3, cn: int = 4, cd: int = 5) -> str:
+    """DuckDB twin of _q_simrank: unrolled pair-join rounds, truncating
+    // on nonnegative BIGINTs == Spark DIV."""
+    ctes = [f"""
+        e AS MATERIALIZED (
+          SELECT src, dst FROM ({_TRADE_SQL.strip()})),
+        nodes AS (SELECT DISTINCT id FROM (
+          SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        indeg AS (SELECT dst AS id, count(*)::BIGINT AS d
+                  FROM e GROUP BY dst),
+        s0 AS (SELECT id AS a, id AS b, 1000000::BIGINT AS s FROM nodes)"""]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""
+        sum{k} AS MATERIALIZED (
+          SELECT ex.dst AS a, ey.dst AS b, sum(p.s)::BIGINT AS t
+          FROM s{k - 1} p
+          JOIN e ex ON ex.src = p.a
+          JOIN e ey ON ey.src = p.b
+          GROUP BY ex.dst, ey.dst),
+        s{k} AS MATERIALIZED (
+          SELECT a, b, s FROM (
+            SELECT m.a, m.b,
+                   (({cn} * m.t) // ({cd} * ia.d * ib.d))::BIGINT AS s
+            FROM sum{k} m
+            JOIN indeg ia ON ia.id = m.a
+            JOIN indeg ib ON ib.id = m.b
+            WHERE m.a <> m.b)
+          WHERE s > 0
+          UNION ALL SELECT a, b, s FROM s0)""")
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT a::INT AS a, b::INT AS b, s AS s_micro FROM s{rounds}
+        WHERE a <> b ORDER BY a, b""")
+
+
 def _q_katz_centrality(spark, sf_dir):
     """Katz centrality (operators/pagerank.katz_centrality, Katz 1953)
     over the trade graph: exact BIGINT walk counts per length (4 rounds,
@@ -3825,6 +3875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_centrality": _q_katz_centrality,
         "open_triples": _q_open_triples,
         "jp_coloring": _q_jp_coloring,
+        "simrank_pairs": _q_simrank,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4720,6 +4771,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_centrality": _katz_sql(4, 4),
         "open_triples": _openie_sql(),
         "jp_coloring": _jp_sql(36),
+        "simrank_pairs": _simrank_sql(3),
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (
