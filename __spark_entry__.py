@@ -3134,6 +3134,40 @@ def _random_walks_sql(length: int = 4) -> str:
     return "".join(parts)
 
 
+def _q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram training pairs (operators/graphstats.skipgram_pairs —
+    the DeepWalk corpus stage, Perozzi et al. 2014) over the SAME
+    deterministic walks as the random_walks query (window 2): the
+    embedding-training data-generation step between walk sampling and
+    SGD.  The oracle wraps the random_walks oracle in the equivalent
+    within-walk self-join + count."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        random_walks, skipgram_pairs)
+    edges = _trade_edges(spark, sf_dir) \
+        .filter((F.col("src") * 31 + F.col("dst")) % 4 == 0)
+    walks = random_walks(edges, length=4, hash_family="md5_60")
+    return (skipgram_pairs(walks, window=2)
+            .select(F.col("center").cast("int").alias("center"),
+                    F.col("context").cast("int").alias("context"),
+                    "n_pairs")
+            .orderBy("center", "context"))
+
+
+def _skipgram_sql(window: int = 2) -> str:
+    rw = _random_walks_sql(4)
+    return f"""
+        SELECT center::INT AS center, context::INT AS context,
+               count(*)::BIGINT AS n_pairs
+        FROM (
+          SELECT a.node AS center, b.node AS context
+          FROM ({rw}) a JOIN ({rw}) b
+            ON a.start = b.start AND a.step <> b.step
+           AND abs(a.step - b.step) <= {window})
+        GROUP BY 1, 2
+        ORDER BY center, context
+    """
+
+
 def _q_delta_components(spark, sf_dir):
     """INCREMENTAL connected components
     (operators/canonicalize.merge_components): label a base edge set, then
@@ -3876,6 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "open_triples": _q_open_triples,
         "jp_coloring": _q_jp_coloring,
         "simrank_pairs": _q_simrank,
+        "skipgram_pairs": _q_skipgram_pairs,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4772,6 +4807,7 @@ def oracle_sql() -> dict[str, str]:
         "open_triples": _openie_sql(),
         "jp_coloring": _jp_sql(36),
         "simrank_pairs": _simrank_sql(3),
+        "skipgram_pairs": _skipgram_sql(2),
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (

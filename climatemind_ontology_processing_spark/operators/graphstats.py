@@ -734,3 +734,32 @@ def luby_mis(edges: DataFrame, src: str = "src", dst: str = "dst",
     raise RuntimeError(
         f"luby_mis did not empty the live set within max_rounds="
         f"{max_rounds}")
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2,
+                   walk_col: str = "start", step_col: str = "step",
+                   node_col: str = "node") -> DataFrame:
+    """Skip-gram (center, context) training pairs from walk sequences —
+    the DeepWalk/node2vec corpus-generation stage (Perozzi et al. 2014):
+    every ordered pair of distinct positions within ``window`` of each
+    other in the same walk, pooled to (center, context, n_pairs).
+
+    Input is the (walk id, step, node) shape ``random_walks`` /
+    ``node2vec_walks`` emit.  The within-walk self-join produces at most
+    2*window rows per position — O(W * L * window) total, and the count
+    aggregate is map-side combinable, so corpus size only widens the map
+    stage; output is bounded by the co-occurring node-pair vocabulary.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    a = walks.select(F.col(walk_col).alias("_w"),
+                     F.col(step_col).alias("_sc"),
+                     F.col(node_col).alias("center"))
+    b = walks.select(F.col(walk_col).alias("_w"),
+                     F.col(step_col).alias("_sx"),
+                     F.col(node_col).alias("context"))
+    return (a.join(b, "_w")
+            .filter((F.col("_sc") != F.col("_sx"))
+                    & (F.abs(F.col("_sc") - F.col("_sx")) <= window))
+            .groupBy("center", "context")
+            .agg(F.count("*").cast("long").alias("n_pairs")))

@@ -469,3 +469,33 @@ def test_warc_feeds_extraction_pipeline(spark, tmp_path):
     via_warc = {(r.subj, r.pred, r.obj)
                 for r in triples_from_pages(scanned).collect()}
     assert via_warc == direct and direct
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        skipgram_pairs)
+    # walk A: 1-2-3-4 ; walk B: 2-3-2 (repeat visits pool counts)
+    W = [("A", 0, 1), ("A", 1, 2), ("A", 2, 3), ("A", 3, 4),
+         ("B", 0, 2), ("B", 1, 3), ("B", 2, 2)]
+    df = spark.createDataFrame(W, "start string, step int, node int")
+    got = {(r.center, r.context): r.n_pairs
+           for r in skipgram_pairs(df, window=2).collect()}
+
+    exp = {}
+    from collections import defaultdict
+    walks = defaultdict(list)
+    for w, s, n in W:
+        walks[w].append((s, n))
+    for seq in walks.values():
+        for sc, c in seq:
+            for sx, x in seq:
+                if sc != sx and abs(sc - sx) <= 2:
+                    exp[(c, x)] = exp.get((c, x), 0) + 1
+    assert got == exp
+    # symmetric by construction
+    assert got[(1, 3)] == got[(3, 1)] == 1
+    # (2,3): A contributes 1 (steps 1->2), B contributes 2 (both 2-visits)
+    assert got[(2, 3)] == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        skipgram_pairs(df, window=0)
