@@ -1777,6 +1777,22 @@ def _q_dsir_scores(spark, sf_dir):
             .withColumnRenamed("id", "doc_id"))
 
 
+def _q_quality_lr(spark, sf_dir):
+    """Linear quality-classifier scoring (operators/classifier.
+    linear_quality_scores — the CCNet/DCLM fastText-filter shape):
+    hashed unigram+bigram features (DSIR feature map, 512 buckets,
+    md5_60) dotted with deterministic integer hash weights, BIGINT
+    logit, integer keep flag.  Every doc appears (token-free docs score
+    0).  Production swaps the hash weights for a trained broadcast
+    weight table with an identical plan."""
+    from climatemind_ontology_processing_spark.operators.classifier import (
+        linear_quality_scores)
+    docs = _read(spark, sf_dir, "documents")
+    return (linear_quality_scores(docs, buckets=512, hash_family="md5_60")
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id"))
+
+
 def _q_landmark_distances(spark, sf_dir):
     """Landmark distance index (operators/paths.landmark_distances —
     Potamias et al. 2009): exact hop distances from every trade-graph node
@@ -3911,6 +3927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jp_coloring": _q_jp_coloring,
         "simrank_pairs": _q_simrank,
         "skipgram_pairs": _q_skipgram_pairs,
+        "quality_lr": _q_quality_lr,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4808,6 +4825,37 @@ def oracle_sql() -> dict[str, str]:
         "jp_coloring": _jp_sql(36),
         "simrank_pairs": _simrank_sql(3),
         "skipgram_pairs": _skipgram_sql(2),
+        "quality_lr": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                                       '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            ng AS (
+              SELECT doc_id,
+                     unnest(t || list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1])) AS g
+              FROM toks),
+            feat AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(g), 1, 15))::BIGINT % 512
+                       AS bucket,
+                     count(*)::BIGINT AS cnt
+              FROM ng GROUP BY 1, 2),
+            sc AS (
+              SELECT doc_id,
+                     sum(cnt * ((('0x' || substring(md5('qlr|' || bucket),
+                                                    1, 15))::BIGINT % 2001)
+                                - 1000))::BIGINT AS logit
+              FROM feat GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(sc.logit, 0)::BIGINT AS logit,
+                   (CASE WHEN coalesce(sc.logit, 0) > 0
+                         THEN 1 ELSE 0 END)::INT AS keep
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
         "kg_diff": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             tagged AS (
