@@ -86,10 +86,11 @@ def jp_coloring(edges: DataFrame, src: str = "src", dst: str = "dst",
             F.sequence(F.lit(0).cast("long"),
                        F.size("cols").cast("long") + F.lit(1)),
             lambda x: ~F.array_contains(F.col("cols"), x)))
-        assigned = (taken.select("id", mex.alias("color"),
-                                 F.lit(r).alias("jp_round"))
-                    .localCheckpoint(eager=True))
-        colored = assigned if colored is None \
+        assigned = taken.select("id", mex.alias("color"),
+                                F.lit(r).alias("jp_round"))
+        # one checkpoint per round on the accumulator (assigned folds into
+        # it; a separate checkpoint would just double the actions)
+        colored = assigned.localCheckpoint(eager=True) if colored is None \
             else colored.unionByName(assigned).localCheckpoint(eager=True)
         uncolored = uncolored.join(winners, "id", "left_anti") \
             .localCheckpoint(eager=True)
