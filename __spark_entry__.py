@@ -2030,7 +2030,10 @@ def _q_rdfs_closure(spark, sf_dir):
     trip = _tpch_kg_triples(spark, sf_dir)
     keep = (F.conv(F.substring(F.md5(F.concat_ws("|", "subj", "obj")),
                                1, 15), 16, 10).cast("long") % 20 == 0)
-    inst0 = trip.filter((F.col("pred") != "buys_from") | keep)
+    # inst0 feeds both the declared-type derivation and the instance union
+    # below — checkpoint so the 4-table KG join executes once
+    inst0 = trip.filter((F.col("pred") != "buys_from") | keep) \
+        .localCheckpoint(eager=True)
     ents = (inst0.select(F.col("subj").alias("e"))
             .unionByName(inst0.select(F.col("obj").alias("e"))).distinct())
     decl = ents.select(

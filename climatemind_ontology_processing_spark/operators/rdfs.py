@@ -92,8 +92,11 @@ def rdfs_closure(instance: DataFrame, schema: DataFrame,
     entailment.  Output is distinct; an entailed triple that is also
     asserted reports derived = 0.
     """
-    sch = schema.select(S, P, O).distinct()
-    inst = instance.select(S, P, O).distinct()
+    # both sides are consumed by 3+ rule branches below; materialize once
+    # so an expensive upstream instance plan (e.g. a multi-join KG build)
+    # is not re-executed per branch.  The schema side is vocabulary-sized.
+    sch = schema.select(S, P, O).distinct().localCheckpoint(eager=True)
+    inst = instance.select(S, P, O).distinct().localCheckpoint(eager=True)
 
     # --- schema stratum: rdfs11 / rdfs5 closures (vocabulary-sized) ------
     sc = transitive_closure(
