@@ -123,6 +123,9 @@ def main() -> None:
         # cross-KG alignment, biased node2vec walks
         "hearst_isa", "hyperball_anf", "entity_alignment",
         "node2vec_walks",
+        # round-5 session-3 additions: RDFS entailment closure, ReVerb
+        # open IE, linear quality-classifier scoring, integer Katz
+        "rdfs_closure", "open_triples", "quality_lr", "katz_centrality",
     ]
     qs = entrymod.queries()
     for name in headline:
