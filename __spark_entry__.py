@@ -2048,6 +2048,40 @@ def _q_rdfs_closure(spark, sf_dir):
     return rdfs_closure(inst, sch).orderBy("subj", "pred", "obj")
 
 
+_SHACL_SHAPES = [
+    ("maxCount", "buys_from", "9", None),        # fires: fan-out cap
+    ("minCount", "located_in", "1", "Supplier"),  # fires: suppliers lack it
+    ("class", "in_nation", "Nation", None),       # clean (negative evidence)
+    ("datatype", "located_in", "^r:[0-9]+$", None),  # clean
+    ("nodeKind", "in_region", "r:", None),         # clean
+]
+
+
+def _q_shacl_violations(spark, sf_dir):
+    """SHACL-lite shape validation (operators/shacl.shacl_violations —
+    the W3C core constraints as broadcast anti-joins) over the TPC-H KG
+    with prefix-declared types: a fan-out maxCount that genuinely fires,
+    a targeted minCount every supplier violates, and three clean shapes
+    (class / datatype / nodeKind) as negative evidence.  The oracle
+    replays each check as SQL."""
+    from climatemind_ontology_processing_spark.operators.shacl import (
+        shacl_violations)
+    trip = _tpch_kg_triples(spark, sf_dir).localCheckpoint(eager=True)
+    ents = (trip.select(F.col("subj").alias("e"))
+            .unionByName(trip.select(F.col("obj").alias("e"))).distinct())
+    decl = ents.select(
+        F.col("e").alias("subj"), F.lit("type").alias("pred"),
+        F.when(F.col("e").startswith("c:"), F.lit("Customer"))
+         .when(F.col("e").startswith("s:"), F.lit("Supplier"))
+         .when(F.col("e").startswith("n:"), F.lit("Nation"))
+         .otherwise(F.lit("Region")).alias("obj"))
+    inst = trip.unionByName(decl)
+    shapes = spark.createDataFrame(
+        _SHACL_SHAPES, "kind string, pred string, arg string, cls string")
+    return (shacl_violations(inst, shapes)
+            .orderBy("subj", "pred", "kind", "detail"))
+
+
 def _q_motif_matches(spark, sf_dir):
     """Basic-graph-pattern matching (operators/motifs.match_motif — the
     GraphFrames find() / SPARQL BGP shape): the located_in closure
@@ -3931,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank_pairs": _q_simrank,
         "skipgram_pairs": _q_skipgram_pairs,
         "quality_lr": _q_quality_lr,
+        "shacl_violations": _q_shacl_violations,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4828,6 +4863,57 @@ def oracle_sql() -> dict[str, str]:
         "jp_coloring": _jp_sql(36),
         "simrank_pairs": _simrank_sql(3),
         "skipgram_pairs": _skipgram_sql(2),
+        "shacl_violations": f"""
+            WITH tk AS MATERIALIZED ({_KG_SQL}),
+            ents AS (SELECT DISTINCT e FROM (
+              SELECT subj AS e FROM tk UNION ALL SELECT obj FROM tk)),
+            decl AS (SELECT e AS subj, 'type' AS pred,
+                            CASE substring(e, 1, 2)
+                              WHEN 'c:' THEN 'Customer'
+                              WHEN 's:' THEN 'Supplier'
+                              WHEN 'n:' THEN 'Nation'
+                              ELSE 'Region' END AS obj
+                     FROM ents),
+            t AS MATERIALIZED (
+              SELECT subj, pred, obj FROM tk
+              UNION ALL SELECT subj, pred, obj FROM decl),
+            v_max AS (
+              SELECT subj, 'buys_from' AS pred, 'maxCount' AS kind,
+                     'count=' || n AS detail
+              FROM (SELECT subj, count(*) AS n FROM t
+                    WHERE pred = 'buys_from' GROUP BY subj)
+              WHERE n > 9),
+            v_min AS (
+              SELECT m.subj, 'located_in' AS pred, 'minCount' AS kind,
+                     'count=' || coalesce(h.n, 0) AS detail
+              FROM (SELECT subj FROM t
+                    WHERE pred = 'type' AND obj = 'Supplier') m
+              LEFT JOIN (SELECT subj, count(*) AS n FROM t
+                         WHERE pred = 'located_in' GROUP BY subj) h
+                USING (subj)
+              WHERE coalesce(h.n, 0) < 1),
+            v_class AS (
+              SELECT DISTINCT a.subj, 'in_nation' AS pred,
+                     'class' AS kind, 'obj=' || a.obj AS detail
+              FROM t a WHERE a.pred = 'in_nation' AND NOT EXISTS (
+                SELECT 1 FROM t ty WHERE ty.pred = 'type'
+                  AND ty.subj = a.obj AND ty.obj = 'Nation')),
+            v_dt AS (
+              SELECT DISTINCT subj, 'located_in' AS pred,
+                     'datatype' AS kind, 'obj=' || obj AS detail
+              FROM t WHERE pred = 'located_in'
+                AND NOT regexp_matches(obj, '^r:[0-9]+$')),
+            v_nk AS (
+              SELECT DISTINCT subj, 'in_region' AS pred,
+                     'nodeKind' AS kind, 'obj=' || obj AS detail
+              FROM t WHERE pred = 'in_region'
+                AND obj NOT LIKE 'r:%')
+            SELECT DISTINCT subj, pred, kind, detail FROM (
+              SELECT * FROM v_max UNION ALL SELECT * FROM v_min
+              UNION ALL SELECT * FROM v_class UNION ALL SELECT * FROM v_dt
+              UNION ALL SELECT * FROM v_nk)
+            ORDER BY subj, pred, kind, detail
+        """,
         "quality_lr": r"""
             WITH toks AS (
               SELECT doc_id,
