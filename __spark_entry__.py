@@ -2015,6 +2015,26 @@ _RDFS_SCHEMA = [
 ]
 
 
+def _rdfs_instance(spark, sf_dir, mods):
+    """TPC-H KG slice for the RDFS queries: full in_nation/in_region/
+    located_in plus the buys_from rows whose md5 bucket (mod 20) is in
+    ``mods``, with prefix-declared entity types."""
+    trip = _tpch_kg_triples(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.concat_ws("|", "subj", "obj")),
+                                1, 15), 16, 10).cast("long") % 20
+    inst0 = trip.filter((F.col("pred") != "buys_from")
+                        | bucket.isin(*mods)).localCheckpoint(eager=True)
+    ents = (inst0.select(F.col("subj").alias("e"))
+            .unionByName(inst0.select(F.col("obj").alias("e"))).distinct())
+    decl = ents.select(
+        F.col("e").alias("subj"), F.lit("type").alias("pred"),
+        F.when(F.col("e").startswith("c:"), F.lit("Customer"))
+         .when(F.col("e").startswith("s:"), F.lit("Supplier"))
+         .when(F.col("e").startswith("n:"), F.lit("Nation"))
+         .otherwise(F.lit("Region")).alias("obj"))
+    return inst0.unionByName(decl)
+
+
 def _q_rdfs_closure(spark, sf_dir):
     """RDFS entailment closure (operators/rdfs.rdfs_closure — W3C RDF 1.1
     Semantics rules rdfs2/3/5/7/9/11) over the TPC-H KG plus a literal
@@ -2027,25 +2047,27 @@ def _q_rdfs_closure(spark, sf_dir):
     (UNION dedup, per the dag_layers lesson)."""
     from climatemind_ontology_processing_spark.operators.rdfs import (
         rdfs_closure)
-    trip = _tpch_kg_triples(spark, sf_dir)
-    keep = (F.conv(F.substring(F.md5(F.concat_ws("|", "subj", "obj")),
-                               1, 15), 16, 10).cast("long") % 20 == 0)
-    # inst0 feeds both the declared-type derivation and the instance union
-    # below — checkpoint so the 4-table KG join executes once
-    inst0 = trip.filter((F.col("pred") != "buys_from") | keep) \
-        .localCheckpoint(eager=True)
-    ents = (inst0.select(F.col("subj").alias("e"))
-            .unionByName(inst0.select(F.col("obj").alias("e"))).distinct())
-    decl = ents.select(
-        F.col("e").alias("subj"), F.lit("type").alias("pred"),
-        F.when(F.col("e").startswith("c:"), F.lit("Customer"))
-         .when(F.col("e").startswith("s:"), F.lit("Supplier"))
-         .when(F.col("e").startswith("n:"), F.lit("Nation"))
-         .otherwise(F.lit("Region")).alias("obj"))
-    inst = inst0.unionByName(decl)
+    inst = _rdfs_instance(spark, sf_dir, [0])
     sch = spark.createDataFrame(_RDFS_SCHEMA,
                                 "subj string, pred string, obj string")
     return rdfs_closure(inst, sch).orderBy("subj", "pred", "obj")
+
+
+def _q_rdfs_delta(spark, sf_dir):
+    """Incremental RDFS maintenance (operators/rdfs.rdfs_increment): the
+    md5-bucket-0 slice is the base closure, bucket-1 arrives as the
+    delta; the increment touches only O(|delta|) work.  The oracle
+    recomputes the FULL closure over buckets {0, 1} from scratch — the
+    hash match IS the equivalence proof (delta_components precedent);
+    the rule-linearity argument lives in the operator docstring."""
+    from climatemind_ontology_processing_spark.operators.rdfs import (
+        rdfs_closure, rdfs_increment)
+    sch = spark.createDataFrame(_RDFS_SCHEMA,
+                                "subj string, pred string, obj string")
+    base = rdfs_closure(_rdfs_instance(spark, sf_dir, [0]), sch)
+    delta = _rdfs_instance(spark, sf_dir, [1])
+    return (rdfs_increment(base, delta, sch)
+            .orderBy("subj", "pred", "obj"))
 
 
 _SHACL_SHAPES = [
@@ -2769,13 +2791,15 @@ def _q_entity_alignment(spark, sf_dir):
             .orderBy("x", "rank"))
 
 
-def _rdfs_sql() -> str:
-    """DuckDB twin of _q_rdfs_closure: the same stratified RDFS rules,
-    with the subClassOf/subPropertyOf transitive closures as recursive
-    CTEs (UNION dedup keeps cyclic schemas bounded — dag_layers lesson)
-    and the schema VALUES built from the SAME _RDFS_SCHEMA literal the
-    Spark query uses."""
+def _rdfs_sql(mods: tuple = (0,)) -> str:
+    """DuckDB twin of _q_rdfs_closure (and, with mods=(0, 1), the
+    from-scratch recompute that proves _q_rdfs_delta's increment): the
+    same stratified RDFS rules, with the subClassOf/subPropertyOf
+    transitive closures as recursive CTEs (UNION dedup keeps cyclic
+    schemas bounded — dag_layers lesson) and the schema VALUES built
+    from the SAME _RDFS_SCHEMA literal the Spark query uses."""
     vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA)
+    modlist = ", ".join(str(m) for m in mods)
     # NOTE: under WITH RECURSIVE, DuckDB 1.0 does NOT dedupe a plain
     # `A UNION B` across arms in a NON-self-referencing CTE (minimal
     # repro in CLAUDE.md round-5 lessons) — every non-recursive union
@@ -2789,7 +2813,7 @@ def _rdfs_sql() -> str:
           SELECT subj, pred, obj FROM tk
           WHERE pred <> 'buys_from'
              OR ('0x' || substring(md5(subj || '|' || obj), 1, 15))::BIGINT
-                % 20 = 0),
+                % 20 IN ({modlist})),
         ents AS (SELECT DISTINCT e FROM (
                    SELECT subj AS e FROM inst0
                    UNION ALL SELECT obj FROM inst0)),
@@ -3966,6 +3990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": _q_skipgram_pairs,
         "quality_lr": _q_quality_lr,
         "shacl_violations": _q_shacl_violations,
+        "rdfs_delta": _q_rdfs_delta,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4858,6 +4883,7 @@ def oracle_sql() -> dict[str, str]:
         "inferred_types": _spread_sql(),
         "entity_alignment": _ALIGN_SQL,
         "rdfs_closure": _rdfs_sql(),
+        "rdfs_delta": _rdfs_sql((0, 1)),
         "katz_centrality": _katz_sql(4, 4),
         "open_triples": _openie_sql(),
         "jp_coloring": _jp_sql(36),

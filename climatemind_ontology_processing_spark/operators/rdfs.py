@@ -160,3 +160,35 @@ def rdfs_closure(instance: DataFrame, schema: DataFrame,
             .select(S, P, O,
                     F.when(F.col("_asserted").isNotNull(), F.lit(0))
                      .otherwise(F.lit(1)).alias("derived")))
+
+
+def rdfs_increment(closure: DataFrame, delta: DataFrame, schema: DataFrame,
+                   **kw) -> DataFrame:
+    """Incremental RDFS maintenance: the closure of (old KG ∪ delta)
+    computed WITHOUT re-touching the old KG.
+
+    Correctness rests on a structural fact of this rule subset: with the
+    schema fixed, every instance-level rule (rdfs7, rdfs2, rdfs3, rdfs9)
+    uses exactly ONE instance atom — the rules are *linear* in the
+    instance relation — so entailment distributes over union:
+
+        closure(KG ∪ Δ) = closure(KG) ∪ closure(Δ)
+
+    (schema-only entailments appear identically on both sides).  The
+    increment therefore costs O(|Δ|), never O(|KG|): run the full rules
+    on Δ alone and merge.  ``closure`` must be a prior ``rdfs_closure``
+    / ``rdfs_increment`` output (subj, pred, obj, derived); the merged
+    ``derived`` flag is the AND of the sides (asserted anywhere wins —
+    a row previously only-derived that Δ now asserts flips to 0).
+    Schema changes are NOT incremental (a new subClassOf edge can
+    entail from every old triple) — recompute from scratch on schema
+    change; this mirrors plans/curate's forward-only increment trades.
+
+    Equivalence to the from-scratch closure is pinned in
+    tests/test_rdfs.py::test_increment_equals_full_run.
+    """
+    new = rdfs_closure(delta, schema, **kw)
+    old = closure.select(S, P, O, "derived")
+    return (old.unionByName(new.select(S, P, O, "derived"))
+            .groupBy(S, P, O)
+            .agg(F.min("derived").alias("derived")))

@@ -5,7 +5,7 @@ from __future__ import annotations
 import pytest
 
 from climatemind_ontology_processing_spark.operators.rdfs import (
-    rdfs_closure, transitive_closure)
+    rdfs_closure, rdfs_increment, transitive_closure)
 
 SCHEMA = [
     ("A", "subClassOf", "B"), ("B", "subClassOf", "C"),
@@ -101,6 +101,25 @@ def test_per_rule_entailments(closed):
     assert closed[("A", "subClassOf", "B")] == 0
     # (x r y) is entailed AND asserted -> asserted wins
     assert closed[("x", "r", "w")] == 0
+
+
+def test_increment_equals_full_run(spark):
+    sch = spark.createDataFrame(SCHEMA, "subj string, pred string, obj string")
+    base = spark.createDataFrame(INSTANCE,
+                                 "subj string, pred string, obj string")
+    # delta asserts a row the base run only DERIVED (derived must flip to
+    # 0), plus genuinely new facts that entail through every rule family
+    delta_rows = [("x", "q", "y"), ("u", "p", "v"), ("v", "type", "A")]
+    delta = spark.createDataFrame(delta_rows,
+                                  "subj string, pred string, obj string")
+    inc = rdfs_increment(rdfs_closure(base, sch), delta, sch)
+    full = rdfs_closure(base.unionByName(delta), sch)
+    as_map = lambda df: {(r.subj, r.pred, r.obj): r.derived
+                         for r in df.collect()}
+    gi, gf = as_map(inc), as_map(full)
+    assert gi == gf
+    assert gi[("x", "q", "y")] == 0          # was derived, now asserted
+    assert gi[("u", "type", "C")] == 1        # new fact entails rdfs2+9
 
 
 def test_idempotent(spark, closed):
