@@ -1777,6 +1777,30 @@ def _q_dsir_scores(spark, sf_dir):
             .withColumnRenamed("id", "doc_id"))
 
 
+def _q_current_facts(spark, sf_dir):
+    """Latest-assertion-wins fact resolution (operators/temporal.
+    current_facts): events as a timestamped claim stream (subj=user,
+    pred=event_type, obj=props, tie=event_id) → the current-fact view
+    plus the conflict census (n_versions / n_values).  ONE groupBy via
+    the min_by negated-numeric-keys trick — no window, no sort, holds
+    when one hot entity has 10^6 observations.  valid_from is compared
+    as epoch micros (CLAUDE.md timestamp-hash convention)."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        current_facts)
+    ev = _read(spark, sf_dir, "events")
+    claims = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.col("props").alias("obj"), "ts",
+        F.col("event_id").alias("w"))
+    return (current_facts(claims, tie_col="w")
+            .select("subj", "pred", "obj",
+                    F.unix_micros(F.col("valid_from").cast("timestamp"))
+                    .alias("valid_from_us"),
+                    "n_versions", "n_values")
+            .orderBy("subj", "pred"))
+
+
 def _q_quality_lr(spark, sf_dir):
     """Linear quality-classifier scoring (operators/classifier.
     linear_quality_scores — the CCNet/DCLM fastText-filter shape):
@@ -3991,6 +4015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr": _q_quality_lr,
         "shacl_violations": _q_shacl_violations,
         "rdfs_delta": _q_rdfs_delta,
+        "current_facts": _q_current_facts,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4884,6 +4909,28 @@ def oracle_sql() -> dict[str, str]:
         "entity_alignment": _ALIGN_SQL,
         "rdfs_closure": _rdfs_sql(),
         "rdfs_delta": _rdfs_sql((0, 1)),
+        "current_facts": """
+            WITH c AS (
+              SELECT 'u:' || user_id AS subj, event_type AS pred,
+                     props AS obj, ts, event_id AS w
+              FROM events),
+            r AS (
+              SELECT subj, pred, obj, ts,
+                     row_number() OVER (
+                       PARTITION BY subj, pred
+                       ORDER BY ts DESC, w DESC, obj ASC) AS rn
+              FROM c),
+            agg AS (
+              SELECT subj, pred, count(*)::BIGINT AS n_versions,
+                     count(DISTINCT obj)::BIGINT AS n_values
+              FROM c GROUP BY 1, 2)
+            SELECT r.subj, r.pred, r.obj,
+                   epoch_us(r.ts)::BIGINT AS valid_from_us,
+                   a.n_versions, a.n_values
+            FROM r JOIN agg a USING (subj, pred)
+            WHERE rn = 1
+            ORDER BY subj, pred
+        """,
         "katz_centrality": _katz_sql(4, 4),
         "open_triples": _openie_sql(),
         "jp_coloring": _jp_sql(36),

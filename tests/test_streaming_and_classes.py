@@ -857,3 +857,36 @@ def test_curation_funnel_view(spark, tmp_path):
     assert got[0].n_dropped == 0
     assert got[-2].stage == "quality" and got[-2].n_dropped >= 1  # junk dies
     assert all(r.drop_pct >= 0 for r in got)
+
+
+def test_current_facts_latest_wins_and_ties(spark):
+    from datetime import datetime as dt
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        current_facts)
+    rows = [
+        # churned fact: later ts wins
+        ("e1", "lives_in", "paris", dt(2024, 1, 1), 1),
+        ("e1", "lives_in", "berlin", dt(2024, 3, 1), 2),
+        # exact-ts tie: higher tie_col wins
+        ("e2", "lives_in", "rome", dt(2024, 1, 1), 5),
+        ("e2", "lives_in", "oslo", dt(2024, 1, 1), 9),
+        # exact-(ts, tie) tie: obj-ascending wins
+        ("e3", "works_at", "zeta", dt(2024, 2, 2), 7),
+        ("e3", "works_at", "alpha", dt(2024, 2, 2), 7),
+        # stable fact, repeated assertion of the same value
+        ("e1", "born_in", "lyon", dt(2024, 1, 1), 1),
+        ("e1", "born_in", "lyon", dt(2024, 2, 1), 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, ts timestamp, w int")
+    got = {(r.subj, r.pred): (r.obj, r.n_versions, r.n_values)
+           for r in current_facts(df, tie_col="w").collect()}
+    assert got == {
+        ("e1", "lives_in"): ("berlin", 2, 2),
+        ("e2", "lives_in"): ("oslo", 2, 2),
+        ("e3", "works_at"): ("alpha", 2, 2),
+        ("e1", "born_in"): ("lyon", 2, 1),
+    }
+    # without tie_col the obj-ascending break still makes it deterministic
+    got2 = {(r.subj, r.pred): r.obj for r in current_facts(df).collect()}
+    assert got2[("e2", "lives_in")] == "oslo"  # same ts: 'oslo' < 'rome'
