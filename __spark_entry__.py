@@ -1777,6 +1777,25 @@ def _q_dsir_scores(spark, sf_dir):
             .withColumnRenamed("id", "doc_id"))
 
 
+def _q_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood ER blocking (operators/blocking.snm_pairs —
+    Hernandez & Stolfo 1995) over customers keyed by phone, window 5:
+    the two-phase distributed global rank (order-preserving 2-char
+    prefix buckets + packing-style offsets) and the rank-block equi-join
+    — no global-sort window anywhere.  The oracle IS the textbook
+    sequential formulation (one row_number over the full order + a
+    rank-distance join), so the hash match proves the distributed
+    decomposition exact, boundary pairs included."""
+    from climatemind_ontology_processing_spark.operators.blocking import (
+        snm_pairs)
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_phone")
+    return (snm_pairs(c, "c_phone", "c_custkey",
+                      bucket_expr=F.substring("c_phone", 1, 2), window=5)
+            .select(F.col("a_id").cast("int").alias("a_id"),
+                    F.col("b_id").cast("int").alias("b_id"), "rank_gap")
+            .orderBy("a_id", "b_id"))
+
+
 def _q_current_facts(spark, sf_dir):
     """Latest-assertion-wins fact resolution (operators/temporal.
     current_facts): events as a timestamped claim stream (subj=user,
@@ -4016,6 +4035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_violations": _q_shacl_violations,
         "rdfs_delta": _q_rdfs_delta,
         "current_facts": _q_current_facts,
+        "snm_pairs": _q_snm_pairs,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4909,6 +4929,18 @@ def oracle_sql() -> dict[str, str]:
         "entity_alignment": _ALIGN_SQL,
         "rdfs_closure": _rdfs_sql(),
         "rdfs_delta": _rdfs_sql((0, 1)),
+        "snm_pairs": """
+            WITH r AS (
+              SELECT c_custkey AS id, c_phone AS key,
+                     row_number() OVER (ORDER BY c_phone, c_custkey) - 1
+                       AS rank
+              FROM customer)
+            SELECT a.id::INT AS a_id, b.id::INT AS b_id,
+                   (b.rank - a.rank)::INT AS rank_gap
+            FROM r a JOIN r b
+              ON b.rank > a.rank AND b.rank - a.rank <= 4
+            ORDER BY a_id, b_id
+        """,
         "current_facts": """
             WITH c AS (
               SELECT 'u:' || user_id AS subj, event_type AS pred,
