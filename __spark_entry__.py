@@ -1779,18 +1779,19 @@ def _q_dsir_scores(spark, sf_dir):
 
 def _q_snm_pairs(spark, sf_dir):
     """Sorted-neighborhood ER blocking (operators/blocking.snm_pairs —
-    Hernandez & Stolfo 1995) over customers keyed by phone, window 5:
-    the two-phase distributed global rank (order-preserving 2-char
-    prefix buckets + packing-style offsets) and the rank-block equi-join
-    — no global-sort window anywhere.  The oracle IS the textbook
-    sequential formulation (one row_number over the full order + a
-    rank-distance join), so the hash match proves the distributed
+    Hernandez & Stolfo 1995) over customers keyed by account balance,
+    window 5: the two-phase distributed global rank (order-preserving
+    floor(bal/500) buckets + packing-style offsets) and the rank-block
+    equi-join — no global-sort window anywhere.  The oracle IS the
+    textbook sequential formulation (one row_number over the full order
+    + a rank-distance join), so the hash match proves the distributed
     decomposition exact, boundary pairs included."""
     from climatemind_ontology_processing_spark.operators.blocking import (
         snm_pairs)
-    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_phone")
-    return (snm_pairs(c, "c_phone", "c_custkey",
-                      bucket_expr=F.substring("c_phone", 1, 2), window=5)
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return (snm_pairs(c, "c_acctbal", "c_custkey",
+                      bucket_expr=F.floor(F.col("c_acctbal") / 500),
+                      window=5)
             .select(F.col("a_id").cast("int").alias("a_id"),
                     F.col("b_id").cast("int").alias("b_id"), "rank_gap")
             .orderBy("a_id", "b_id"))
@@ -4931,8 +4932,8 @@ def oracle_sql() -> dict[str, str]:
         "rdfs_delta": _rdfs_sql((0, 1)),
         "snm_pairs": """
             WITH r AS (
-              SELECT c_custkey AS id, c_phone AS key,
-                     row_number() OVER (ORDER BY c_phone, c_custkey) - 1
+              SELECT c_custkey AS id,
+                     row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1
                        AS rank
               FROM customer)
             SELECT a.id::INT AS a_id, b.id::INT AS b_id,
