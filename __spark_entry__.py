@@ -1777,6 +1777,19 @@ def _q_dsir_scores(spark, sf_dir):
             .withColumnRenamed("id", "doc_id"))
 
 
+def _q_chunk_passages(spark, sf_dir):
+    """Passage chunking (operators/chunks.chunk_passages): 32-token
+    windows, stride 16 — the RAG/embedding prep stage.  Pure flatMap
+    (tokenize → sequence → slice → join), zero shuffles; integer
+    ceil-division chunk counts are engine-exact, and the oracle replays
+    the slicing with list_slice."""
+    from climatemind_ontology_processing_spark.operators.chunks import (
+        chunk_passages)
+    docs = _read(spark, sf_dir, "documents")
+    return (chunk_passages(docs, chunk_tokens=32, stride=16)
+            .orderBy("doc_id", "chunk_id"))
+
+
 def _q_snm_pairs(spark, sf_dir):
     """Sorted-neighborhood ER blocking (operators/blocking.snm_pairs —
     Hernandez & Stolfo 1995) over customers keyed by account balance,
@@ -4037,6 +4050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_delta": _q_rdfs_delta,
         "current_facts": _q_current_facts,
         "snm_pairs": _q_snm_pairs,
+        "chunk_passages": _q_chunk_passages,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4930,6 +4944,31 @@ def oracle_sql() -> dict[str, str]:
         "entity_alignment": _ALIGN_SQL,
         "rdfs_closure": _rdfs_sql(),
         "rdfs_delta": _rdfs_sql((0, 1)),
+        "chunk_passages": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                       coalesce(text, ''), '\s+'), x -> x <> '') AS t
+              FROM documents),
+            base AS (
+              SELECT doc_id, t,
+                     CASE WHEN len(t) <= 0 THEN 0
+                          ELSE 1 + (greatest(len(t) - 32, 0) + 15) // 16
+                     END AS k
+              FROM toks),
+            ch AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(0, k - 1)) AS chunk_id
+              FROM base WHERE k > 0)
+            SELECT doc_id, chunk_id::INT AS chunk_id,
+                   (chunk_id * 16)::BIGINT AS start_token,
+                   len(list_slice(t, chunk_id * 16 + 1,
+                                  chunk_id * 16 + 32))::BIGINT AS n_tokens,
+                   array_to_string(list_slice(t, chunk_id * 16 + 1,
+                                              chunk_id * 16 + 32), ' ')
+                     AS chunk
+            FROM ch ORDER BY doc_id, chunk_id
+        """,
         "snm_pairs": """
             WITH r AS (
               SELECT c_custkey AS id,
