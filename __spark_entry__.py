@@ -1777,6 +1777,23 @@ def _q_dsir_scores(spark, sf_dir):
             .withColumnRenamed("id", "doc_id"))
 
 
+def _q_zorder_keys(spark, sf_dir):
+    """Z-order layout keys (functions/zorder.zorder_key): Morton
+    interleave of (nationkey, shifted integer account balance) at 16
+    bits — the multi-dimensional clustering key you'd
+    repartitionByRange on before the big parquet write so predicates on
+    EITHER dimension skip files.  Pure unrolled JVM bit algebra; the
+    oracle replays it with (x >> i) & 1."""
+    from climatemind_ontology_processing_spark.functions.zorder import (
+        zorder_key)
+    c = _read(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal") + 1000).cast("long")
+    z = zorder_key([F.col("c_nationkey").cast("long"), bal], bits=16)
+    return (c.select(F.col("c_custkey").cast("int").alias("c_custkey"),
+                     z.alias("zkey"))
+            .orderBy("c_custkey"))
+
+
 def _q_chunk_passages(spark, sf_dir):
     """Passage chunking (operators/chunks.chunk_passages): 32-token
     windows, stride 16 — the RAG/embedding prep stage.  Pure flatMap
@@ -4051,6 +4068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "current_facts": _q_current_facts,
         "snm_pairs": _q_snm_pairs,
         "chunk_passages": _q_chunk_passages,
+        "zorder_keys": _q_zorder_keys,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4944,6 +4962,15 @@ def oracle_sql() -> dict[str, str]:
         "entity_alignment": _ALIGN_SQL,
         "rdfs_closure": _rdfs_sql(),
         "rdfs_delta": _rdfs_sql((0, 1)),
+        "zorder_keys": f"""
+            SELECT c_custkey::INT AS c_custkey,
+                   ({" + ".join(
+                       f"(((c_nationkey >> {i}) & 1) << {2 * i}) + "
+                       f"(((floor(c_acctbal + 1000)::BIGINT >> {i}) & 1)"
+                       f" << {2 * i + 1})"
+                       for i in range(16))})::BIGINT AS zkey
+            FROM customer ORDER BY c_custkey
+        """,
         "chunk_passages": r"""
             WITH toks AS (
               SELECT doc_id,
