@@ -1777,6 +1777,33 @@ def _q_dsir_scores(spark, sf_dir):
             .withColumnRenamed("id", "doc_id"))
 
 
+def _q_jsonld_facts(spark, sf_dir):
+    """JSON-LD structured-data extraction (operators/structured.
+    jsonld_facts — the schema.org markup miner, the web's
+    highest-precision triple source) over a deterministic markup-bearing
+    corpus from the part table: two ld+json blocks per page (a Product
+    with name/brand, then a Brand without one).  Regex + get_json_object,
+    all JVM; the oracle rebuilds the same pages and extracts with
+    DuckDB's JSON functions — the hash match certifies regex AND json
+    semantics across engines."""
+    from climatemind_ontology_processing_spark.operators.structured import (
+        jsonld_facts)
+    p = _read(spark, sf_dir, "part")
+    html = F.concat(
+        F.lit('<html><body><script type="application/ld+json">'
+              '{"@type":"Product","name":"'), F.col("p_name"),
+        F.lit('","brand":"'), F.col("p_brand"),
+        F.lit('"}</script><p>filler</p>'
+              '<script type="application/ld+json">'
+              '{"@type":"Brand","name":"'),
+        F.lower(F.col("p_brand")), F.lit('"}</script></body></html>'))
+    pages = p.select(
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string"))
+        .alias("url"), html.alias("html"))
+    return (jsonld_facts(pages, ("@type", "name", "brand"))
+            .orderBy("url", "block_idx", "field"))
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4069,6 +4096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": _q_snm_pairs,
         "chunk_passages": _q_chunk_passages,
         "zorder_keys": _q_zorder_keys,
+        "jsonld_facts": _q_jsonld_facts,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4962,6 +4990,40 @@ def oracle_sql() -> dict[str, str]:
         "entity_alignment": _ALIGN_SQL,
         "rdfs_closure": _rdfs_sql(),
         "rdfs_delta": _rdfs_sql((0, 1)),
+        "jsonld_facts": r"""
+            WITH pages AS (
+              SELECT 'p:' || p_partkey AS url,
+                     '<html><body><script type="application/ld+json">'
+                     || '{"@type":"Product","name":"' || p_name
+                     || '","brand":"' || p_brand
+                     || '"}</script><p>filler</p>'
+                     || '<script type="application/ld+json">'
+                     || '{"@type":"Brand","name":"' || lower(p_brand)
+                     || '"}</script></body></html>' AS html
+              FROM part),
+            bl AS (
+              SELECT url,
+                     regexp_extract_all(html,
+                       '<script type="application/ld\+json">([^<]*)</script>',
+                       1) AS bs
+              FROM pages),
+            b AS (
+              SELECT url, i - 1 AS block_idx, bs[i] AS block
+              FROM (SELECT url, bs, unnest(generate_series(1, len(bs))) AS i
+                    FROM bl)),
+            melted AS (
+              SELECT url, block_idx, '@type' AS field,
+                     json_extract_string(block, '$."@type"') AS value FROM b
+              UNION ALL
+              SELECT url, block_idx, 'name',
+                     json_extract_string(block, '$.name') FROM b
+              UNION ALL
+              SELECT url, block_idx, 'brand',
+                     json_extract_string(block, '$.brand') FROM b)
+            SELECT url, block_idx::INT AS block_idx, field, value
+            FROM melted WHERE value IS NOT NULL
+            ORDER BY url, block_idx, field
+        """,
         "zorder_keys": f"""
             SELECT c_custkey::INT AS c_custkey,
                    ({" + ".join(
