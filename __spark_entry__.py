@@ -1777,6 +1777,18 @@ def _q_dsir_scores(spark, sf_dir):
             .withColumnRenamed("id", "doc_id"))
 
 
+def _q_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase mining (operators/keyphrases.rake_keyphrases, Rose
+    et al. 2010) over documents with stopwords {the, a}: windowed
+    gaps-and-islands phrase segmentation, micro-BIGINT degree/frequency
+    word scores, top 50 by (score desc, phrase asc).  Fully SQL-replayed
+    by the oracle (string_agg ORDER BY pos rebuilds phrases)."""
+    from climatemind_ontology_processing_spark.operators.keyphrases import (
+        rake_keyphrases)
+    docs = _read(spark, sf_dir, "documents")
+    return rake_keyphrases(docs, ("the", "a"), top_k=50)
+
+
 def _q_jsonld_facts(spark, sf_dir):
     """JSON-LD structured-data extraction (operators/structured.
     jsonld_facts — the schema.org markup miner, the web's
@@ -4097,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_passages": _q_chunk_passages,
         "zorder_keys": _q_zorder_keys,
         "jsonld_facts": _q_jsonld_facts,
+        "rake_keyphrases": _q_rake_keyphrases,
         "curation_preview": _q_curation_preview,
         "lsh_probe_pairs": _q_lsh_probe,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4990,6 +5003,46 @@ def oracle_sql() -> dict[str, str]:
         "entity_alignment": _ALIGN_SQL,
         "rdfs_closure": _rdfs_sql(),
         "rdfs_delta": _rdfs_sql((0, 1)),
+        "rake_keyphrases": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+'),
+                       x -> x <> '') AS t
+              FROM documents),
+            pos AS (
+              SELECT doc_id, i - 1 AS pos, t[i] AS tok
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t))) AS i
+                    FROM toks)),
+            seg AS (
+              SELECT doc_id, pos, tok,
+                     CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END AS s,
+                     sum(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+              FROM pos),
+            ph AS (
+              SELECT doc_id, phrase_id,
+                     string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                     count(*)::BIGINT AS n_words
+              FROM seg WHERE s = 0 GROUP BY doc_id, phrase_id),
+            w AS (SELECT unnest(string_split(phrase, ' ')) AS w, n_words
+                  FROM ph),
+            stats AS (SELECT w, count(*)::BIGINT AS freq,
+                             sum(n_words)::BIGINT AS deg
+                      FROM w GROUP BY w),
+            ws AS (SELECT w, (deg * 1000000) // freq AS wsc FROM stats),
+            occ AS (SELECT doc_id, phrase_id, phrase,
+                           unnest(string_split(phrase, ' ')) AS w
+                    FROM ph),
+            ps AS (SELECT doc_id, phrase_id, phrase,
+                          sum(wsc)::BIGINT AS psc
+                   FROM occ JOIN ws USING (w) GROUP BY 1, 2, 3)
+            SELECT phrase, count(*)::BIGINT AS n_occurrences,
+                   max(psc)::BIGINT AS score_micro
+            FROM ps GROUP BY phrase
+            ORDER BY score_micro DESC, phrase ASC LIMIT 50
+        """,
         "jsonld_facts": r"""
             WITH pages AS (
               SELECT 'p:' || p_partkey AS url,
