@@ -50,10 +50,13 @@ def jp_coloring(edges: DataFrame, src: str = "src", dst: str = "dst",
            .select("id", pri_col.alias("h"))
            .localCheckpoint(eager=True))
     uncolored = pri.select("id").localCheckpoint(eager=True)
+    # empty-input-safe zero-row frame with the output schema
     colored = None
+    empty = pri.select("id", F.lit(0).cast("long").alias("color"),
+                       F.lit(0).alias("jp_round")).limit(0)
     for r in range(1, max_rounds + 1):
         if uncolored.isEmpty():
-            return colored
+            return colored if colored is not None else empty
         upri = pri.join(uncolored, "id", "left_semi")
         live_sym = (sym.join(uncolored, "id", "left_semi")
                     .join(uncolored.withColumnRenamed("id", "nbr"), "nbr",

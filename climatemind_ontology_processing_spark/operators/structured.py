@@ -51,6 +51,8 @@ def jsonld_facts(pages: DataFrame, fields: tuple[str, ...],
     and unparseable blocks simply produce no row."""
     if not fields:
         raise ValueError("fields must be non-empty")
+    if len(set(fields)) != len(fields):
+        raise ValueError("duplicate field names (map keys would collide)")
     b = jsonld_blocks(pages, html_col, id_col)
     pairs = [x for f in fields
              for x in (F.lit(f), F.get_json_object("block", f"$.{f}"))]

@@ -70,3 +70,10 @@ def test_round_cap_raises(spark):
     df = spark.createDataFrame(EDGES, "src int, dst int")
     with pytest.raises(RuntimeError, match="max_rounds"):
         jp_coloring(df, max_rounds=1)
+
+
+def test_empty_input_returns_empty_frame(spark):
+    df = spark.createDataFrame([], "src int, dst int")
+    out = jp_coloring(df)
+    assert out.count() == 0
+    assert out.columns == ["id", "color", "jp_round"]
