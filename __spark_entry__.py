@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from climatemind_ontology_processing_spark.operators.canonicalize import (
     connected_components)
 from climatemind_ontology_processing_spark.operators.dedup import (
-    dedup_exact, jaccard_pairs, minhash_lsh_pairs, near_dup_pairs,
+    dedup_exact, jaccard_pairs, minhash_lsh_pairs, near_dup_pairs, ppjoin_pairs,
     simhash_near_pairs)
 from climatemind_ontology_processing_spark.operators.similarity import (
     brute_force_topk)
@@ -210,6 +210,18 @@ def _q_jaccard_pairs(spark, sf_dir):
     default and is pinned separately by the planted-boilerplate pytest."""
     docs = _read(spark, sf_dir, "documents")
     return (jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("a", "b"))
+
+
+def _q_ppjoin_pairs(spark, sf_dir):
+    """Prefix-filtered exact set-similarity join (operators/dedup.
+    ppjoin_pairs, the PPJoin principle): identical OUTPUT to jaccard_pairs
+    — prefix filtering is lossless — via a candidate join that shuffles
+    only each document's rarest shingles.  Shares the jaccard_pairs oracle
+    verbatim: the hash match IS the losslessness proof."""
+    docs = _read(spark, sf_dir, "documents")
+    return (ppjoin_pairs(docs, n=3, threshold=0.5)
             .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
             .orderBy("a", "b"))
 
@@ -4160,10 +4172,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "embedding_lsh_pairs": _q_embedding_lsh_pairs,
         "cosine_histogram": _q_cosine_histogram,
+        "ppjoin_pairs": _q_ppjoin_pairs,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_literal()
+    # ppjoin_pairs is LOSSLESS prefix filtering: its contract is exact
+    # equality with all-pairs Jaccard, so it shares that oracle verbatim —
+    # the shared SQL IS the losslessness statement, checked by the driver.
+    sql["ppjoin_pairs"] = sql["jaccard_pairs"]
+    return sql
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in TERMS)
     en_words = ", ".join(f"'{w}'" for w in _LANGS["en"])
 

@@ -822,3 +822,72 @@ def scrub_duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
          .alias(text_col),
         nullsafe(F.size("_t")).alias("n_tokens"),
         nullsafe(F.size("_t") - F.size(kept)).alias("n_tokens_removed"))
+
+
+def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3,
+                 threshold: float = 0.5,
+                 hash_family: str = "xxhash64") -> DataFrame:
+    """Prefix-filtered exact set-similarity join (the PPJoin principle,
+    Xiao et al. 2008 "Efficient Similarity Joins for Near Duplicate
+    Detection").
+
+    LOSSLESS alternative to ``jaccard_pairs``'s every-shared-shingle
+    self-join: order each document's shingle set by GLOBAL document
+    frequency ascending (rarest first, ties by shingle value), keep only
+    the prefix of length ``|s| - ceil(t*|s|) + 1``, and self-join on
+    prefix shingles only.  The prefix-filtering principle guarantees any
+    pair with Jaccard >= t shares at least one PREFIX token under a
+    common global order, so exact verification on the candidates
+    reproduces the all-pairs result EXACTLY — pinned in pytest and by
+    sharing the ``jaccard_pairs`` oracle.
+
+    Scale shape: the pair-generating self-join shuffles only prefix
+    tokens, which are by construction each document's RAREST shingles —
+    the quadratic term drops from sum_s df(s)^2 over all shingles to the
+    same sum over low-df prefix tokens (boilerplate/stop shingles are
+    high-df, so they sort to the suffix and never generate pairs).  A
+    length filter (t*|a| <= |b| <= |a|/t) prunes cross-size candidates
+    before verification.  Verification joins candidates back to the full
+    shingle sets — work proportional to candidates, not pairs-sharing-
+    any-token.  No df cap is needed: unlike ``max_shingle_df`` this is
+    exact, not a lower bound.
+    """
+    sh = with_shingles(docs, text_col, n,
+                       hash_family=hash_family).select(
+        F.col(id_col).alias("doc"), F.col("shingles"))
+    ex = sh.select("doc", F.explode("shingles").alias("s")).distinct()
+    sizes = ex.groupBy("doc").agg(F.count("*").alias("sz"))
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("_df"))
+    ranked = (ex.join(dfreq, "s")
+              .withColumn("rnk", F.row_number().over(
+                  Window.partitionBy("doc").orderBy("_df", "s"))))
+    prefix_len = (F.col("sz")
+                  - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    pre = (ranked.join(sizes, "doc")
+           .filter(F.col("rnk") <= prefix_len)
+           .select("doc", "s", "sz"))
+    l, r = pre.alias("l"), pre.alias("r")
+    cand = (l.join(r, (F.col("l.s") == F.col("r.s"))
+                   & (F.col("l.doc") < F.col("r.doc"))
+                   & (F.col("r.sz") >= F.ceil(F.lit(threshold)
+                                              * F.col("l.sz")))
+                   & (F.col("l.sz") >= F.ceil(F.lit(threshold)
+                                              * F.col("r.sz"))))
+            .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+            .distinct())
+    full = ex  # (doc, s) distinct — verification side
+    j = (cand
+         .join(full.select(F.col("doc").alias("a"), "s"), "a")
+         .join(full.select(F.col("doc").alias("b"), "s"), ["b", "s"]))
+    inter = j.groupBy("a", "b").agg(F.count("*").alias("inter"))
+    out = (inter
+           .join(sizes.select(F.col("doc").alias("a"),
+                              F.col("sz").alias("sz_a")), "a")
+           .join(sizes.select(F.col("doc").alias("b"),
+                              F.col("sz").alias("sz_b")), "b")
+           .withColumn("jaccard", F.col("inter")
+                       / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("a", "b", "jaccard"))
+    return out

@@ -1535,3 +1535,47 @@ def test_scrub_duplicate_spans_null_text_preserved(spark):
     assert (got[1].n_tokens, got[1].n_tokens_removed) == (0, 0)
     # non-null rows unaffected by the null guard
     assert got[2].n_tokens == 9 and got[2].n_tokens_removed == 6
+
+
+# ---------------------------------------------------------------------------
+# ppjoin_pairs — prefix-filtered set-similarity join
+# ---------------------------------------------------------------------------
+def test_ppjoin_equals_all_pairs(spark, docs):
+    """Prefix filtering is LOSSLESS: ppjoin == jaccard_pairs exactly
+    (pairs AND values) at the same threshold."""
+    from climatemind_ontology_processing_spark.operators.dedup import ppjoin_pairs
+    exact = {(r.a, r.b): r.jaccard
+             for r in jaccard_pairs(docs, threshold=0.5,
+                                    max_shingle_df=None).collect()}
+    pp = {(r.a, r.b): r.jaccard
+          for r in ppjoin_pairs(docs, threshold=0.5).collect()}
+    assert pp == exact
+
+
+def test_ppjoin_equals_all_pairs_low_threshold(spark, docs):
+    """Losslessness holds at a threshold where prefixes are long."""
+    from climatemind_ontology_processing_spark.operators.dedup import ppjoin_pairs
+    exact = {(r.a, r.b): round(r.jaccard, 9)
+             for r in jaccard_pairs(docs, threshold=0.3,
+                                    max_shingle_df=None).collect()}
+    pp = {(r.a, r.b): round(r.jaccard, 9)
+          for r in ppjoin_pairs(docs, threshold=0.3).collect()}
+    assert pp == exact
+
+
+def test_ppjoin_prunes_boilerplate_prefixes(spark):
+    """A high-df boilerplate shingle shared by every doc must NOT appear in
+    any prefix (df-ascending order sorts it last), so the candidate join
+    emits no pair through it: two docs whose ONLY shared shingles are
+    boilerplate produce no candidate — yet true near-dups still match."""
+    from climatemind_ontology_processing_spark.operators.dedup import (
+        ppjoin_pairs)
+    boiler = "cookie notice accept all terms and conditions apply here"
+    rows = [(i, f"unique page {i} body text payload {i} " + boiler)
+            for i in range(6)]
+    rows += [(100, "identical twin page body payload " + boiler),
+             (101, "identical twin page body payload " + boiler)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a, r.b) for r in ppjoin_pairs(docs, threshold=0.8).collect()}
+    assert (100, 101) in got
+    assert all(a == 100 and b == 101 for a, b in got)
