@@ -3404,6 +3404,21 @@ def _q_triangle_counts(spark, sf_dir):
             .orderBy("id"))
 
 
+def _q_butterfly_counts(spark, sf_dir):
+    """Per-part butterfly (bipartite 4-cycle) counts on the order—part
+    bipartite graph (operators/graphstats.butterfly_counts): two parts
+    sharing two orders form a butterfly — the bipartite clustering unit.
+    Registered cap-free so the oracle replays exact wedge semantics; the
+    hub-degree guardrail is pinned by pytest."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        butterfly_counts)
+    li = _read(spark, sf_dir, "lineitem")
+    return (butterfly_counts(li, u="l_orderkey", v="l_partkey")
+            .select(F.col("id").cast("long").alias("p_partkey"),
+                    "n_butterflies")
+            .orderBy("p_partkey"))
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 TF-IDF terms (ties broken term-ascending) — the
     keyword-extraction primitive of a text pipeline.  N_docs rides the plan
@@ -4173,6 +4188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_pairs": _q_embedding_lsh_pairs,
         "cosine_histogram": _q_cosine_histogram,
         "ppjoin_pairs": _q_ppjoin_pairs,
+        "butterfly_counts": _q_butterfly_counts,
     }
 
 
@@ -6186,6 +6202,24 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT qid, vec_id, cos_sim, rank FROM ranked
             WHERE rank <= 5 ORDER BY qid, rank
+        """,
+        "butterfly_counts": """
+            WITH e AS (SELECT DISTINCT l_orderkey AS u, l_partkey AS v
+                       FROM lineitem),
+            nodes AS (SELECT DISTINCT v AS id FROM e),
+            wedges AS (
+              SELECT l.v AS v1, r.v AS v2
+              FROM e l JOIN e r ON l.u = r.u AND l.v < r.v),
+            pairs AS (
+              SELECT v1, v2, count(*) AS c FROM wedges
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            member AS (
+              SELECT v1 AS id, (c * (c - 1)) // 2 AS bf FROM pairs
+              UNION ALL SELECT v2, (c * (c - 1)) // 2 FROM pairs)
+            SELECT n.id AS p_partkey, coalesce(m.b, 0)::BIGINT AS n_butterflies
+            FROM nodes n LEFT JOIN (
+              SELECT id, sum(bf) AS b FROM member GROUP BY 1) m USING (id)
+            ORDER BY p_partkey
         """,
         "ivf_topk": _ivf_topk_sql(),
         "ivfpq_topk": _ivfpq_topk_sql(),

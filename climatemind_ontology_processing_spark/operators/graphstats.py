@@ -763,3 +763,49 @@ def skipgram_pairs(walks: DataFrame, window: int = 2,
                     & (F.abs(F.col("_sc") - F.col("_sx")) <= window))
             .groupBy("center", "context")
             .agg(F.count("*").cast("long").alias("n_pairs")))
+
+
+def butterfly_counts(edges: DataFrame, u: str = "u", v: str = "v",
+                     max_hub_degree: int | None = None) -> DataFrame:
+    """Per-node butterfly (2x2-biclique / bipartite 4-cycle) counts on the
+    ``v`` side of a bipartite graph — the bipartite analogue of triangle
+    counting (Wang et al. 2019 "Vertex Priority Based Butterfly Counting").
+
+    A butterfly is two ``v``-nodes sharing two distinct ``u``-neighbors;
+    it is the smallest unit of bipartite clustering (co-purchase /
+    co-click cohesion).  Counted via WEDGES: the edge list self-joined on
+    ``u`` yields (v1 < v2) wedges, a count ``c`` per pair gives
+    ``C(c, 2)`` butterflies, summed per member node.  Every ``v`` node
+    incident to >= 1 edge appears (0 when in no butterfly).
+
+    Scale: wedge generation is sum_u deg(u)^2 — the standard shape, and
+    the one skew hazard.  ``max_hub_degree`` (optional) EXCLUDES hub
+    ``u``-nodes above the cap from wedge generation (keys-only degree
+    census + semi-join, same discipline as ``_pair_intersections``'s
+    ``max_shingle_df``): counts become lower bounds and the drop is
+    auditable by re-running with the cap off on the excluded slice.  The
+    per-pair aggregate is map-side combinable; no node's full
+    neighborhood is ever materialized on one task.
+    """
+    e = (edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+         .filter(F.col(u).isNotNull() & F.col(v).isNotNull())
+         .distinct())
+    nodes = e.select(F.col("v").alias("id")).distinct()
+    if max_hub_degree is not None:
+        ok = (e.groupBy("u").agg(F.count("*").alias("_d"))
+              .filter(F.col("_d") <= max_hub_degree).select("u"))
+        e = e.join(ok, "u", "left_semi")
+    l, r = e.alias("l"), e.alias("r")
+    wedges = (l.join(r, (F.col("l.u") == F.col("r.u"))
+                     & (F.col("l.v") < F.col("r.v")))
+              .select(F.col("l.v").alias("v1"), F.col("r.v").alias("v2")))
+    pairs = (wedges.groupBy("v1", "v2").agg(F.count("*").alias("c"))
+             .filter(F.col("c") >= 2)
+             .withColumn("bf", (F.col("c") * (F.col("c") - 1) / 2)
+                         .cast("long")))
+    member = (pairs.select(F.col("v1").alias("id"), "bf")
+              .unionByName(pairs.select(F.col("v2").alias("id"), "bf")))
+    counts = member.groupBy("id").agg(F.sum("bf").alias("n_butterflies"))
+    return (nodes.join(counts, "id", "left")
+            .select("id", F.coalesce("n_butterflies", F.lit(0))
+                    .cast("long").alias("n_butterflies")))

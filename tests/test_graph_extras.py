@@ -499,3 +499,63 @@ def test_skipgram_pairs_window_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         skipgram_pairs(df, window=0)
+
+
+# ---------------------------------------------------------------------------
+# butterfly_counts — bipartite 4-cycle counting
+# ---------------------------------------------------------------------------
+def _butterflies_reference(edge_list):
+    """Brute-force per-v-node butterfly counts: for every v-pair, C(common
+    u-neighbors, 2) added to both members."""
+    from collections import defaultdict
+    from itertools import combinations
+    nbrs = defaultdict(set)
+    for u, v in edge_list:
+        nbrs[v].add(u)
+    counts = {v: 0 for v in nbrs}
+    for v1, v2 in combinations(sorted(nbrs), 2):
+        c = len(nbrs[v1] & nbrs[v2])
+        b = c * (c - 1) // 2
+        counts[v1] += b
+        counts[v2] += b
+    return counts
+
+
+def test_butterfly_counts_closed_form(spark):
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        butterfly_counts)
+    # u 1,2,3 all connect to a and b -> pair (a,b) has c=3 -> C(3,2)=3
+    # butterflies each; c has one edge, no butterfly.
+    edges = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b"),
+             (1, "c")]
+    df = spark.createDataFrame(edges, "u int, v string")
+    got = {r.id: r.n_butterflies for r in butterfly_counts(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 0}
+
+
+def test_butterfly_counts_matches_brute_force(spark):
+    """Deterministic pseudo-random bipartite graph vs the pure-Python
+    reference; duplicate edge rows must not inflate counts."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        butterfly_counts)
+    edges = [(u, f"v{(u * 7 + k) % 13}") for u in range(30)
+             for k in range(4)]
+    edges += edges[:10]  # duplicates
+    df = spark.createDataFrame(edges, "u int, v string")
+    got = {r.id: r.n_butterflies for r in butterfly_counts(df).collect()}
+    assert got == _butterflies_reference(set(edges))
+
+
+def test_butterfly_hub_cap_is_lower_bound(spark):
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        butterfly_counts)
+    # hub u=0 connects to 6 v-nodes; capping at degree 5 excludes it
+    edges = [(0, f"v{i}") for i in range(6)] + \
+            [(1, "v0"), (1, "v1"), (2, "v0"), (2, "v1")]
+    df = spark.createDataFrame(edges, "u int, v string")
+    full = {r.id: r.n_butterflies for r in butterfly_counts(df).collect()}
+    capped = {r.id: r.n_butterflies
+              for r in butterfly_counts(df, max_hub_degree=5).collect()}
+    assert set(capped) == set(full)  # nodes kept, counts capped
+    assert all(capped[k] <= full[k] for k in full)
+    assert capped["v0"] == 1  # only the (1,2) wedge pair remains
