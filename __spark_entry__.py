@@ -3404,6 +3404,61 @@ def _q_triangle_counts(spark, sf_dir):
             .orderBy("id"))
 
 
+def _q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword scores (operators/keyphrases.textrank_scores,
+    Mihalcea & Tarau 2004): integer-micro weighted PageRank over the
+    corpus token co-occurrence graph (window 2, 3 rounds), top 200 by
+    (score desc, tok asc).  The oracle unrolls the three rounds as CTEs
+    with the identical BIGINT `div` recurrence — bit-exact."""
+    from climatemind_ontology_processing_spark.operators.keyphrases import (
+        textrank_scores)
+    docs = _read(spark, sf_dir, "documents")
+    return (textrank_scores(docs, window=2, iters=3)
+            .orderBy(F.desc("score"), F.asc("tok"))
+            .limit(200))
+
+
+def _textrank_sql(iters: int = 3, window: int = 2, top: int = 200) -> str:
+    steps = []
+    prev = "s0"
+    for i in range(1, iters + 1):
+        cur = f"s{i}"
+        steps.append(f"""
+        {cur} AS MATERIALIZED (
+          SELECT t.tok,
+                 (150000 + (85 * coalesce(f.flow, 0)) // 100)::BIGINT AS score
+          FROM (SELECT tok FROM s0) t LEFT JOIN (
+            SELECT e.dst AS tok, sum((s.score * e.w) // e.wsum) AS flow
+            FROM e JOIN {prev} s ON s.tok = e.src GROUP BY 1) f USING (tok)
+        )""")
+        prev = cur
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+          FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(t) AS tok,
+                 unnest(generate_series(1, len(t))) AS pos
+          FROM toks),
+        pairs AS (
+          SELECT least(a.tok, b.tok) AS lo, greatest(a.tok, b.tok) AS hi
+          FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+           AND b.pos > a.pos AND b.pos <= a.pos + {window}
+           AND a.tok <> b.tok),
+        und AS (SELECT lo, hi, count(*) AS w FROM pairs GROUP BY 1, 2),
+        edges AS (SELECT lo AS src, hi AS dst, w FROM und
+                  UNION ALL SELECT hi, lo, w FROM und),
+        strength AS (SELECT src, sum(w) AS wsum FROM edges GROUP BY 1),
+        e AS MATERIALIZED (
+          SELECT edges.src, dst, w, wsum FROM edges JOIN strength USING (src)),
+        s0 AS (SELECT src AS tok, 1000000::BIGINT AS score FROM strength),
+        {",".join(steps)}
+        SELECT tok, score FROM {prev}
+        ORDER BY score DESC, tok ASC LIMIT {top}
+    """
+
+
 def _q_butterfly_counts(spark, sf_dir):
     """Per-part butterfly (bipartite 4-cycle) counts on the order—part
     bipartite graph (operators/graphstats.butterfly_counts): two parts
@@ -4189,6 +4244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_histogram": _q_cosine_histogram,
         "ppjoin_pairs": _q_ppjoin_pairs,
         "butterfly_counts": _q_butterfly_counts,
+        "textrank_keywords": _q_textrank_keywords,
     }
 
 
@@ -6203,6 +6259,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT qid, vec_id, cos_sim, rank FROM ranked
             WHERE rank <= 5 ORDER BY qid, rank
         """,
+        "textrank_keywords": _textrank_sql(),
         "butterfly_counts": """
             WITH e AS (SELECT DISTINCT l_orderkey AS u, l_partkey AS v
                        FROM lineitem),

@@ -85,3 +85,76 @@ def rake_keyphrases(docs: DataFrame, stopwords: tuple[str, ...],
                  F.max("_ps").cast("long").alias("score_micro"))
             .orderBy(F.desc("score_micro"), F.asc("phrase"))
             .limit(top_k))
+
+
+def cooccurrence_graph(docs: DataFrame, window: int = 2,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Undirected token co-occurrence graph over the corpus: one row per
+    canonical (lo, hi) token pair with ``w`` = number of position pairs
+    (i, j), 0 < j - i <= window, summed over all documents.  Self-pairs
+    (same token co-occurring with itself) are dropped — they carry no
+    ranking signal and would create self-loops.
+
+    The pair join is per-document and position-banded, so its output is
+    bounded by corpus_tokens * window — linear in the corpus, never
+    quadratic in the vocabulary."""
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                               F.lit(""))), r"\s+"),
+                    lambda x: x != "")
+    t = (docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
+         .select("id", F.posexplode("_t").alias("pos", "tok")))
+    l, r = t.alias("l"), t.alias("r")
+    pairs = (l.join(r, (F.col("l.id") == F.col("r.id"))
+                    & (F.col("r.pos") > F.col("l.pos"))
+                    & (F.col("r.pos") <= F.col("l.pos") + window)
+                    & (F.col("l.tok") != F.col("r.tok")))
+             .select(F.least("l.tok", "r.tok").alias("lo"),
+                     F.greatest("l.tok", "r.tok").alias("hi")))
+    return pairs.groupBy("lo", "hi").agg(F.count("*").alias("w"))
+
+
+def textrank_scores(docs: DataFrame, window: int = 2, iters: int = 3,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004): weighted PageRank
+    over the corpus co-occurrence graph, in INTEGER micro arithmetic so
+    every score is a BIGINT and the whole iteration is engine-exact
+    (micro-BIGINT convention, CLAUDE.md):
+
+        s_0(v)     = MICRO
+        flow(v)    = sum_u (s_t(u) * w_uv) DIV wsum_u   (truncating)
+        s_{t+1}(v) = (1-d)*MICRO + (d_pct * flow(v)) DIV 100
+
+    with d = 0.85 (d_pct = 85).  Every co-occurrence node has >= 1
+    neighbor by construction, so there is no dangling-mass term — unlike
+    ``operators/pagerank``, whose float semantics stay the directed-graph
+    production default.  Returns (tok, score) for every graph node.
+
+    Scale: state is vocabulary-sized (one BIGINT per token); each round
+    is one join edges-to-scores + one aggregate — the standard
+    power-iteration shape, map-side combinable."""
+    und = cooccurrence_graph(docs, window, id_col, text_col)
+    edges = (und.select(F.col("lo").alias("src"), F.col("hi").alias("dst"),
+                        "w")
+             .unionByName(und.select(F.col("hi").alias("src"),
+                                     F.col("lo").alias("dst"), "w")))
+    # "wsum" not "W": Spark resolves identifiers case-insensitively, so a
+    # "W" column would be ambiguous with the edge weight "w"
+    strength = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    e = edges.join(strength, "src")
+    scores = strength.select(F.col("src").alias("tok"),
+                             F.lit(MICRO).cast("long").alias("score"))
+    for _ in range(iters):
+        # BIGINT `div` (not `/` + floor): long/long division in Spark is
+        # DOUBLE and loses exactness past 2^53 — integer div never does
+        flow = (e.join(scores.withColumnRenamed("tok", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.expr("(score * w) div wsum")).alias("flow")))
+        scores = (scores.select("tok")
+                  .join(flow.withColumnRenamed("dst", "tok"), "tok", "left")
+                  .select("tok",
+                          (F.lit(15 * MICRO // 100)
+                           + F.expr("(85 * coalesce(flow, 0L)) div 100"))
+                          .alias("score")))
+    return scores

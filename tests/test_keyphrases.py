@@ -72,3 +72,59 @@ def test_empty_stopwords_rejected(spark):
     df = spark.createDataFrame(DOCS, "doc_id int, text string")
     with pytest.raises(ValueError):
         candidate_phrases(df, ())
+
+
+# ---------------------------------------------------------------------------
+# textrank_scores — integer-micro weighted PageRank over co-occurrence
+# ---------------------------------------------------------------------------
+def _textrank_reference(doc_tokens, window, iters, micro=10 ** 6):
+    """Pure-Python replica of textrank_scores' integer recurrence."""
+    from collections import defaultdict
+    w = defaultdict(int)
+    for toks in doc_tokens:
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + window, len(toks) - 1) + 1):
+                if toks[i] != toks[j]:
+                    w[tuple(sorted((toks[i], toks[j])))] += 1
+    nbrs = defaultdict(dict)
+    for (a, b), c in w.items():
+        nbrs[a][b] = c
+        nbrs[b][a] = c
+    strength = {n: sum(d.values()) for n, d in nbrs.items()}
+    s = {n: micro for n in nbrs}
+    for _ in range(iters):
+        flow = {n: 0 for n in nbrs}
+        for u, d in nbrs.items():
+            for v, c in d.items():
+                flow[v] += (s[u] * c) // strength[u]
+        s = {n: 15 * micro // 100 + (85 * flow[n]) // 100 for n in nbrs}
+    return s
+
+
+def test_textrank_matches_reference(spark):
+    from climatemind_ontology_processing_spark.operators.keyphrases import (
+        textrank_scores)
+    texts = [
+        "spark shuffles data between executors and spark schedules tasks",
+        "executors run tasks and tasks shuffle data",
+        "the scheduler assigns tasks to executors",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {r.tok: r.score
+           for r in textrank_scores(docs, window=2, iters=3).collect()}
+    want = _textrank_reference([t.split() for t in texts], 2, 3)
+    assert got == want
+
+
+def test_textrank_repeated_token_gets_higher_score(spark):
+    """A token with more (and stronger) co-occurrence mass outranks a
+    peripheral one."""
+    from climatemind_ontology_processing_spark.operators.keyphrases import (
+        textrank_scores)
+    docs = spark.createDataFrame(
+        [(0, "graph node graph edge graph weight rare")],
+        "doc_id long, text string")
+    got = {r.tok: r.score
+           for r in textrank_scores(docs, window=2, iters=3).collect()}
+    assert got["graph"] > got["rare"]
