@@ -2296,6 +2296,23 @@ def _q_distmult_ranks(spark, sf_dir):
             .orderBy("subj", "pred", "obj"))
 
 
+def _q_complex_ranks(spark, sf_dir):
+    """ComplEx link-prediction rank evaluation (operators/negatives.
+    complex_rank_eval, Trouillon et al. 2016) over the same
+    supplier/nation/region KG slice as transe_ranks/distmult_ranks: the
+    real part of the complex trilinear product (HIGHER better) with
+    integer hash embeddings (dim 8, mod 1009) split into re/im halves —
+    the antisymmetry-capable member of the shared rank-eval protocol."""
+    from climatemind_ontology_processing_spark.operators.negatives import (
+        complex_rank_eval)
+    trip = _tpch_kg_triples(spark, sf_dir).filter(
+        (F.col("pred") == "in_region") |
+        ((F.col("pred") == "in_nation") & F.col("subj").startswith("s:")))
+    return (complex_rank_eval(trip, dim=8, modulus=1009, k_hits=10,
+                              hash_family="md5_60")
+            .orderBy("subj", "pred", "obj"))
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -4245,6 +4262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppjoin_pairs": _q_ppjoin_pairs,
         "butterfly_counts": _q_butterfly_counts,
         "textrank_keywords": _q_textrank_keywords,
+        "complex_ranks": _q_complex_ranks,
     }
 
 
@@ -4949,6 +4967,54 @@ def _oracle_sql_literal() -> dict[str, str]:
                                              1, 15))::BIGINT % 1009)
                        * (('0x' || substring(md5('e|' || e.id || '|' || i),
                                              1, 15))::BIGINT % 1009)
+                     ))::BIGINT AS score
+              FROM triples t CROSS JOIN ents e),
+            trues AS (SELECT subj, pred, obj, score AS true_score
+                      FROM cands WHERE cand = obj),
+            ranks AS (
+              SELECT c.subj, c.pred, c.obj,
+                     (1 + sum(CASE WHEN c.score > t.true_score
+                                    OR (c.score = t.true_score
+                                        AND c.cand < c.obj)
+                              THEN 1 ELSE 0 END))::BIGINT AS rank
+              FROM cands c JOIN trues t USING (subj, pred, obj)
+              GROUP BY 1, 2, 3)
+            SELECT subj, pred, obj, rank,
+                   (CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::INT AS hit
+            FROM ranks ORDER BY subj, pred, obj
+        """,
+        "complex_ranks": """
+            WITH triples AS MATERIALIZED (
+              SELECT 's:' || s_suppkey AS subj, 'in_nation' AS pred,
+                     'n:' || s_nationkey AS obj FROM supplier
+              UNION ALL
+              SELECT 'n:' || n_nationkey, 'in_region', 'r:' || n_regionkey
+              FROM nation),
+            ents AS (SELECT DISTINCT subj AS id FROM triples
+                     UNION SELECT DISTINCT obj FROM triples),
+            cands AS MATERIALIZED (
+              SELECT t.subj, t.pred, t.obj, e.id AS cand,
+                     list_sum(list_transform(range(0, 8), i ->
+                         (('0x' || substring(md5('rr|' || t.pred || '|' || i),
+                                             1, 15))::BIGINT % 1009)
+                       * ((('0x' || substring(md5('er|' || t.subj || '|' || i),
+                                              1, 15))::BIGINT % 1009)
+                          * (('0x' || substring(md5('er|' || e.id || '|' || i),
+                                                1, 15))::BIGINT % 1009)
+                          + (('0x' || substring(md5('ei|' || t.subj || '|' || i),
+                                                1, 15))::BIGINT % 1009)
+                          * (('0x' || substring(md5('ei|' || e.id || '|' || i),
+                                                1, 15))::BIGINT % 1009))
+                       + (('0x' || substring(md5('ri|' || t.pred || '|' || i),
+                                             1, 15))::BIGINT % 1009)
+                       * ((('0x' || substring(md5('er|' || t.subj || '|' || i),
+                                              1, 15))::BIGINT % 1009)
+                          * (('0x' || substring(md5('ei|' || e.id || '|' || i),
+                                                1, 15))::BIGINT % 1009)
+                          - (('0x' || substring(md5('ei|' || t.subj || '|' || i),
+                                                1, 15))::BIGINT % 1009)
+                          * (('0x' || substring(md5('er|' || e.id || '|' || i),
+                                                1, 15))::BIGINT % 1009))
                      ))::BIGINT AS score
               FROM triples t CROSS JOIN ents e),
             trues AS (SELECT subj, pred, obj, score AS true_score

@@ -196,3 +196,64 @@ def test_pred_signatures_modal_tie_breaks_ascending(spark):
     T = [("a:1", "p", "x:1"), ("b:1", "p", "y:1")]  # 1 a vs 1 b -> 'a'
     row = pred_signatures(_triples(spark, T)).collect()[0]
     assert row.subj_type == "a" and row.obj_type == "x"
+
+
+def test_complex_rank_matches_replica(spark):
+    from climatemind_ontology_processing_spark.operators.negatives import (
+        complex_rank_eval)
+    T = [("a", "r1", "b"), ("b", "r1", "c"), ("c", "r2", "a"),
+         ("d", "r2", "b"), ("a", "r2", "d")]
+    got = {(r.subj, r.pred, r.obj): (r.rank, r.hit)
+           for r in complex_rank_eval(_triples(spark, T), dim=4, modulus=97,
+                                      k_hits=2).collect()}
+
+    def h60(x):
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    ents = sorted({x for t in T for x in (t[0], t[2])})
+    emb = lambda p, i: [h60(f"{p}|{i}|{j}") % 97 for j in range(4)]
+    Er = {e: emb("er", e) for e in ents}
+    Ei = {e: emb("ei", e) for e in ents}
+    Rr = {r: emb("rr", r) for r in {t[1] for t in T}}
+    Ri = {r: emb("ri", r) for r in {t[1] for t in T}}
+    score = lambda h, r, t: sum(
+        rr * (hr * tr + hi * ti) + ri * (hr * ti - hi * tr)
+        for hr, hi, rr, ri, tr, ti in zip(Er[h], Ei[h], Rr[r], Ri[r],
+                                          Er[t], Ei[t]))
+    for s, p, o in T:
+        st = score(s, p, o)
+        rank = 1 + sum(1 for c in ents
+                       if score(s, p, c) > st or
+                       (score(s, p, c) == st and c < o))
+        assert got[(s, p, o)] == (rank, int(rank <= 2))
+
+
+def test_complex_score_is_antisymmetric_capable():
+    """Score-level property (pure replica, no Spark): DistMult's bilinear
+    score is SYMMETRIC in (h, t) by construction; ComplEx's imaginary
+    term breaks the symmetry — the capability that lets it model
+    directed relations."""
+
+    def h60(x):
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    emb = lambda p, i: [h60(f"{p}|{i}|{j}") % 97 for j in range(4)]
+    Er = {e: emb("er", e) for e in ("a", "b")}
+    Ei = {e: emb("ei", e) for e in ("a", "b")}
+    E = {e: emb("e", e) for e in ("a", "b")}
+    Rr, Ri, R = emb("rr", "r"), emb("ri", "r"), emb("r", "r")
+    dm = lambda h, t: sum(x * y * z for x, y, z in zip(E[h], R, E[t]))
+    cx = lambda h, t: sum(
+        rr * (hr * tr + hi * ti) + ri * (hr * ti - hi * tr)
+        for hr, hi, rr, ri, tr, ti in zip(Er[h], Ei[h], Rr, Ri,
+                                          Er[t], Ei[t]))
+    assert dm("a", "b") == dm("b", "a")
+    assert cx("a", "b") != cx("b", "a")
+
+
+def test_complex_overflow_guard(spark):
+    from climatemind_ontology_processing_spark.operators.negatives import (
+        complex_rank_eval)
+    T = [("a", "r", "b")]
+    with pytest.raises(ValueError, match="overflows"):
+        complex_rank_eval(_triples(spark, T), dim=8, modulus=2 ** 21)
