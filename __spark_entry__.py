@@ -2313,6 +2313,34 @@ def _q_complex_ranks(spark, sf_dir):
             .orderBy("subj", "pred", "obj"))
 
 
+def _q_quotient_graph(spark, sf_dir):
+    """Nation-level rollup of the customer→supplier order-line multigraph
+    (operators/graphstats.quotient_graph): every lineitem is one edge
+    'c:<cust>' → 's:<supp>', labels map both id spaces to 'n:<nation>',
+    and the quotient reports per nation-pair edge multiplicity and
+    distinct customer-supplier pairs — SNAP-style graph summarization
+    (the host-graph rollup shape for a page-level web graph)."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        quotient_graph)
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    edges = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(li, li.l_orderkey == o.o_orderkey)
+             .join(s, li.l_suppkey == s.s_suppkey)
+             .select(F.concat(F.lit("c:"), c.c_custkey).alias("src"),
+                     F.concat(F.lit("s:"), s.s_suppkey).alias("dst")))
+    labels = (c.select(F.concat(F.lit("c:"), "c_custkey").alias("id"),
+                       F.concat(F.lit("n:"), "c_nationkey").alias("label"))
+              .unionByName(
+                  s.select(F.concat(F.lit("s:"), "s_suppkey").alias("id"),
+                           F.concat(F.lit("n:"), "s_nationkey")
+                           .alias("label"))))
+    return (quotient_graph(edges, labels)
+            .orderBy("g_src", "g_dst"))
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -4263,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterfly_counts": _q_butterfly_counts,
         "textrank_keywords": _q_textrank_keywords,
         "complex_ranks": _q_complex_ranks,
+        "quotient_graph": _q_quotient_graph,
     }
 
 
@@ -4982,6 +5011,20 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT subj, pred, obj, rank,
                    (CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::INT AS hit
             FROM ranks ORDER BY subj, pred, obj
+        """,
+        "quotient_graph": """
+            WITH e AS (
+              SELECT 'n:' || c.c_nationkey AS g_src,
+                     'n:' || s.s_nationkey AS g_dst,
+                     'c:' || c.c_custkey AS src,
+                     's:' || s.s_suppkey AS dst
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+            SELECT g_src, g_dst, count(*)::BIGINT AS n_edges,
+                   count(DISTINCT (src, dst))::BIGINT AS n_pairs
+            FROM e GROUP BY 1, 2 ORDER BY g_src, g_dst
         """,
         "complex_ranks": """
             WITH triples AS MATERIALIZED (

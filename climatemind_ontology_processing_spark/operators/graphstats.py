@@ -809,3 +809,45 @@ def butterfly_counts(edges: DataFrame, u: str = "u", v: str = "v",
     return (nodes.join(counts, "id", "left")
             .select("id", F.coalesce("n_butterflies", F.lit(0))
                     .cast("long").alias("n_butterflies")))
+
+
+def quotient_graph(edges: DataFrame, labels: DataFrame, src: str = "src",
+                   dst: str = "dst", id_col: str = "id",
+                   label_col: str = "label") -> DataFrame:
+    """Graph summarization by node attribute (the quotient / SNAP-style
+    rollup): collapse every node into its label's super-node and return
+    one row per directed super-edge with
+
+      * ``n_edges``  — edge multiplicity (every input row counts), and
+      * ``n_pairs``  — distinct underlying (src, dst) node pairs,
+
+    self-loop super-edges included (intra-group edges are the group's
+    internal density — dropping them would hide it).  The host-graph
+    rollup of a page-level web graph and the nation→region rollup of a
+    trade graph are both this operator.
+
+    A node missing from ``labels`` RAISES (lazy ``raise_error`` guard,
+    the repo's loud-failure idiom) — a silent drop would undercount
+    super-edges invisibly.  Scale: two broadcast-or-shuffle label joins
+    plus one map-side-combinable aggregate; output is |labels|² at worst,
+    typically tiny."""
+    l = labels.select(F.col(id_col).alias("_n"), F.col(label_col))
+
+    def side(col, out):
+        joined = F.when(
+            F.col("_l").isNull(),
+            F.raise_error(F.concat(
+                F.lit(f"quotient_graph: unlabeled node in {col}: "),
+                F.col(col).cast("string")))).otherwise(F.col("_l"))
+        return joined.alias(out)
+
+    e = (edges
+         .join(l.withColumnRenamed("_n", src)
+                .withColumnRenamed(label_col, "_l"), src, "left")
+         .withColumn("g_src", side(src, "g_src")).drop("_l")
+         .join(l.withColumnRenamed("_n", dst)
+                .withColumnRenamed(label_col, "_l"), dst, "left")
+         .withColumn("g_dst", side(dst, "g_dst")).drop("_l"))
+    return (e.groupBy("g_src", "g_dst")
+            .agg(F.count("*").alias("n_edges"),
+                 F.countDistinct(src, dst).alias("n_pairs")))

@@ -559,3 +559,31 @@ def test_butterfly_hub_cap_is_lower_bound(spark):
     assert set(capped) == set(full)  # nodes kept, counts capped
     assert all(capped[k] <= full[k] for k in full)
     assert capped["v0"] == 1  # only the (1,2) wedge pair remains
+
+
+# ---------------------------------------------------------------------------
+# quotient_graph — label rollup summarization
+# ---------------------------------------------------------------------------
+def test_quotient_graph_rollup(spark):
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        quotient_graph)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (2, 3), (3, 1), (4, 4)],
+        "src int, dst int")
+    labels = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B")], "id int, label string")
+    got = {(r.g_src, r.g_dst): (r.n_edges, r.n_pairs)
+           for r in quotient_graph(edges, labels).collect()}
+    assert got == {("A", "A"): (2, 1),   # 1->2 twice, one distinct pair
+                   ("A", "B"): (2, 2),   # 1->3, 2->3
+                   ("B", "A"): (1, 1),   # 3->1
+                   ("B", "B"): (1, 1)}   # self-loop 4->4 kept
+
+
+def test_quotient_graph_unlabeled_node_raises(spark):
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        quotient_graph)
+    edges = spark.createDataFrame([(1, 9)], "src int, dst int")
+    labels = spark.createDataFrame([(1, "A")], "id int, label string")
+    with pytest.raises(Exception, match="unlabeled node"):
+        quotient_graph(edges, labels).collect()
