@@ -2341,6 +2341,35 @@ def _q_quotient_graph(spark, sf_dir):
             .orderBy("g_src", "g_dst"))
 
 
+def _q_interval_overlaps(spark, sf_dir):
+    """Per-user interval-overlap join (operators/temporal.
+    interval_overlap_join): each event spawns a closed interval
+    [floor(epoch(ts)), +floor(value)*60 s]; every 'view' interval is
+    matched to every overlapping 'purchase' interval of the same user via
+    the binned emit-once equi-join (NEVER a theta join), reporting the
+    overlap length.  The oracle replays the semantics as a plain
+    inequality join — the hash match proves the binned join is exact."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        interval_overlap_join)
+    ev = _read(spark, sf_dir, "events")
+    start = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1e6)         .cast("long")
+    iv = ev.select("event_id", "user_id", "event_type",
+                   start.alias("start"),
+                   (start + F.floor("value").cast("long") * 60)
+                   .alias("end"))
+    l = iv.filter(F.col("event_type") == "view")         .select("user_id", F.col("event_id").alias("l_event"),
+                "start", "end")
+    r = iv.filter(F.col("event_type") == "purchase")         .select("user_id", F.col("event_id").alias("r_event"),
+                "start", "end")
+    j = interval_overlap_join(l, r, keys=("user_id",), bin_width=3600)
+    overlap = (F.least(F.col("end"), F.col("r_end"))
+               - F.greatest(F.col("start"), F.col("r_start")))
+    return (j.select("user_id", "l_event",
+                     F.col("r_r_event").alias("r_event"),
+                     overlap.alias("overlap_s"))
+            .orderBy("user_id", "l_event", "r_event"))
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -4292,6 +4321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": _q_textrank_keywords,
         "complex_ranks": _q_complex_ranks,
         "quotient_graph": _q_quotient_graph,
+        "interval_overlaps": _q_interval_overlaps,
     }
 
 
@@ -5011,6 +5041,22 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT subj, pred, obj, rank,
                    (CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::INT AS hit
             FROM ranks ORDER BY subj, pred, obj
+        """,
+        "interval_overlaps": """
+            WITH ev AS (
+              SELECT event_id, user_id, event_type,
+                     floor(epoch(ts))::BIGINT AS s,
+                     floor(epoch(ts))::BIGINT
+                       + floor(value)::BIGINT * 60 AS e
+              FROM events),
+            l AS (SELECT * FROM ev WHERE event_type = 'view'),
+            r AS (SELECT * FROM ev WHERE event_type = 'purchase')
+            SELECT l.user_id, l.event_id AS l_event, r.event_id AS r_event,
+                   (least(l.e, r.e) - greatest(l.s, r.s))::BIGINT
+                     AS overlap_s
+            FROM l JOIN r ON l.user_id = r.user_id
+             AND l.s <= r.e AND r.s <= l.e
+            ORDER BY 1, 2, 3
         """,
         "quotient_graph": """
             WITH e AS (

@@ -190,3 +190,64 @@ def current_facts(claims: DataFrame, subj: str = "subj", pred: str = "pred",
             .select("subj", "pred", F.col("_w.obj").alias("obj"),
                     F.col("_w.ts").alias("valid_from"),
                     "n_versions", "n_values"))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          start_col: str = "start", end_col: str = "end",
+                          keys: tuple[str, ...] = (),
+                          bin_width: int = 3600,
+                          prefix: str = "r_") -> DataFrame:
+    """Interval × interval overlap join (Allen "not disjoint", closed
+    endpoints): every (left, right) pair with
+    ``l.start <= r.end AND r.start <= l.end``, optionally equi-matched on
+    ``keys`` first.  Timestamps are epoch-second longs.
+
+    Equi-join on time bins — NEVER a nested-loop theta join.  Both sides
+    explode their ``start..end`` bin range; a pair is emitted ONLY in the
+    bin containing ``max(l.start, r.start)`` (the overlap's first
+    instant), which both bin ranges contain iff the intervals overlap —
+    each qualifying pair appears exactly once with NO distinct/dedup
+    shuffle.  Cost is rows × interval_span/bin_width; pick ``bin_width``
+    near the median interval length so most intervals explode to 1-2
+    bins.  Negative-length intervals (end < start) RAISE lazily — a
+    silent empty sequence would drop them invisibly.
+
+    Right columns come back ``prefix``-renamed; ``keys`` keep one copy.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    reserved = {"_bin", "_lo", "_hi"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"interval_overlap_join reserves internal columns "
+            f"{sorted(clash)}")
+
+    def binned(df, side):
+        guard = F.when(
+            F.col(end_col) < F.col(start_col),
+            F.raise_error(F.concat(
+                F.lit(f"interval_overlap_join: end < start on {side} row "
+                      "with start="),
+                F.col(start_col).cast("string")))
+        ).otherwise(F.col(end_col))
+        return (df.withColumn("_hi", guard)
+                .withColumn("_bin", F.explode(F.sequence(
+                    (F.col(start_col) / bin_width).cast("long"),
+                    (F.col("_hi") / bin_width).cast("long"))))
+                .drop("_hi"))
+
+    l = binned(left, "left")
+    r = binned(right, "right")
+    rrenamed = r.select(
+        "_bin",
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"{prefix}{c}") for c in r.columns
+          if c not in ("_bin", *keys)])
+    joined = l.join(rrenamed, ["_bin", *keys])
+    ov_start = F.greatest(F.col(start_col), F.col(f"{prefix}{start_col}"))
+    emit = (
+        (F.col(start_col) <= F.col(f"{prefix}{end_col}"))
+        & (F.col(f"{prefix}{start_col}") <= F.col(end_col))
+        & (F.col("_bin") == (ov_start / bin_width).cast("long")))
+    return joined.filter(emit).drop("_bin")

@@ -1579,3 +1579,59 @@ def test_ppjoin_prunes_boilerplate_prefixes(spark):
     got = {(r.a, r.b) for r in ppjoin_pairs(docs, threshold=0.8).collect()}
     assert (100, 101) in got
     assert all(a == 100 and b == 101 for a, b in got)
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join — binned Allen-overlap join, emit-once
+# ---------------------------------------------------------------------------
+def _overlap_reference(L, R, keyed=False):
+    out = set()
+    for lrow in L:
+        for rrow in R:
+            if keyed and lrow[-1] != rrow[-1]:
+                continue
+            if lrow[1] <= rrow[2] and rrow[1] <= lrow[2]:
+                out.add((lrow[0], rrow[0]))
+    return out
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        interval_overlap_join)
+    # deterministic pseudo-random intervals, many spanning several bins
+    L = [(i, (i * 37) % 500, (i * 37) % 500 + (i * 13) % 220)
+         for i in range(40)]
+    R = [(j, (j * 53) % 500, (j * 53) % 500 + (j * 11) % 180)
+         for j in range(40)]
+    ldf = spark.createDataFrame(L, "lid int, start long, end long")
+    rdf = spark.createDataFrame(R, "rid int, start long, end long")
+    for bw in (16, 100, 1000):   # tiny, medium, everyone-in-one-bin
+        got = [(r.lid, r.r_rid)
+               for r in interval_overlap_join(ldf, rdf,
+                                              bin_width=bw).collect()]
+        assert len(got) == len(set(got)), f"duplicates at bin_width={bw}"
+        assert set(got) == _overlap_reference(L, R), f"bin_width={bw}"
+
+
+def test_interval_overlap_join_keys_and_closed_endpoints(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        interval_overlap_join)
+    L = [(1, 0, 10, "u"), (2, 20, 30, "u"), (3, 0, 10, "v")]
+    R = [(7, 10, 15, "u"), (8, 31, 40, "u"), (9, 5, 6, "v")]
+    ldf = spark.createDataFrame(L, "lid int, start long, end long, k string")
+    rdf = spark.createDataFrame(R, "rid int, start long, end long, k string")
+    got = {(r.lid, r.r_rid)
+           for r in interval_overlap_join(ldf, rdf, keys=("k",),
+                                          bin_width=8).collect()}
+    # (1,7): touching endpoints 10==10 count (closed); (2,8): disjoint;
+    # (3,9): contained, same key; (1,9)/(3,7): key mismatch
+    assert got == {(1, 7), (3, 9)}
+
+
+def test_interval_overlap_join_negative_interval_raises(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        interval_overlap_join)
+    ldf = spark.createDataFrame([(1, 10, 5)], "lid int, start long, end long")
+    rdf = spark.createDataFrame([(2, 0, 4)], "rid int, start long, end long")
+    with pytest.raises(Exception, match="end < start"):
+        interval_overlap_join(ldf, rdf).collect()
