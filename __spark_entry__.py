@@ -2370,6 +2370,32 @@ def _q_interval_overlaps(spark, sf_dir):
             .orderBy("user_id", "l_event", "r_event"))
 
 
+def _q_boruvka_msf(spark, sf_dir):
+    """Minimum spanning forest of the sparse undirected trade subgraph
+    (operators/mst.boruvka_msf — distributed Borůvka, <= log2(V) hook
+    rounds) with md5_60-derived deterministic edge weights.  The oracle
+    does NOT replay Borůvka: it applies the CYCLE PROPERTY under the same
+    (w, lo, hi) total order — an edge is in the unique MSF iff its
+    endpoints are not connected by strictly-lighter edges (recursive-CTE
+    reachability per candidate edge) — so the hash match is an
+    algorithm-independent optimality proof."""
+    from climatemind_ontology_processing_spark.operators.mst import (
+        boruvka_msf)
+    edges = (_trade_edges(spark, sf_dir)
+             .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0)
+             .select(F.least("src", "dst").alias("lo"),
+                     F.greatest("src", "dst").alias("hi"))
+             .filter(F.col("lo") != F.col("hi")).distinct())
+    weighted = edges.select(
+        "lo", "hi",
+        F.conv(F.substring(F.md5(F.concat_ws("|", "lo", "hi")), 1, 15),
+               16, 10).cast("long").alias("weight"))
+    return (boruvka_msf(weighted, src="lo", dst="hi")
+            .select(F.col("lo").cast("int").alias("lo"),
+                    F.col("hi").cast("int").alias("hi"), "weight")
+            .orderBy("lo", "hi"))
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -4322,6 +4348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complex_ranks": _q_complex_ranks,
         "quotient_graph": _q_quotient_graph,
         "interval_overlaps": _q_interval_overlaps,
+        "boruvka_msf": _q_boruvka_msf,
     }
 
 
@@ -5041,6 +5068,37 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT subj, pred, obj, rank,
                    (CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::INT AS hit
             FROM ranks ORDER BY subj, pred, obj
+        """,
+        "boruvka_msf": f"""
+            WITH RECURSIVE all_edges AS ({_TRADE_SQL}),
+            sparse AS (SELECT src, dst FROM all_edges
+                       WHERE (src * 31 + dst) % 7 = 0),
+            e AS (SELECT DISTINCT least(src, dst) AS lo,
+                         greatest(src, dst) AS hi
+                  FROM sparse WHERE least(src, dst) <> greatest(src, dst)),
+            we AS (SELECT lo, hi,
+                          ('0x' || substring(md5(lo || '|' || hi), 1, 15))
+                            ::BIGINT AS w
+                   FROM e),
+            sym AS (SELECT lo AS a, hi AS b, w, lo, hi FROM we
+                    UNION ALL SELECT hi, lo, w, lo, hi FROM we),
+            -- cycle property: reach(c, node) = nodes reachable from c.lo
+            -- using only edges STRICTLY lighter than c in (w, lo, hi)
+            reach(clo, chi, node) AS (
+              SELECT lo, hi, lo FROM we
+              UNION
+              SELECT r.clo, r.chi, s.b
+              FROM reach r
+              JOIN sym s ON s.a = r.node
+              JOIN we c ON c.lo = r.clo AND c.hi = r.chi
+              WHERE (s.w, s.lo, s.hi) < (c.w, c.lo, c.hi)
+            )
+            SELECT c.lo::INT AS lo, c.hi::INT AS hi, c.w AS weight
+            FROM we c
+            WHERE NOT EXISTS (SELECT 1 FROM reach r
+                              WHERE r.clo = c.lo AND r.chi = c.hi
+                                AND r.node = c.hi)
+            ORDER BY lo, hi
         """,
         "interval_overlaps": """
             WITH ev AS (

@@ -1,0 +1,107 @@
+"""Distributed minimum spanning forest — Borůvka's algorithm.
+
+KG canonicalization and entity clustering often need the lightest
+backbone of a similarity graph (single-linkage clustering IS the MSF:
+cutting its heaviest edges yields the clusters).  Borůvka is the
+canonical distributed MST algorithm — every round each component hooks
+its minimum outgoing edge and components merge, so the component count
+at least halves per round: <= log2(V) rounds regardless of cluster
+size, each round plain joins + one map-side-combinable min aggregate.
+
+Determinism/ties: edges are totally ordered by (weight, lo, hi) — the
+lexicographic-perturbation trick — so the MSF is UNIQUE even with
+duplicate weights and the result is engine-exact (the registered
+oracle applies the cycle property under the same total order: an edge
+is in the MSF iff its endpoints are NOT connected by strictly-lighter
+edges).
+
+Scale shape: the per-round projection joins edges to the (node, label)
+table — shuffle on node id; the min-outgoing aggregate is keys-only
+(component, packed edge).  The hook graph each round has at most one
+edge per component and shrinks geometrically; its merge reuses
+``canonicalize.connected_components`` (salted option available there
+for mega-hubs).  Edges already inside one component are dropped from
+the working set each round, so the scanned edge set shrinks too.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .canonicalize import connected_components
+
+
+def boruvka_msf(edges: DataFrame, src: str = "src", dst: str = "dst",
+                weight: str = "weight", max_rounds: int = 40) -> DataFrame:
+    """Minimum spanning forest of the undirected graph: one row
+    (lo, hi, weight) per MSF edge.
+
+    Parallel (multi-edge) input collapses to the minimum-weight edge per
+    canonical (lo, hi) pair first; self-loops are dropped.  NULL weights
+    RAISE — a silent NULL would sort unpredictably between engines.
+    Raises RuntimeError if ``max_rounds`` is exhausted before the hook
+    step quiesces (a truncated forest is invisible otherwise; the
+    default 40 covers any graph below 2^40 nodes).
+    """
+    checked_w = F.when(
+        F.col(weight).isNull(),
+        F.raise_error(F.concat(
+            F.lit("boruvka_msf: NULL weight on edge "),
+            F.col(src).cast("string"), F.lit("-"),
+            F.col(dst).cast("string")))).otherwise(F.col(weight))
+    e = (edges.select(F.least(src, dst).alias("lo"),
+                      F.greatest(src, dst).alias("hi"),
+                      checked_w.alias("w"))
+         .filter(F.col("lo") != F.col("hi"))
+         .groupBy("lo", "hi").agg(F.min("w").alias("w"))
+         .localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    nodes = (e.select(F.col("lo").alias("id"))
+             .unionByName(e.select(F.col("hi").alias("id")))
+             .distinct())
+    labels = nodes.select("id", F.col("id").alias("label")) \
+        .localCheckpoint(eager=True)
+    forest = spark.createDataFrame([], e.schema)
+
+    for _ in range(max_rounds):
+        lab_lo = labels.select(F.col("id").alias("lo"),
+                               F.col("label").alias("_cl"))
+        lab_hi = labels.select(F.col("id").alias("hi"),
+                               F.col("label").alias("_ch"))
+        proj = (e.join(lab_lo, "lo").join(lab_hi, "hi")
+                .filter(F.col("_cl") != F.col("_ch")))
+        # intra-component edges never rejoin the working set
+        e = proj.select("lo", "hi", "w").localCheckpoint(eager=True)
+        if e.isEmpty():
+            return forest.select("lo", "hi", F.col("w").alias(weight))
+        # min outgoing edge per component under the (w, lo, hi) total
+        # order — one keys-only min_by aggregate over both directions
+        pick = F.struct(F.col("w"), F.col("lo"), F.col("hi"))
+        cand = (proj.select(F.col("_cl").alias("_c"), pick.alias("_p"))
+                .unionByName(
+                    proj.select(F.col("_ch").alias("_c"), pick.alias("_p"))))
+        chosen = (cand.groupBy("_c").agg(F.min("_p").alias("_p"))
+                  .select(F.col("_p.w").alias("w"),
+                          F.col("_p.lo").alias("lo"),
+                          F.col("_p.hi").alias("hi"))
+                  .distinct()          # both endpoints may pick one edge
+                  .localCheckpoint(eager=True))
+        forest = forest.unionByName(chosen.select("lo", "hi", "w")) \
+            .localCheckpoint(eager=True)
+        # merge: component-level hook graph, then CC (min-label); the
+        # hook graph has <= one edge per component — geometric shrink
+        hooks = (chosen
+                 .join(lab_lo, "lo").join(lab_hi, "hi")
+                 .select(F.col("_cl").alias("src"),
+                         F.col("_ch").alias("dst")))
+        merged = connected_components(hooks)  # (id=old label, component)
+        labels = (labels
+                  .join(merged.withColumnRenamed("id", "label"),
+                        "label", "left")
+                  .select("id", F.coalesce("component", "label")
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+    raise RuntimeError(
+        f"boruvka_msf: {max_rounds} rounds exhausted before quiescence — "
+        "raise max_rounds (components halve per round, so this indicates "
+        "a bug or a graph beyond 2^max_rounds nodes)")

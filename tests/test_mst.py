@@ -1,0 +1,91 @@
+"""Borůvka minimum spanning forest — parity vs networkx and edge cases."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from climatemind_ontology_processing_spark.operators.mst import boruvka_msf
+
+
+def _nx_msf(edge_list):
+    """Reference MSF: Kruskal + union-find under the (w, lo, hi) total
+    order (lexicographic perturbation -> unique forest)."""
+    best = {}
+    for u, v, w in edge_list:
+        if u == v:
+            continue
+        lo, hi = min(u, v), max(u, v)
+        if (lo, hi) not in best or best[(lo, hi)] > w:
+            best[(lo, hi)] = w
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for (lo, hi), w in sorted(best.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(lo), find(hi)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            out.add((lo, hi, w))
+    return out
+
+
+def test_boruvka_matches_networkx_random_graph(spark):
+    edges = [((i * 7) % 40, (i * 13 + 3) % 40, (i * 31) % 97 + 1)
+             for i in range(120)]
+    df = spark.createDataFrame(edges, "src int, dst int, weight int")
+    got = {(r.lo, r.hi, r.weight) for r in boruvka_msf(df).collect()}
+    assert got == _nx_msf(edges)
+
+
+def test_boruvka_disconnected_forest_and_duplicate_weights(spark):
+    # two components, ALL weights equal -> ties broken by (lo, hi)
+    edges = [(1, 2, 5), (2, 3, 5), (1, 3, 5), (10, 11, 5), (11, 12, 5),
+             (10, 12, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int, weight int")
+    got = {(r.lo, r.hi) for r in boruvka_msf(df).collect()}
+    # Kruskal under (w, lo, hi): picks (1,2),(1,3) then (10,11),(10,12)
+    assert got == {(1, 2), (1, 3), (10, 11), (10, 12)}
+    assert got == {(e[0], e[1]) for e in _nx_msf(edges)}
+
+
+def test_boruvka_parallel_edges_and_self_loops(spark):
+    edges = [(1, 2, 9), (2, 1, 3), (1, 1, 1), (2, 3, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int, weight int")
+    got = {(r.lo, r.hi, r.weight) for r in boruvka_msf(df).collect()}
+    assert got == {(1, 2, 3), (2, 3, 4)}
+
+
+def test_boruvka_null_weight_raises(spark):
+    df = spark.createDataFrame([(1, 2, None)],
+                               "src int, dst int, weight int")
+    with pytest.raises(Exception, match="NULL weight"):
+        boruvka_msf(df).collect()
+
+
+def test_boruvka_round_cap_raises(spark):
+    # a path of 9 nodes needs ~log2 rounds; cap 1 round can't finish
+    edges = [(i, i + 1, i + 1) for i in range(8)]
+    df = spark.createDataFrame(edges, "src int, dst int, weight int")
+    with pytest.raises(RuntimeError, match="rounds exhausted"):
+        boruvka_msf(df, max_rounds=1)
+
+
+def test_boruvka_single_linkage_clusters(spark):
+    """Cutting the heaviest MSF edges yields single-linkage clusters —
+    the KG-canonicalization use: two tight cliques joined by one heavy
+    bridge must keep the bridge as the unique heaviest forest edge."""
+    tight_a = [(i, j, 1 + i + j) for i in range(4) for j in range(i + 1, 4)]
+    tight_b = [(i, j, 1 + i + j) for i in range(10, 14)
+               for j in range(i + 1, 14)]
+    bridge = [(3, 10, 1000)]
+    df = spark.createDataFrame(tight_a + tight_b + bridge,
+                               "src int, dst int, weight int")
+    got = sorted((r.weight, r.lo, r.hi) for r in boruvka_msf(df).collect())
+    assert len(got) == 7            # 3 + 3 tree edges + bridge
+    assert got[-1] == (1000, 3, 10)
