@@ -2396,6 +2396,23 @@ def _q_boruvka_msf(spark, sf_dir):
             .orderBy("lo", "hi"))
 
 
+def _q_coalesced_sessions(spark, sf_dir):
+    """Per-user maximal busy periods (operators/temporal.
+    coalesce_intervals): every event spawns [floor(epoch(ts)),
+    +floor(value)*60 s] and overlapping intervals merge per user —
+    validity-period compaction / session flattening.  Oracle replays the
+    gaps-and-islands window algebra directly."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        coalesce_intervals)
+    ev = _read(spark, sf_dir, "events")
+    start = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1e6)         .cast("long")
+    iv = ev.select("user_id", start.alias("start"),
+                   (start + F.floor("value").cast("long") * 60)
+                   .alias("end"))
+    return (coalesce_intervals(iv, keys=("user_id",))
+            .orderBy("user_id", "start"))
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -4349,6 +4366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quotient_graph": _q_quotient_graph,
         "interval_overlaps": _q_interval_overlaps,
         "boruvka_msf": _q_boruvka_msf,
+        "coalesced_sessions": _q_coalesced_sessions,
     }
 
 
@@ -5068,6 +5086,36 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT subj, pred, obj, rank,
                    (CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::INT AS hit
             FROM ranks ORDER BY subj, pred, obj
+        """,
+        "coalesced_sessions": """
+            WITH iv AS (
+              SELECT user_id, floor(epoch(ts))::BIGINT AS s,
+                     floor(epoch(ts))::BIGINT
+                       + floor(value)::BIGINT * 60 AS e
+              FROM events),
+            flagged AS (
+              SELECT user_id, s, e,
+                     CASE WHEN max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                       OR s > max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS new_island
+              FROM iv),
+            islands AS (
+              SELECT user_id, s, e,
+                     sum(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+              FROM flagged)
+            SELECT user_id, min(s)::BIGINT AS start, max(e)::BIGINT AS "end",
+                   count(*)::BIGINT AS n_merged
+            FROM islands GROUP BY user_id, island
+            ORDER BY user_id, start
         """,
         "boruvka_msf": f"""
             WITH RECURSIVE all_edges AS ({_TRADE_SQL}),

@@ -251,3 +251,43 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
         & (F.col(f"{prefix}{start_col}") <= F.col(end_col))
         & (F.col("_bin") == (ov_start / bin_width).cast("long")))
     return joined.filter(emit).drop("_bin")
+
+
+def coalesce_intervals(intervals: DataFrame, keys: tuple[str, ...] = (),
+                       start_col: str = "start", end_col: str = "end",
+                       gap: int = 0) -> DataFrame:
+    """Merge overlapping (and up-to-``gap``-apart) closed intervals per
+    key into maximal disjoint intervals — the batch interval-coalesce
+    primitive (validity-period compaction, session flattening, span-merge).
+
+    Gaps-and-islands, one window per key: an interval starts a new island
+    iff its start exceeds the running max end of all PRIOR intervals (in
+    (start, end) order) by more than ``gap``; island id = running sum of
+    the new-island flag; one aggregate emits (key..., start, end,
+    n_merged).  The window partitions by key, so skew is bounded by the
+    busiest key — at web scale, key by (entity, day) if one entity's
+    interval count is unbounded.  Negative-length intervals RAISE (same
+    guard as ``interval_overlap_join``)."""
+    checked_end = F.when(
+        F.col(end_col) < F.col(start_col),
+        F.raise_error(F.concat(
+            F.lit("coalesce_intervals: end < start on row with start="),
+            F.col(start_col).cast("string")))).otherwise(F.col(end_col))
+    base = intervals.select(*keys, F.col(start_col).alias("_s"),
+                            checked_end.alias("_e"))
+    order = Window.partitionBy(*[F.col(k) for k in keys]) \
+        .orderBy("_s", "_e")
+    prev_max_end = F.max("_e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "_new", F.when(prev_max_end.isNull()
+                       | (F.col("_s") > prev_max_end + gap), 1)
+                 .otherwise(0))
+    islands = flagged.withColumn(
+        "_island", F.sum("_new").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)))
+    return (islands.groupBy(*keys, "_island")
+            .agg(F.min("_s").alias(start_col),
+                 F.max("_e").alias(end_col),
+                 F.count("*").alias("n_merged"))
+            .drop("_island"))

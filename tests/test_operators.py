@@ -1635,3 +1635,43 @@ def test_interval_overlap_join_negative_interval_raises(spark):
     rdf = spark.createDataFrame([(2, 0, 4)], "rid int, start long, end long")
     with pytest.raises(Exception, match="end < start"):
         interval_overlap_join(ldf, rdf).collect()
+
+
+# ---------------------------------------------------------------------------
+# coalesce_intervals — per-key gaps-and-islands merge
+# ---------------------------------------------------------------------------
+def test_coalesce_intervals_basic_and_gap(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        coalesce_intervals)
+    rows = [("u", 0, 10), ("u", 5, 12), ("u", 12, 15),   # chain: 0-15
+            ("u", 20, 25),                                # island
+            ("v", 0, 1), ("v", 3, 4)]                     # gap 2 apart
+    df = spark.createDataFrame(rows, "k string, start long, end long")
+    got = {(r.k, r.start, r.end, r.n_merged)
+           for r in coalesce_intervals(df, keys=("k",)).collect()}
+    assert got == {("u", 0, 15, 3), ("u", 20, 25, 1),
+                   ("v", 0, 1, 1), ("v", 3, 4, 1)}
+    gapped = {(r.k, r.start, r.end)
+              for r in coalesce_intervals(df, keys=("k",), gap=2).collect()}
+    assert ("v", 0, 4) in gapped
+
+
+def test_coalesce_intervals_contained_interval_extends_running_max(spark):
+    """The classic gaps-and-islands trap: a long interval followed by a
+    short CONTAINED one must not reopen an island afterwards — the
+    running max (not lag) handles it."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        coalesce_intervals)
+    rows = [(0, 100), (10, 20), (90, 150), (200, 210)]
+    df = spark.createDataFrame(rows, "start long, end long")
+    got = sorted((r.start, r.end, r.n_merged)
+                 for r in coalesce_intervals(df).collect())
+    assert got == [(0, 150, 3), (200, 210, 1)]
+
+
+def test_coalesce_intervals_negative_raises(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        coalesce_intervals)
+    df = spark.createDataFrame([(10, 5)], "start long, end long")
+    with pytest.raises(Exception, match="end < start"):
+        coalesce_intervals(df).collect()
