@@ -2413,6 +2413,38 @@ def _q_coalesced_sessions(spark, sf_dir):
             .orderBy("user_id", "start"))
 
 
+def _q_kg_churn(spark, sf_dir):
+    """Per-predicate KG snapshot churn (operators/kgops.kg_diff_stats):
+    the 'new' snapshot is a deterministic triple-level mutation of the
+    TPC-H KG — suppliers with key % 11 == 0 lose their in_nation triple,
+    nations with key % 5 == 0 move region — and the diff reports
+    added/removed/unchanged per predicate, the regression dashboard a
+    nightly re-extracted KG publishes before swap-in."""
+    from climatemind_ontology_processing_spark.operators.kgops import (
+        kg_diff_stats)
+    old = _tpch_kg_triples(spark, sf_dir)
+    skey = F.substring("subj", 3, 100).cast("long")
+    drop_supp = (F.col("pred") == "in_nation")         & F.col("subj").startswith("s:") & (skey % 11 == 0)
+    moved_obj = F.when(
+        (F.col("pred") == "in_region") & (skey % 5 == 0),
+        F.concat(F.lit("r:"),
+                 ((F.substring("obj", 3, 100).cast("long") + 1) % 5)
+                 .cast("string"))).otherwise(F.col("obj"))
+    new = (old.filter(~drop_supp)
+           .select("subj", "pred", moved_obj.alias("obj")))
+    return kg_diff_stats(old, new).orderBy("pred")
+
+
+def _q_entity_facts(spark, sf_dir):
+    """Top-3 facts per KG entity, rarest-predicate-first (operators/
+    kgops.entity_fact_ranking) — the IDF-flavoured entity-card baseline
+    with fully deterministic (count, pred, obj) tie order."""
+    from climatemind_ontology_processing_spark.operators.kgops import (
+        entity_fact_ranking)
+    return (entity_fact_ranking(_tpch_kg_triples(spark, sf_dir), top_k=3)
+            .orderBy("subj", "rank"))
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -4367,6 +4399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlaps": _q_interval_overlaps,
         "boruvka_msf": _q_boruvka_msf,
         "coalesced_sessions": _q_coalesced_sessions,
+        "kg_churn": _q_kg_churn,
+        "entity_facts": _q_entity_facts,
     }
 
 
@@ -5086,6 +5120,48 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT subj, pred, obj, rank,
                    (CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::INT AS hit
             FROM ranks ORDER BY subj, pred, obj
+        """,
+        "kg_churn": f"""
+            WITH old AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj FROM ({_KG_SQL})),
+            new AS MATERIALIZED (
+              SELECT subj, pred,
+                     CASE WHEN pred = 'in_region'
+                           AND substring(subj, 3)::BIGINT % 5 = 0
+                          THEN 'r:' || ((substring(obj, 3)::BIGINT + 1) % 5)
+                          ELSE obj END AS obj
+              FROM old
+              WHERE NOT (pred = 'in_nation' AND subj LIKE 's:%'
+                         AND substring(subj, 3)::BIGINT % 11 = 0)),
+            tagged AS (
+              SELECT coalesce(o.pred, n.pred) AS pred,
+                     CASE WHEN o.subj IS NULL THEN 0 ELSE 1 END AS in_old,
+                     CASE WHEN n.subj IS NULL THEN 0 ELSE 1 END AS in_new
+              FROM old o FULL JOIN new n
+                ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj)
+            SELECT pred,
+                   sum(CASE WHEN in_new = 1 AND in_old = 0 THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_added,
+                   sum(CASE WHEN in_old = 1 AND in_new = 0 THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_removed,
+                   sum(CASE WHEN in_old = 1 AND in_new = 1 THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_unchanged
+            FROM tagged GROUP BY pred ORDER BY pred
+        """,
+        "entity_facts": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj FROM ({_KG_SQL})),
+            census AS (SELECT pred, count(*)::BIGINT AS pn
+                       FROM t GROUP BY pred),
+            ranked AS (
+              SELECT t.subj, t.pred, t.obj, c.pn,
+                     row_number() OVER (
+                       PARTITION BY t.subj
+                       ORDER BY c.pn ASC, t.pred ASC, t.obj ASC) AS rank
+              FROM t JOIN census c USING (pred))
+            SELECT subj, rank::INT AS rank, pred, obj,
+                   pn AS pred_count
+            FROM ranked WHERE rank <= 3 ORDER BY subj, rank
         """,
         "coalesced_sessions": """
             WITH iv AS (
