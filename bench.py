@@ -126,6 +126,11 @@ def main() -> None:
         # round-5 session-3 additions: RDFS entailment closure, ReVerb
         # open IE, linear quality-classifier scoring, integer Katz
         "rdfs_closure", "open_triples", "quality_lr", "katz_centrality",
+        # round-5 session-4 additions: prefix-filtered similarity join,
+        # bipartite butterfly counting, distributed Boruvka MSF,
+        # integer-micro TextRank
+        "ppjoin_pairs", "butterfly_counts", "boruvka_msf",
+        "textrank_keywords",
     ]
     qs = entrymod.queries()
     for name in headline:

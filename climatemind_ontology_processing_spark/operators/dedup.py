@@ -856,7 +856,12 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
     sh = with_shingles(docs, text_col, n,
                        hash_family=hash_family).select(
         F.col(id_col).alias("doc"), F.col("shingles"))
-    ex = sh.select("doc", F.explode("shingles").alias("s")).distinct()
+    # materialize the exploded (doc, s) set ONCE: six downstream plan arms
+    # (df census, sizes, ranking, both candidate sides, both verify sides)
+    # reference it, and re-deriving the shingling per arm is the dominant
+    # cost at corpus scale (_shingled_checkpointed precedent)
+    ex = (sh.select("doc", F.explode("shingles").alias("s")).distinct()
+          .localCheckpoint(eager=True))
     sizes = ex.groupBy("doc").agg(F.count("*").alias("sz"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("_df"))
     ranked = (ex.join(dfreq, "s")

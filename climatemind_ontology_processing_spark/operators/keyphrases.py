@@ -102,8 +102,12 @@ def cooccurrence_graph(docs: DataFrame, window: int = 2,
     toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
                                                F.lit(""))), r"\s+"),
                     lambda x: x != "")
+    # materialize the tokenized positions once: both sides of the
+    # positional self-join reference it, and re-tokenizing the corpus for
+    # each side doubles the dominant scan cost
     t = (docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
-         .select("id", F.posexplode("_t").alias("pos", "tok")))
+         .select("id", F.posexplode("_t").alias("pos", "tok"))
+         .localCheckpoint(eager=True))
     l, r = t.alias("l"), t.alias("r")
     pairs = (l.join(r, (F.col("l.id") == F.col("r.id"))
                     & (F.col("r.pos") > F.col("l.pos"))
@@ -142,7 +146,10 @@ def textrank_scores(docs: DataFrame, window: int = 2, iters: int = 3,
     # "wsum" not "W": Spark resolves identifiers case-insensitively, so a
     # "W" column would be ambiguous with the edge weight "w"
     strength = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
-    e = edges.join(strength, "src")
+    # one materialization feeds every power-iteration round (the edge
+    # table is re-joined `iters` times — rebuilding the co-occurrence
+    # graph per round would re-scan the corpus each time)
+    e = edges.join(strength, "src").localCheckpoint(eager=True)
     scores = strength.select(F.col("src").alias("tok"),
                              F.lit(MICRO).cast("long").alias("score"))
     for _ in range(iters):
