@@ -1828,6 +1828,32 @@ def _q_jsonld_facts(spark, sf_dir):
             .orderBy("url", "block_idx", "field"))
 
 
+def _q_table_facts(spark, sf_dir):
+    """HTML data-table mining (operators/structured.html_table_facts):
+    header-paired cell facts from a deterministic table-bearing corpus —
+    one 2-column table (name/size header + one data row) per part page,
+    plus a headerless ragged second table exercising the col<i>
+    fallback.  All three regexes are lookaround-free and lazy so the
+    DuckDB oracle replays them under RE2 — Java≡RE2 certified on the
+    match set, tag-strip + whitespace-collapse included."""
+    from climatemind_ontology_processing_spark.operators.structured import (
+        html_table_facts)
+    p = _read(spark, sf_dir, "part")
+    html = F.concat(
+        F.lit("<html><body><table><tr><th>Name</th><th> Size </th></tr>"
+              "<tr><td><b>"), F.col("p_name"),
+        F.lit("</b></td><td>"), F.col("p_size").cast("string"),
+        F.lit("</td></tr></table><p>filler</p>"
+              "<table><tr><td>"), F.col("p_brand"),
+        F.lit("</td><td>"), F.col("p_type"),
+        F.lit("</td></tr><tr><td>x</td></tr></table></body></html>"))
+    pages = p.select(
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string"))
+        .alias("url"), html.alias("html"))
+    return (html_table_facts(pages)
+            .orderBy("url", "table_idx", "row_idx", "col_idx"))
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4401,6 +4427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesced_sessions": _q_coalesced_sessions,
         "kg_churn": _q_kg_churn,
         "entity_facts": _q_entity_facts,
+        "table_facts": _q_table_facts,
     }
 
 
@@ -5120,6 +5147,53 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT subj, pred, obj, rank,
                    (CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::INT AS hit
             FROM ranks ORDER BY subj, pred, obj
+        """,
+        "table_facts": """
+            WITH pages AS (
+              SELECT 'p:' || p_partkey AS url,
+                     '<html><body><table><tr><th>Name</th><th> Size </th>'
+                     || '</tr><tr><td><b>' || p_name || '</b></td><td>'
+                     || p_size || '</td></tr></table><p>filler</p>'
+                     || '<table><tr><td>' || p_brand || '</td><td>'
+                     || p_type
+                     || '</td></tr><tr><td>x</td></tr></table>'
+                     || '</body></html>' AS html
+              FROM part),
+            tables AS (
+              SELECT url, unnest(t) AS tb,
+                     unnest(generate_series(0, len(t) - 1)) AS table_idx
+              FROM (SELECT url,
+                           regexp_extract_all(html,
+                             '(?is)<table[^>]*>(.*?)</table>', 1) AS t
+                    FROM pages)),
+            rws AS (
+              SELECT url, table_idx, unnest(r) AS rw,
+                     unnest(generate_series(0, len(r) - 1)) AS row_idx
+              FROM (SELECT url, table_idx,
+                           regexp_extract_all(tb,
+                             '(?is)<tr[^>]*>(.*?)</tr>', 1) AS r
+                    FROM tables)),
+            cells AS (
+              SELECT url, table_idx, row_idx,
+                     unnest(generate_series(0, len(c) - 1)) AS col_idx,
+                     list_transform(c, x -> trim(regexp_replace(
+                       regexp_replace(x, '<[^>]+>', ' ', 'g'),
+                       '\s+', ' ', 'g')))[
+                       unnest(generate_series(1, len(c)))] AS cell
+              FROM (SELECT url, table_idx, row_idx,
+                           regexp_extract_all(rw,
+                             '(?is)<t[hd][^>]*>(.*?)</t[hd]>', 1) AS c
+                    FROM rws)),
+            hdr AS (SELECT url, table_idx, col_idx, cell AS h
+                    FROM cells WHERE row_idx = 0)
+            SELECT c.url, c.table_idx, c.row_idx,
+                   coalesce(h.h, 'col' || c.col_idx) AS header,
+                   c.col_idx, c.cell
+            FROM cells c LEFT JOIN hdr h
+              ON h.url = c.url AND h.table_idx = c.table_idx
+             AND h.col_idx = c.col_idx
+            WHERE c.row_idx >= 1
+            ORDER BY c.url, c.table_idx, c.row_idx, c.col_idx
         """,
         "kg_churn": f"""
             WITH old AS MATERIALIZED (

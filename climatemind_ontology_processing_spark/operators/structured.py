@@ -59,3 +59,64 @@ def jsonld_facts(pages: DataFrame, fields: tuple[str, ...],
     return (b.select(id_col, "block_idx",
                      F.explode(F.create_map(*pairs)).alias("field", "value"))
             .filter(F.col("value").isNotNull()))
+
+
+# --- HTML table mining ------------------------------------------------------
+# The second structured source after JSON-LD: data tables.  Flat tables
+# only — a nested <table> inside a cell breaks the regex segmentation
+# (documented; real parsers belong in an Arrow UDF if ever needed).  All
+# three patterns are lookaround-free and lazy-quantified, so Java regex
+# (Spark) and RE2 (DuckDB) agree — the pii.py portability discipline.
+TABLE_PATTERN = r"(?is)<table[^>]*>(.*?)</table>"
+ROW_PATTERN = r"(?is)<tr[^>]*>(.*?)</tr>"
+CELL_PATTERN = r"(?is)<t[hd][^>]*>(.*?)</t[hd]>"
+
+
+def html_table_cells(pages: DataFrame, html_col: str = "html",
+                     id_col: str = "url") -> DataFrame:
+    """(id, table_idx, row_idx, col_idx, cell) — every cell of every flat
+    <table>, 0-based indices in document order, tags stripped and
+    whitespace collapsed inside the cell text."""
+    tables = pages.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(
+            F.col(html_col).cast("string"),
+            F.lit(TABLE_PATTERN), F.lit(1))).alias("table_idx", "_t"))
+    rows = tables.select(
+        id_col, "table_idx",
+        F.posexplode(F.regexp_extract_all(
+            "_t", F.lit(ROW_PATTERN), F.lit(1))).alias("row_idx", "_r"))
+    clean = lambda c: F.trim(F.regexp_replace(
+        F.regexp_replace(c, r"<[^>]+>", " "), r"\s+", " "))
+    return rows.select(
+        id_col, "table_idx", "row_idx",
+        F.posexplode(F.regexp_extract_all(
+            "_r", F.lit(CELL_PATTERN), F.lit(1))).alias("col_idx", "_c")
+    ).select(id_col, "table_idx", "row_idx", "col_idx",
+             clean(F.col("_c")).alias("cell"))
+
+
+def html_table_facts(pages: DataFrame, html_col: str = "html",
+                     id_col: str = "url") -> DataFrame:
+    """Header-paired table facts: (id, table_idx, row_idx, header, cell)
+    for every DATA cell (row_idx >= 1), joined to its column's header
+    text from the table's first row — the (entity row, attribute column)
+    melt that turns a web data table into KG triples
+    (subj = id#table#row, pred = header, obj = cell).
+
+    Columns beyond the header row's width get the positional fallback
+    header ``col<i>`` (ragged tables must not silently drop cells).  The
+    header join is per (page, table) — broadcast-friendly and never
+    corpus-wide."""
+    cells = html_table_cells(pages, html_col, id_col)
+    headers = (cells.filter(F.col("row_idx") == 0)
+               .select(id_col, "table_idx", "col_idx",
+                       F.col("cell").alias("_h")))
+    data = cells.filter(F.col("row_idx") >= 1)
+    return (data.join(headers, [id_col, "table_idx", "col_idx"], "left")
+            .select(id_col, "table_idx", "row_idx",
+                    F.coalesce(F.col("_h"),
+                               F.concat(F.lit("col"),
+                                        F.col("col_idx").cast("string")))
+                    .alias("header"),
+                    "col_idx", "cell"))

@@ -50,3 +50,41 @@ def test_facts_melt_and_missing_fields(spark, pages):
 def test_empty_fields_rejected(spark, pages):
     with pytest.raises(ValueError):
         jsonld_facts(pages, ())
+
+
+# ---------------------------------------------------------------------------
+# HTML table mining
+# ---------------------------------------------------------------------------
+def test_html_table_cells_indices_and_cleaning(spark):
+    from climatemind_ontology_processing_spark.operators.structured import (
+        html_table_cells)
+    html = ("<p>x</p><table class='a'><tr><th> Name </th><th>Qty</th></tr>"
+            "<tr><td><b>widget</b>\n one</td><td>3</td></tr></table>"
+            "<table><tr><td>solo</td></tr></table>")
+    df = spark.createDataFrame([("u1", html)], "url string, html string")
+    got = {(r.table_idx, r.row_idx, r.col_idx): r.cell
+           for r in html_table_cells(df).collect()}
+    assert got == {(0, 0, 0): "Name", (0, 0, 1): "Qty",
+                   (0, 1, 0): "widget one", (0, 1, 1): "3",
+                   (1, 0, 0): "solo"}
+
+
+def test_html_table_facts_header_pairing_and_ragged(spark):
+    from climatemind_ontology_processing_spark.operators.structured import (
+        html_table_facts)
+    html = ("<table><tr><th>k</th><th>v</th></tr>"
+            "<tr><td>a</td><td>1</td><td>extra</td></tr>"
+            "<tr><td>b</td><td>2</td></tr></table>")
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    got = {(r.row_idx, r.header): r.cell
+           for r in html_table_facts(df).collect()}
+    assert got == {(1, "k"): "a", (1, "v"): "1", (1, "col2"): "extra",
+                   (2, "k"): "b", (2, "v"): "2"}
+
+
+def test_html_table_no_tables_no_rows(spark):
+    from climatemind_ontology_processing_spark.operators.structured import (
+        html_table_facts)
+    df = spark.createDataFrame([("u", "<p>no tables here</p>"), ("v", None)],
+                               "url string, html string")
+    assert html_table_facts(df).count() == 0
