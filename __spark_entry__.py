@@ -1854,6 +1854,24 @@ def _q_table_facts(spark, sf_dir):
             .orderBy("url", "table_idx", "row_idx", "col_idx"))
 
 
+def _q_burst_scores(spark, sf_dir):
+    """Hourly burst detection per event type (operators/temporal.
+    burst_scores): count vs trailing-24h RANGE-frame baseline as an
+    integer micro ratio.  ratio is stringified on BOTH sides — it is
+    NULL when no baseline exists, and a nullable BIGINT would come back
+    from pandas as float NaN (CLAUDE.md)."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        burst_scores)
+    ev = _read(spark, sf_dir, "events")
+    epoch_s = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1e6)         .cast("long")
+    df = ev.select("event_type", epoch_s.alias("ts_s"))
+    return (burst_scores(df, ts_col="ts_s", key_cols=("event_type",),
+                         bucket=3600, trailing=24)
+            .select("event_type", "bucket_idx", "n", "trailing_n",
+                    F.col("ratio_micro").cast("string").alias("ratio_micro"))
+            .orderBy("event_type", "bucket_idx"))
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4428,6 +4446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_churn": _q_kg_churn,
         "entity_facts": _q_entity_facts,
         "table_facts": _q_table_facts,
+        "burst_scores": _q_burst_scores,
     }
 
 
@@ -5147,6 +5166,26 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT subj, pred, obj, rank,
                    (CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::INT AS hit
             FROM ranks ORDER BY subj, pred, obj
+        """,
+        "burst_scores": """
+            WITH counts AS (
+              SELECT event_type,
+                     (floor(epoch(ts))::BIGINT // 3600) AS bucket_idx,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2),
+            w AS (
+              SELECT event_type, bucket_idx, n,
+                     coalesce(sum(n) OVER (
+                       PARTITION BY event_type ORDER BY bucket_idx
+                       RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS trailing_n
+              FROM counts)
+            SELECT event_type, bucket_idx, n, trailing_n,
+                   CASE WHEN trailing_n > 0
+                        THEN ((n * 24 * 1000000) // trailing_n)::BIGINT
+                             ::VARCHAR
+                   END AS ratio_micro
+            FROM w ORDER BY event_type, bucket_idx
         """,
         "table_facts": """
             WITH pages AS (

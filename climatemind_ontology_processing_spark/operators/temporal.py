@@ -291,3 +291,41 @@ def coalesce_intervals(intervals: DataFrame, keys: tuple[str, ...] = (),
                  F.max("_e").alias(end_col),
                  F.count("*").alias("n_merged"))
             .drop("_island"))
+
+
+def burst_scores(events: DataFrame, ts_col: str = "ts",
+                 key_cols: tuple[str, ...] = ("event_type",),
+                 bucket: int = 3600, trailing: int = 24) -> DataFrame:
+    """Windowed burst detection (the Kleinberg-burst shape reduced to
+    window algebra): per key and time bucket, the event count against the
+    trailing ``trailing``-bucket history, as an integer micro ratio
+
+        ratio_micro = n * trailing * 10^6 DIV trailing_sum
+
+    (> 10^6 means above trailing average).  ``ts_col`` is an epoch-second
+    long.  The frame is a RANGE frame over the integer bucket index, so
+    EMPTY buckets correctly dilute the trailing average (a ROWS frame
+    would silently skip gaps and under-flag bursts after quiet periods).
+    Buckets with no trailing history (trailing_sum NULL or 0) are
+    emitted with a NULL ratio — a burst claim needs a baseline.
+
+    Scale: one map-side-combinable count per (key, bucket), then one
+    window partitioned by key over the BUCKET series (already aggregated
+    — window input is buckets, not events)."""
+    if bucket <= 0 or trailing <= 0:
+        raise ValueError("bucket and trailing must be positive")
+    b = F.floor(F.col(ts_col) / bucket).cast("long")
+    counts = (events.select(*key_cols, b.alias("bucket_idx"))
+              .groupBy(*key_cols, "bucket_idx")
+              .agg(F.count("*").alias("n")))
+    w = (Window.partitionBy(*[F.col(k) for k in key_cols])
+         .orderBy("bucket_idx").rangeBetween(-trailing, -1))
+    ts_sum = F.sum("n").over(w)
+    return (counts
+            .withColumn("trailing_n", F.coalesce(ts_sum, F.lit(0))
+                        .cast("long"))
+            .withColumn(
+                "ratio_micro",
+                F.when(F.col("trailing_n") > 0,
+                       F.expr(f"(n * {trailing} * 1000000L)"
+                              f" div trailing_n"))))

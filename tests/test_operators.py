@@ -1675,3 +1675,41 @@ def test_coalesce_intervals_negative_raises(spark):
     df = spark.createDataFrame([(10, 5)], "start long, end long")
     with pytest.raises(Exception, match="end < start"):
         coalesce_intervals(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# burst_scores — RANGE-frame windowed burst detection
+# ---------------------------------------------------------------------------
+def test_burst_scores_range_frame_counts_empty_buckets(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        burst_scores)
+    # key "a": 3 events in bucket 0, NOTHING in 1..3, burst of 6 in bucket 4
+    rows = [("a", i) for i in (10, 20, 30)] + [("a", 4 * 100 + j)
+                                               for j in range(6)]
+    df = spark.createDataFrame(rows, "event_type string, ts long")
+    got = {r.bucket_idx: (r.n, r.trailing_n, r.ratio_micro)
+           for r in burst_scores(df, bucket=100, trailing=4).collect()}
+    assert got[0] == (3, 0, None)          # no baseline
+    # trailing window covers buckets 0..3 = 3 events even though 1..3
+    # are EMPTY (RANGE semantics): ratio = 6*4*1e6 div 3 = 8e6
+    assert got[4] == (6, 3, 8_000_000)
+
+
+def test_burst_scores_rows_vs_range_distinction(spark):
+    """A long quiet gap must age history OUT of the trailing window —
+    the bug a ROWS frame would introduce."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        burst_scores)
+    rows = [("a", 5), ("a", 1000 * 100 + 5)]   # buckets 0 and 1000
+    df = spark.createDataFrame(rows, "event_type string, ts long")
+    got = {r.bucket_idx: r.ratio_micro
+           for r in burst_scores(df, bucket=100, trailing=4).collect()}
+    assert got[1000] is None                  # bucket 0 aged out
+
+
+def test_burst_scores_guard(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        burst_scores)
+    df = spark.createDataFrame([("a", 1)], "event_type string, ts long")
+    with pytest.raises(ValueError):
+        burst_scores(df, trailing=0)
