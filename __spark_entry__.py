@@ -1872,6 +1872,40 @@ def _q_burst_scores(spark, sf_dir):
             .orderBy("event_type", "bucket_idx"))
 
 
+def _q_temporal_reach(spark, sf_dir):
+    """Time-respecting reachability over the MONTHLY temporal trade graph
+    (operators/paths.earliest_arrival): edges (c_nation → s_nation) fire
+    in their order's month index, seeds are region-0 nations at t=0, and
+    arrival(v) = min final-edge month over non-decreasing-timestamp
+    paths — the temporal-BFS semantics a static BFS gets WRONG (an edge
+    firing before you arrive cannot carry you).  Oracle enumerates
+    (node, arrival) states in one recursive CTE with the same t >= arr
+    gate."""
+    from climatemind_ontology_processing_spark.operators.paths import (
+        earliest_arrival)
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    month_idx = ((F.year("o_orderdate") - 1995) * 12
+                 + F.month("o_orderdate") - 1).cast("long")
+    edges = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(li, li.l_orderkey == o.o_orderkey)
+             .join(s, li.l_suppkey == s.s_suppkey)
+             .select(c.c_nationkey.cast("int").alias("src"),
+                     s.s_nationkey.cast("int").alias("dst"),
+                     month_idx.alias("t"))
+             .filter((F.col("src") != F.col("dst"))
+                     & ((F.col("src") * 31 + F.col("dst")) % 7 == 0))
+             .distinct())
+    seeds = (_read(spark, sf_dir, "nation")
+             .filter(F.col("n_regionkey") == 0)
+             .select(F.col("n_nationkey").cast("int").alias("id"))
+             .distinct())
+    return (earliest_arrival(edges, seeds, ts="t", start=0)
+            .orderBy("id"))
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4447,6 +4481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_facts": _q_entity_facts,
         "table_facts": _q_table_facts,
         "burst_scores": _q_burst_scores,
+        "temporal_reach": _q_temporal_reach,
     }
 
 
@@ -5166,6 +5201,28 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT subj, pred, obj, rank,
                    (CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::INT AS hit
             FROM ranks ORDER BY subj, pred, obj
+        """,
+        "temporal_reach": """
+            WITH RECURSIVE e AS MATERIALIZED (
+              SELECT DISTINCT c.c_nationkey::INT AS src,
+                     s.s_nationkey::INT AS dst,
+                     ((year(o.o_orderdate) - 1995) * 12
+                      + month(o.o_orderdate) - 1)::BIGINT AS t
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              WHERE c.c_nationkey <> s.s_nationkey
+                AND (c.c_nationkey * 31 + s.s_nationkey) % 7 = 0),
+            seeds AS (SELECT DISTINCT n_nationkey::INT AS id FROM nation
+                      WHERE n_regionkey = 0),
+            reach(node, arr) AS (
+              SELECT id, 0::BIGINT FROM seeds
+              UNION
+              SELECT e.dst, e.t FROM reach r
+              JOIN e ON e.src = r.node AND e.t >= r.arr)
+            SELECT node AS id, min(arr)::BIGINT AS arrival
+            FROM reach GROUP BY node ORDER BY id
         """,
         "burst_scores": """
             WITH counts AS (

@@ -180,3 +180,61 @@ def landmark_estimate(dists: DataFrame, pairs: DataFrame,
            .groupBy(a_col, b_col)
            .agg(F.min(F.col("_da") + F.col("_db")).alias("est")))
     return pairs.join(est, [a_col, b_col], "left")
+
+
+def earliest_arrival(edges: DataFrame, seeds: DataFrame | list,
+                     src: str = "src", dst: str = "dst", ts: str = "ts",
+                     start: int = 0, max_rounds: int = 100) -> DataFrame:
+    """Time-respecting (temporal) reachability: (id, arrival) for every
+    node reachable from the seeds along paths whose edge timestamps are
+    NON-DECREASING — the temporal-graph analogue of BFS (an edge that
+    fires before you arrive at its source cannot carry you).
+
+    ``arrival(v)`` = minimum final-edge timestamp over all temporal paths
+    from any seed; seeds themselves report ``start`` (and may only leave
+    on edges with ``t >= start``).  Timestamps are epoch/index longs;
+    NULL timestamps RAISE (an unknown firing time cannot be ordered).
+
+    Same relaxation shape as :func:`shortest_paths` — per round one join
+    of the arrival table to edges with the ``t >= arrival`` predicate,
+    one map-side-combinable min, one keys-only change check; converges
+    within the temporal hop diameter, loud RuntimeError on cap.  Note
+    min-arrival relaxation is CORRECT for earliest arrival because a
+    smaller arrival never closes doors (t >= arr is monotone) — the same
+    argument that makes Bellman-Ford work for min-plus."""
+    checked_t = F.when(
+        F.col(ts).isNull(),
+        F.raise_error(F.concat(
+            F.lit("earliest_arrival: NULL timestamp on edge "),
+            F.col(src).cast("string"), F.lit("->"),
+            F.col(dst).cast("string")))).otherwise(F.col(ts).cast("long"))
+    e = _checkpoint(edges.select(F.col(src).alias("u"),
+                                 F.col(dst).alias("v"),
+                                 checked_t.alias("t"))
+                    .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+                    .distinct())
+    spark = edges.sparkSession
+    if isinstance(seeds, list):
+        t = e.schema["u"].dataType.simpleString()
+        seeds = spark.createDataFrame([(s,) for s in sorted(set(seeds))],
+                                      f"id {t}")
+    arr = _checkpoint(seeds.select(
+        "id", F.lit(start).cast("long").alias("arrival")))
+    for _ in range(max_rounds):
+        relaxed = (e.join(arr.withColumnRenamed("id", "u"), "u")
+                   .filter(F.col("t") >= F.col("arrival"))
+                   .select(F.col("v").alias("id"),
+                           F.col("t").alias("arrival")))
+        new = _checkpoint(arr.unionByName(relaxed)
+                          .groupBy("id").agg(F.min("arrival")
+                                             .alias("arrival")))
+        changed = (new.join(arr.withColumnRenamed("arrival", "old"),
+                            "id", "left")
+                   .filter(F.col("old").isNull()
+                           | (F.col("arrival") != F.col("old"))))
+        if changed.isEmpty():
+            return new
+        arr = new
+    raise RuntimeError(
+        f"earliest_arrival did not converge within max_rounds="
+        f"{max_rounds} — the temporal hop diameter exceeds the cap")

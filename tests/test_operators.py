@@ -1713,3 +1713,53 @@ def test_burst_scores_guard(spark):
     df = spark.createDataFrame([("a", 1)], "event_type string, ts long")
     with pytest.raises(ValueError):
         burst_scores(df, trailing=0)
+
+
+# ---------------------------------------------------------------------------
+# earliest_arrival — time-respecting reachability
+# ---------------------------------------------------------------------------
+def test_earliest_arrival_respects_time_order(spark):
+    from climatemind_ontology_processing_spark.operators.paths import (
+        earliest_arrival)
+    # a->b fires at 5; b->c at 3 (BEFORE arrival at b: unusable) and at 9
+    edges = [("a", "b", 5), ("b", "c", 3), ("b", "c", 9), ("c", "d", 9),
+             ("x", "a", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, ts long")
+    got = {r.id: r.arrival for r in earliest_arrival(df, ["a"]).collect()}
+    # c reachable only via the t=9 firing; d via c needs t>=9: edge at 9 ok
+    assert got == {"a": 0, "b": 5, "c": 9, "d": 9}
+    # static BFS would also claim x unreachable from a (no edge a->x)
+    assert "x" not in got
+
+
+def test_earliest_arrival_brute_force_parity(spark):
+    """Enumerate all temporal paths in python; compare min arrival."""
+    from climatemind_ontology_processing_spark.operators.paths import (
+        earliest_arrival)
+    edges = [((i * 3) % 7, (i * 5 + 1) % 7, (i * 11) % 13)
+             for i in range(25)]
+    df = spark.createDataFrame(edges, "src int, dst int, ts long")
+    best = {0: 0}
+    frontier = True
+    while frontier:
+        frontier = False
+        for u, v, t in sorted(set(edges)):
+            if u in best and t >= best[u] and t < best.get(v, 1 << 60):
+                best[v] = t
+                frontier = True
+    got = {r.id: r.arrival for r in earliest_arrival(df, [0]).collect()}
+    assert got == best
+
+
+def test_earliest_arrival_start_gate_and_null_ts(spark):
+    from climatemind_ontology_processing_spark.operators.paths import (
+        earliest_arrival)
+    df = spark.createDataFrame([("a", "b", 5)], "src string, dst string, ts long")
+    # start=6: the t=5 edge fired before the seed existed
+    got = {r.id: r.arrival
+           for r in earliest_arrival(df, ["a"], start=6).collect()}
+    assert got == {"a": 6}
+    bad = spark.createDataFrame([("a", "b", None)],
+                                "src string, dst string, ts long")
+    with pytest.raises(Exception, match="NULL timestamp"):
+        earliest_arrival(bad, ["a"]).collect()
