@@ -1906,6 +1906,22 @@ def _q_temporal_reach(spark, sf_dir):
             .orderBy("id"))
 
 
+def _q_price_quantiles(spark, sf_dir):
+    """Exact distributed quantiles of lineitem extended price in cents
+    (operators/quantiles.exact_quantiles): value census + SNM-style
+    two-phase cumulative rank (no global-sort window), type-1 selection
+    at integer-micro targets.  Cents via floor(price*100) — the IEEE
+    product is identical across engines."""
+    from climatemind_ontology_processing_spark.operators.quantiles import (
+        exact_quantiles)
+    li = _read(spark, sf_dir, "lineitem")
+    cents = li.select(F.floor(F.col("l_extendedprice") * 100)
+                      .cast("long").alias("cents"))
+    return (exact_quantiles(cents, "cents",
+                            (0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
+            .orderBy("q_micro"))
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4482,6 +4498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_facts": _q_table_facts,
         "burst_scores": _q_burst_scores,
         "temporal_reach": _q_temporal_reach,
+        "price_quantiles": _q_price_quantiles,
     }
 
 
@@ -5201,6 +5218,30 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT subj, pred, obj, rank,
                    (CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::INT AS hit
             FROM ranks ORDER BY subj, pred, obj
+        """,
+        "price_quantiles": """
+            WITH v AS (SELECT floor(l_extendedprice * 100)::BIGINT AS c
+                       FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            census AS (SELECT c, count(*)::BIGINT AS cnt FROM v GROUP BY c),
+            cum AS (
+              SELECT c, cnt,
+                     sum(cnt) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM census),
+            n AS (SELECT sum(cnt)::BIGINT AS n FROM census),
+            qs AS (SELECT unnest([10000, 250000, 500000, 750000,
+                                  900000, 990000, 1000000]) AS q_micro),
+            targets AS (
+              SELECT q_micro, n.n,
+                     (q_micro * n.n + 999999) // 1000000 AS target_rank
+              FROM qs CROSS JOIN n)
+            SELECT t.q_micro, c.c AS value,
+                   t.target_rank::BIGINT AS target_rank, t.n
+            FROM cum c CROSS JOIN targets t
+            WHERE c.cum >= t.target_rank
+              AND c.cum - c.cnt < t.target_rank
+            ORDER BY t.q_micro
         """,
         "temporal_reach": """
             WITH RECURSIVE e AS MATERIALIZED (
