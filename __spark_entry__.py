@@ -2539,6 +2539,73 @@ def _q_entity_facts(spark, sf_dir):
             .orderBy("subj", "rank"))
 
 
+def _q_greedy_matching(spark, sf_dir):
+    """Greedy maximal matching on the sparse undirected trade subgraph
+    with md5_60 weights (operators/mst.greedy_matching): parallel
+    locally-dominant rounds == sequential greedy by (w, lo, hi) — the
+    1:1 assignment stage after pairwise entity-similarity scoring.
+    Oracle unrolls 12 locally-dominant rounds (covering-unroll contract,
+    jp_coloring precedent: the sf0.01 graph quiesces in far fewer)."""
+    from climatemind_ontology_processing_spark.operators.mst import (
+        greedy_matching)
+    edges = (_trade_edges(spark, sf_dir)
+             .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0)
+             .select(F.least("src", "dst").alias("lo"),
+                     F.greatest("src", "dst").alias("hi"))
+             .filter(F.col("lo") != F.col("hi")).distinct())
+    weighted = edges.select(
+        "lo", "hi",
+        F.conv(F.substring(F.md5(F.concat_ws("|", "lo", "hi")), 1, 15),
+               16, 10).cast("long").alias("weight"))
+    return (greedy_matching(weighted, src="lo", dst="hi")
+            .select(F.col("lo").cast("int").alias("lo"),
+                    F.col("hi").cast("int").alias("hi"), "weight")
+            .orderBy("lo", "hi"))
+
+
+def _matching_sql(rounds: int = 12) -> str:
+    steps = []
+    doms = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+        inc{i} AS (SELECT lo AS n, w, lo, hi FROM {prev}
+                   UNION ALL SELECT hi, w, lo, hi FROM {prev}),
+        nm{i} AS (SELECT n, w, lo, hi FROM (
+                    SELECT n, w, lo, hi, row_number() OVER (
+                      PARTITION BY n ORDER BY w, lo, hi) AS rn
+                    FROM inc{i}) WHERE rn = 1),
+        dom{i} AS MATERIALIZED (
+          SELECT e.lo, e.hi, e.w FROM {prev} e
+          JOIN nm{i} a ON a.n = e.lo AND a.lo = e.lo AND a.hi = e.hi
+          JOIN nm{i} b ON b.n = e.hi AND b.lo = e.lo AND b.hi = e.hi),
+        used{i} AS (SELECT lo AS n FROM dom{i}
+                    UNION SELECT hi FROM dom{i}),
+        e{i} AS MATERIALIZED (
+          SELECT * FROM {prev}
+          WHERE lo NOT IN (SELECT n FROM used{i})
+            AND hi NOT IN (SELECT n FROM used{i}))""")
+        doms.append(f"SELECT lo, hi, w FROM dom{i}")
+        prev = f"e{i}"
+    return f"""
+        WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+        sparse AS (SELECT src, dst FROM all_edges
+                   WHERE (src * 31 + dst) % 7 = 0),
+        ec AS (SELECT DISTINCT least(src, dst) AS lo,
+                      greatest(src, dst) AS hi
+               FROM sparse WHERE least(src, dst) <> greatest(src, dst)),
+        e0 AS MATERIALIZED (
+          SELECT lo, hi,
+                 ('0x' || substring(md5(lo || '|' || hi), 1, 15))::BIGINT
+                   AS w
+          FROM ec),
+        {",".join(steps)}
+        SELECT lo::INT AS lo, hi::INT AS hi, w AS weight
+        FROM ({" UNION ALL ".join(doms)})
+        ORDER BY lo, hi
+    """
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -4499,6 +4566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_scores": _q_burst_scores,
         "temporal_reach": _q_temporal_reach,
         "price_quantiles": _q_price_quantiles,
+        "greedy_matching": _q_greedy_matching,
     }
 
 
@@ -5219,6 +5287,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::INT AS hit
             FROM ranks ORDER BY subj, pred, obj
         """,
+        "greedy_matching": _matching_sql(),
         "price_quantiles": """
             WITH v AS (SELECT floor(l_extendedprice * 100)::BIGINT AS c
                        FROM lineitem WHERE l_extendedprice IS NOT NULL),

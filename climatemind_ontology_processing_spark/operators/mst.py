@@ -105,3 +105,70 @@ def boruvka_msf(edges: DataFrame, src: str = "src", dst: str = "dst",
         f"boruvka_msf: {max_rounds} rounds exhausted before quiescence — "
         "raise max_rounds (components halve per round, so this indicates "
         "a bug or a graph beyond 2^max_rounds nodes)")
+
+
+def greedy_matching(edges: DataFrame, src: str = "src", dst: str = "dst",
+                    weight: str = "weight",
+                    max_rounds: int = 60) -> DataFrame:
+    """Greedy maximal matching by ascending (weight, lo, hi): one row
+    (lo, hi, weight) per matched edge, no two sharing a node — the 1:1
+    assignment primitive entity resolution needs on top of pairwise
+    similarity scores (each record marries at most one counterpart;
+    ascending = weight-as-cost; negate scores for weight-as-similarity).
+
+    Parallel LOCALLY-DOMINANT rounds (Preis 1999 / Manne–Bisseling): an
+    edge matches when it is the minimum incident edge of BOTH its
+    endpoints under the total order; matched nodes' edges retire, repeat.
+    Locally-dominant selection produces EXACTLY the sequential greedy
+    matching (at every greedy step the globally-next edge is locally
+    dominant, and locally-dominant picks never conflict with it) — pinned
+    against a sequential replica in pytest and by the unrolled-round
+    oracle.  Expected O(log E) rounds under hashed weights; loud
+    RuntimeError on cap — a truncated matching would silently violate
+    maximality.
+
+    Each round: one keys-only per-node min aggregate + two broadcast-or-
+    shuffle joins + anti-join retirement.  Parallel multi-edges collapse
+    to their min weight first; self-loops drop."""
+    checked_w = F.when(
+        F.col(weight).isNull(),
+        F.raise_error(F.concat(
+            F.lit("greedy_matching: NULL weight on edge "),
+            F.col(src).cast("string"), F.lit("-"),
+            F.col(dst).cast("string")))).otherwise(F.col(weight))
+    alive = (edges.select(F.least(src, dst).alias("lo"),
+                          F.greatest(src, dst).alias("hi"),
+                          checked_w.alias("w"))
+             .filter(F.col("lo") != F.col("hi"))
+             .groupBy("lo", "hi").agg(F.min("w").alias("w"))
+             .localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    matched = spark.createDataFrame([], alive.schema)
+    key = F.struct(F.col("w"), F.col("lo"), F.col("hi"))
+    for _ in range(max_rounds):
+        if alive.isEmpty():
+            return matched.select("lo", "hi", F.col("w").alias(weight))
+        inc = (alive.select(F.col("lo").alias("_n"), key.alias("_k"))
+               .unionByName(
+                   alive.select(F.col("hi").alias("_n"), key.alias("_k"))))
+        nodemin = inc.groupBy("_n").agg(F.min("_k").alias("_mk"))
+        dom = (alive
+               .join(nodemin.select(F.col("_n").alias("lo"),
+                                    F.col("_mk").alias("_ml")), "lo")
+               .join(nodemin.select(F.col("_n").alias("hi"),
+                                    F.col("_mk").alias("_mh")), "hi")
+               .filter((key == F.col("_ml")) & (key == F.col("_mh")))
+               .select("lo", "hi", "w")
+               .localCheckpoint(eager=True))
+        matched = matched.unionByName(dom).localCheckpoint(eager=True)
+        used = (dom.select(F.col("lo").alias("_n"))
+                .unionByName(dom.select(F.col("hi").alias("_n"))))
+        alive = (alive
+                 .join(used.withColumnRenamed("_n", "lo"), "lo",
+                       "left_anti")
+                 .join(used.withColumnRenamed("_n", "hi"), "hi",
+                       "left_anti")
+                 .localCheckpoint(eager=True))
+    raise RuntimeError(
+        f"greedy_matching: {max_rounds} rounds exhausted before the edge "
+        "set quiesced — raise max_rounds")

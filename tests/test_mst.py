@@ -89,3 +89,57 @@ def test_boruvka_single_linkage_clusters(spark):
     got = sorted((r.weight, r.lo, r.hi) for r in boruvka_msf(df).collect())
     assert len(got) == 7            # 3 + 3 tree edges + bridge
     assert got[-1] == (1000, 3, 10)
+
+
+# ---------------------------------------------------------------------------
+# greedy_matching — locally-dominant == sequential greedy
+# ---------------------------------------------------------------------------
+def _greedy_matching_ref(edge_list):
+    best = {}
+    for u, v, w in edge_list:
+        if u == v:
+            continue
+        lo, hi = min(u, v), max(u, v)
+        if (lo, hi) not in best or best[(lo, hi)] > w:
+            best[(lo, hi)] = w
+    used, out = set(), set()
+    for (lo, hi), w in sorted(best.items(), key=lambda kv: (kv[1], kv[0])):
+        if lo not in used and hi not in used:
+            used.update((lo, hi))
+            out.add((lo, hi, w))
+    return out
+
+
+def test_greedy_matching_equals_sequential(spark):
+    from climatemind_ontology_processing_spark.operators.mst import (
+        greedy_matching)
+    edges = [((i * 7) % 30, (i * 13 + 3) % 30, (i * 31) % 97 + 1)
+             for i in range(90)]
+    df = spark.createDataFrame(edges, "src int, dst int, weight int")
+    got = {(r.lo, r.hi, r.weight) for r in greedy_matching(df).collect()}
+    assert got == _greedy_matching_ref(edges)
+
+
+def test_greedy_matching_is_a_maximal_matching(spark):
+    from climatemind_ontology_processing_spark.operators.mst import (
+        greedy_matching)
+    edges = [((i * 3) % 20, (i * 11 + 1) % 20, (i * 17) % 50 + 1)
+             for i in range(60)]
+    df = spark.createDataFrame(edges, "src int, dst int, weight int")
+    got = {(r.lo, r.hi) for r in greedy_matching(df).collect()}
+    used = [n for e in got for n in e]
+    assert len(used) == len(set(used))          # matching: disjoint nodes
+    # maximality: every alive edge touches a matched node
+    canon = {(min(u, v), max(u, v)) for u, v, _ in edges if u != v}
+    assert all(u in set(used) or v in set(used) for u, v in canon)
+
+
+def test_greedy_matching_cap_raises(spark):
+    from climatemind_ontology_processing_spark.operators.mst import (
+        greedy_matching)
+    # a 6-path with increasing weights matches one edge per round at the
+    # left end -> needs >1 round; cap at 1 must raise loudly
+    edges = [(i, i + 1, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "src int, dst int, weight int")
+    with pytest.raises(RuntimeError, match="rounds exhausted"):
+        greedy_matching(df, max_rounds=1)
