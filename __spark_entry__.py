@@ -1922,6 +1922,22 @@ def _q_price_quantiles(spark, sf_dir):
             .orderBy("q_micro"))
 
 
+def _q_funnel(spark, sf_dir):
+    """Per-user view→click→purchase funnel under earliest-completion
+    semantics (operators/temporal.funnel_steps): step i = min event time
+    of its type strictly after step i-1.  Oracle chains the same greedy
+    min-joins."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        funnel_steps)
+    ev = _read(spark, sf_dir, "events")
+    df = ev.select("user_id", "event_type",
+                   F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                           / 1e6).cast("long").alias("ts_s"))
+    return (funnel_steps(df, ("view", "click", "purchase"),
+                         ts_col="ts_s")
+            .orderBy("user_id"))
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4567,6 +4583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach": _q_temporal_reach,
         "price_quantiles": _q_price_quantiles,
         "greedy_matching": _q_greedy_matching,
+        "funnel": _q_funnel,
     }
 
 
@@ -5286,6 +5303,28 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT subj, pred, obj, rank,
                    (CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::INT AS hit
             FROM ranks ORDER BY subj, pred, obj
+        """,
+        "funnel": """
+            WITH ev AS (SELECT user_id AS k,
+                               floor(epoch(ts))::BIGINT AS t,
+                               event_type AS ty FROM events),
+            s1 AS (SELECT k, min(t) AS t1 FROM ev
+                   WHERE ty = 'view' GROUP BY k),
+            s2 AS (SELECT e.k, min(e.t) AS t2 FROM ev e
+                   JOIN s1 ON s1.k = e.k AND e.t > s1.t1
+                   WHERE e.ty = 'click' GROUP BY e.k),
+            s3 AS (SELECT e.k, min(e.t) AS t3 FROM ev e
+                   JOIN s2 ON s2.k = e.k AND e.t > s2.t2
+                   WHERE e.ty = 'purchase' GROUP BY e.k)
+            SELECT s1.k AS user_id,
+                   (CASE WHEN t3 IS NOT NULL THEN 3
+                         WHEN t2 IS NOT NULL THEN 2 ELSE 1 END)::INT
+                     AS n_steps,
+                   t1 AS t_first,
+                   coalesce(t3, t2, t1)::BIGINT AS t_last
+            FROM s1 LEFT JOIN s2 ON s2.k = s1.k
+                    LEFT JOIN s3 ON s3.k = s1.k
+            ORDER BY user_id
         """,
         "greedy_matching": _matching_sql(),
         "price_quantiles": """

@@ -329,3 +329,72 @@ def burst_scores(events: DataFrame, ts_col: str = "ts",
                 F.when(F.col("trailing_n") > 0,
                        F.expr(f"(n * {trailing} * 1000000L)"
                               f" div trailing_n"))))
+
+
+def funnel_steps(events: DataFrame, steps: tuple[str, ...],
+                 key_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type",
+                 window: int | None = None) -> DataFrame:
+    """Ordered funnel progress per key under EARLIEST-COMPLETION
+    semantics: step i's timestamp is the minimum event time of type
+    ``steps[i]`` STRICTLY AFTER step i-1's timestamp (the standard
+    greedy funnel — earliest completion maximizes conversion, so greedy
+    is optimal for "did the user convert").  Returns one row per key
+    that completed step 1: (key, n_steps, t_first, t_last), where
+    ``n_steps`` counts completed prefix steps and ``window`` (seconds,
+    optional) additionally requires t_last - t_first <= window —
+    enforced per PREFIX, so a user is credited with the longest prefix
+    finishing inside the window.
+
+    One aggregate per step (min over the candidate events joined to the
+    per-key previous-step time) — step count is pipeline depth, never
+    data volume; every aggregate is map-side combinable."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs >= 2 steps")
+    ev = events.select(F.col(key_col).alias("k"),
+                       F.col(ts_col).cast("long").alias("t"),
+                       F.col(type_col).alias("ty"))
+    cur = (ev.filter(F.col("ty") == steps[0])
+           .groupBy("k").agg(F.min("t").alias("t1"))
+           .select("k", "t1", F.col("t1").alias("t_last"),
+                   F.lit(1).alias("n_steps")))
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (ev.filter(F.col("ty") == step)
+               .join(cur.select("k", "t1", F.col("t_last").alias("_prev")),
+                     "k")
+               .filter(F.col("t") > F.col("_prev")))
+        if window is not None:
+            nxt = nxt.filter(F.col("t") - F.col("t1") <= window)
+        done = (nxt.groupBy("k")
+                .agg(F.min("t").alias("_t")) \
+                .select("k", F.col("_t").alias("t_last"),
+                        F.lit(i).alias("n_steps")))
+        cur = (cur.join(done.withColumnRenamed("t_last", "_nt")
+                        .withColumnRenamed("n_steps", "_ns"), "k", "left")
+               .select("k", "t1",
+                       F.coalesce("_nt", "t_last").alias("t_last"),
+                       F.coalesce("_ns", "n_steps").alias("n_steps")))
+    return cur.select(F.col("k").alias(key_col), "n_steps",
+                      F.col("t1").alias("t_first"), "t_last")
+
+
+def funnel_counts(events: DataFrame, steps: tuple[str, ...],
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  window: int | None = None) -> DataFrame:
+    """(step_idx, step, n_keys) — how many keys completed at least each
+    prefix of the funnel; the conversion report over
+    :func:`funnel_steps`."""
+    f = funnel_steps(events, steps, key_col, ts_col, type_col, window)
+    spark = events.sparkSession
+    idx = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string")
+    counts = (f.groupBy("n_steps").agg(F.count("*").alias("_n"))
+              .withColumnRenamed("n_steps", "step_idx"))
+    w = Window.orderBy(F.desc("step_idx")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (idx.join(counts, "step_idx", "left")
+            .withColumn("n_keys",
+                        F.sum(F.coalesce("_n", F.lit(0))).over(w))
+            .select("step_idx", "step", F.col("n_keys").cast("long")
+                    .alias("n_keys")))

@@ -1763,3 +1763,48 @@ def test_earliest_arrival_start_gate_and_null_ts(spark):
                                 "src string, dst string, ts long")
     with pytest.raises(Exception, match="NULL timestamp"):
         earliest_arrival(bad, ["a"]).collect()
+
+
+# ---------------------------------------------------------------------------
+# funnel_steps / funnel_counts — earliest-completion ordered funnels
+# ---------------------------------------------------------------------------
+def test_funnel_steps_earliest_completion(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        funnel_steps)
+    rows = [
+        ("u1", 10, "view"), ("u1", 20, "click"), ("u1", 30, "buy"),
+        # u2: click BEFORE the first view doesn't count; later click does
+        ("u2", 10, "click"), ("u2", 20, "view"), ("u2", 25, "click"),
+        # u3: view only
+        ("u3", 5, "view"),
+        # u4: never views -> not in output at all
+        ("u4", 1, "click"), ("u4", 2, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_type string")
+    got = {r.user_id: (r.n_steps, r.t_first, r.t_last)
+           for r in funnel_steps(df, ("view", "click", "buy"),
+                                 ).collect()}
+    assert got == {"u1": (3, 10, 30), "u2": (2, 20, 25), "u3": (1, 5, 5)}
+
+
+def test_funnel_window_bounds_prefix(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        funnel_steps)
+    rows = [("u", 0, "a"), ("u", 5, "b"), ("u", 100, "c")]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_type string")
+    got = {r.user_id: r.n_steps
+           for r in funnel_steps(df, ("a", "b", "c"), window=50).collect()}
+    assert got == {"u": 2}           # c lands outside the window
+    full = {r.user_id: r.n_steps
+            for r in funnel_steps(df, ("a", "b", "c")).collect()}
+    assert full == {"u": 3}
+
+
+def test_funnel_counts_monotone(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        funnel_counts)
+    rows = [("u1", 1, "a"), ("u1", 2, "b"), ("u2", 1, "a"), ("u3", 9, "b")]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_type string")
+    got = {r.step_idx: r.n_keys
+           for r in funnel_counts(df, ("a", "b")).collect()}
+    assert got == {1: 2, 2: 1}
