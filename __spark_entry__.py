@@ -2622,6 +2622,62 @@ def _matching_sql(rounds: int = 12) -> str:
     """
 
 
+def _q_lt_cascade(spark, sf_dir):
+    """Linear-threshold influence cascade on the directed sparse trade
+    graph (operators/graphstats.lt_cascade): md5_60-derived integer edge
+    weights, region-0 nations seeded at round 0, a node activates when
+    active in-weight reaches 50% of total in-weight.  Oracle unrolls 12
+    synchronous rounds of the identical BIGINT threshold test."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        lt_cascade)
+    edges = (_trade_edges(spark, sf_dir)
+             .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0)
+             .select("src", "dst",
+                     (F.pmod(F.conv(F.substring(
+                         F.md5(F.concat_ws("|", "src", "dst")), 1, 15),
+                         16, 10).cast("long"), F.lit(1000)) + 1)
+                     .alias("w")))
+    seeds = (_read(spark, sf_dir, "nation")
+             .filter(F.col("n_regionkey") == 0)
+             .select(F.col("n_nationkey").cast("int").alias("id")))
+    return (lt_cascade(edges, seeds, theta_micro=500_000)
+            .select(F.col("id").cast("int").alias("id"),
+                    F.col("round").cast("int").alias("round"))
+            .orderBy("id"))
+
+
+def _lt_sql(rounds: int = 12) -> str:
+    steps = []
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+        f{i} AS (
+          SELECT t.dst AS id, {i} AS rnd
+          FROM (SELECT e.dst, sum(e.w) AS aw FROM e
+                JOIN {prev} a ON a.id = e.src GROUP BY e.dst) t
+          JOIN tot ON tot.dst = t.dst
+          WHERE t.aw * 1000000 >= 500000 * tot.tw
+            AND t.dst NOT IN (SELECT id FROM {prev})),
+        a{i} AS MATERIALIZED (
+          SELECT * FROM {prev} UNION ALL SELECT * FROM f{i})""")
+        prev = f"a{i}"
+    return f"""
+        WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+        sparse AS (SELECT src, dst FROM all_edges
+                   WHERE (src * 31 + dst) % 7 = 0),
+        e AS MATERIALIZED (
+          SELECT src, dst,
+                 ('0x' || substring(md5(src || '|' || dst), 1, 15))::BIGINT
+                   % 1000 + 1 AS w
+          FROM sparse),
+        tot AS (SELECT dst, sum(w) AS tw FROM e GROUP BY dst),
+        a0 AS (SELECT DISTINCT n_nationkey::INT AS id, 0 AS rnd
+               FROM nation WHERE n_regionkey = 0),
+        {",".join(steps)}
+        SELECT id, rnd::INT AS round FROM {prev} ORDER BY id
+    """
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -4584,6 +4640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles": _q_price_quantiles,
         "greedy_matching": _q_greedy_matching,
         "funnel": _q_funnel,
+        "lt_cascade": _q_lt_cascade,
     }
 
 
@@ -5326,6 +5383,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                     LEFT JOIN s3 ON s3.k = s1.k
             ORDER BY user_id
         """,
+        "lt_cascade": _lt_sql(),
         "greedy_matching": _matching_sql(),
         "price_quantiles": """
             WITH v AS (SELECT floor(l_extendedprice * 100)::BIGINT AS c

@@ -851,3 +851,53 @@ def quotient_graph(edges: DataFrame, labels: DataFrame, src: str = "src",
     return (e.groupBy("g_src", "g_dst")
             .agg(F.count("*").alias("n_edges"),
                  F.countDistinct(src, dst).alias("n_pairs")))
+
+
+def lt_cascade(edges: DataFrame, seeds: DataFrame, src: str = "src",
+               dst: str = "dst", weight: str = "w",
+               theta_micro: int = 500_000,
+               max_rounds: int = 100) -> DataFrame:
+    """Deterministic linear-threshold cascade (the LT influence model of
+    Kempe-Kleinberg-Tardos with a FIXED per-node threshold): a node
+    activates when its active in-neighbors carry at least
+    ``theta_micro``/10^6 of its total in-weight —
+
+        activate(v) iff sum_active_w(v) * 10^6 >= theta_micro * total_w(v)
+
+    — all BIGINT, engine-exact.  Returns (id, round): seeds at round 0,
+    then the synchronous round each node first crosses its threshold.
+    Monotone, so it converges in <= V rounds; RAISES loudly if
+    ``max_rounds`` is exhausted while still activating (a truncated
+    cascade undercounts influence invisibly).
+
+    Per round: one join of edges to the (still small) newly-active set,
+    one map-side-combinable sum per target, one threshold filter, one
+    anti-join against already-active — the Pregel aggregate-neighbors
+    shape.  Nodes with zero in-weight never activate (no division
+    anywhere)."""
+    if not (0 < theta_micro <= 10 ** 6):
+        raise ValueError("theta_micro must be in (0, 10^6]")
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                      F.col(weight).cast("long").alias("w"))
+         .filter(F.col("u") != F.col("v"))
+         .localCheckpoint(eager=True))
+    if not e.filter(F.col("w").isNull() | (F.col("w") <= 0)).isEmpty():
+        raise ValueError("lt_cascade requires positive integral weights")
+    tot = e.groupBy("v").agg(F.sum("w").alias("tw"))
+    active = seeds.select(F.col("id"), F.lit(0).alias("round")) \
+        .distinct().localCheckpoint(eager=True)
+    for rnd in range(1, max_rounds + 1):
+        aw = (e.join(active.select(F.col("id").alias("u")), "u")
+              .groupBy("v").agg(F.sum("w").alias("aw")))
+        fresh = (aw.join(tot, "v")
+                 .filter(F.col("aw") * 10 ** 6
+                         >= F.lit(theta_micro) * F.col("tw"))
+                 .select(F.col("v").alias("id"))
+                 .join(active.select("id"), "id", "left_anti")
+                 .select("id", F.lit(rnd).alias("round")))
+        if fresh.isEmpty():
+            return active
+        active = active.unionByName(fresh).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"lt_cascade still activating after max_rounds={max_rounds} — "
+        "raise the cap (monotone cascades need at most |V| rounds)")

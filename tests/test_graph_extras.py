@@ -587,3 +587,69 @@ def test_quotient_graph_unlabeled_node_raises(spark):
     labels = spark.createDataFrame([(1, "A")], "id int, label string")
     with pytest.raises(Exception, match="unlabeled node"):
         quotient_graph(edges, labels).collect()
+
+
+# ---------------------------------------------------------------------------
+# lt_cascade — deterministic linear-threshold influence spread
+# ---------------------------------------------------------------------------
+def _lt_replica(edges, seeds, theta_micro):
+    from collections import defaultdict
+    tot = defaultdict(int)
+    for u, v, w in edges:
+        if u != v:
+            tot[v] += w
+    active = {s: 0 for s in seeds}
+    rnd = 0
+    while True:
+        rnd += 1
+        aw = defaultdict(int)
+        for u, v, w in edges:
+            if u != v and u in active:
+                aw[v] += w
+        fresh = [v for v, a in aw.items()
+                 if v not in active and a * 10 ** 6 >= theta_micro * tot[v]]
+        if not fresh:
+            return active
+        for v in fresh:
+            active[v] = rnd
+
+
+def test_lt_cascade_matches_replica(spark):
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        lt_cascade)
+    edges = [((i * 3) % 12, (i * 7 + 1) % 12, (i * 13) % 50 + 1)
+             for i in range(40)]
+    seeds = [0, 1]
+    edf = spark.createDataFrame(edges, "src int, dst int, w int")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id int")
+    got = {r.id: r.round for r in lt_cascade(edf, sdf).collect()}
+    assert got == _lt_replica(set(edges), seeds, 500_000)
+
+
+def test_lt_cascade_chain_rounds_and_threshold(spark):
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        lt_cascade)
+    # chain 0->1->2->3 with single in-edges: full cascade, one hop/round
+    edges = [(0, 1, 10), (1, 2, 10), (2, 3, 10), (9, 2, 30)]
+    edf = spark.createDataFrame(edges, "src int, dst int, w int")
+    sdf = spark.createDataFrame([(0,)], "id int")
+    got = {r.id: r.round for r in lt_cascade(edf, sdf).collect()}
+    # node 2's total in-weight is 40; active weight from 1 is only 10
+    # -> 25% < 50% threshold: cascade stops at node 1
+    assert got == {0: 0, 1: 1}
+    low = {r.id: r.round
+           for r in lt_cascade(edf, sdf, theta_micro=250_000).collect()}
+    assert low == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_lt_cascade_guards(spark):
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        lt_cascade)
+    edf = spark.createDataFrame([(0, 1, 0)], "src int, dst int, w int")
+    sdf = spark.createDataFrame([(0,)], "id int")
+    with pytest.raises(ValueError, match="positive integral"):
+        lt_cascade(edf, sdf)
+    edf2 = spark.createDataFrame([(0, 1, 5), (1, 2, 5)],
+                                 "src int, dst int, w int")
+    with pytest.raises(RuntimeError, match="still activating"):
+        lt_cascade(edf2, sdf, max_rounds=1)
