@@ -1938,6 +1938,21 @@ def _q_funnel(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def _q_event_transitions(spark, sf_dir):
+    """First-order Markov transition census over per-user event
+    sequences (operators/temporal.event_transitions), event_id as the
+    equal-timestamp tiebreak; probabilities as truncating micro ints."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        event_transitions)
+    ev = _read(spark, sf_dir, "events")
+    df = ev.select("user_id", "event_id", "event_type",
+                   F.unix_micros(F.col("ts").cast("timestamp"))
+                   .alias("ts_us"))
+    return (event_transitions(df, ts_col="ts_us",
+                              tiebreak_col="event_id")
+            .orderBy("prev_type", "next_type"))
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4641,6 +4656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_matching": _q_greedy_matching,
         "funnel": _q_funnel,
         "lt_cascade": _q_lt_cascade,
+        "event_transitions": _q_event_transitions,
     }
 
 
@@ -5382,6 +5398,22 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM s1 LEFT JOIN s2 ON s2.k = s1.k
                     LEFT JOIN s3 ON s3.k = s1.k
             ORDER BY user_id
+        """,
+        "event_transitions": """
+            WITH seq AS (
+              SELECT event_type AS next_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id, event_type)
+                       AS prev_type
+              FROM events),
+            pairs AS (
+              SELECT prev_type, next_type, count(*)::BIGINT AS n
+              FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+            SELECT prev_type, next_type, n,
+                   ((n * 1000000) // sum(n) OVER (PARTITION BY prev_type))
+                     ::BIGINT AS p_micro
+            FROM pairs ORDER BY prev_type, next_type
         """,
         "lt_cascade": _lt_sql(),
         "greedy_matching": _matching_sql(),

@@ -398,3 +398,33 @@ def funnel_counts(events: DataFrame, steps: tuple[str, ...],
                         F.sum(F.coalesce("_n", F.lit(0))).over(w))
             .select("step_idx", "step", F.col("n_keys").cast("long")
                     .alias("n_keys")))
+
+
+def event_transitions(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      tiebreak_col: str | None = None) -> DataFrame:
+    """First-order Markov transition census over per-key event sequences:
+    (prev_type, next_type, n, p_micro) where ``p_micro`` = n * 10^6 DIV
+    out-degree of prev_type (truncating — engine-exact).  Ordering within
+    a key is (ts, tiebreak, type); pass a unique ``tiebreak_col`` (e.g.
+    the event id) whenever timestamps can collide, otherwise equal-ts
+    pairs would order nondeterministically.
+
+    One lag window per key (skew bounded by the busiest key) + one
+    map-side-combinable count; the probability divisor rides the row via
+    a window sum over the pair census (transition-type-sized, tiny)."""
+    order_cols = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order_cols.append(F.col(tiebreak_col))
+    order_cols.append(F.col(type_col))
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    seq = events.select(F.col(type_col).alias("next_type"),
+                        F.lag(type_col).over(w).alias("prev_type"))
+    pairs = (seq.filter(F.col("prev_type").isNotNull())
+             .groupBy("prev_type", "next_type")
+             .agg(F.count("*").alias("n")))
+    out = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type", "next_type", "n",
+        F.expr("(n * 1000000) div (sum(n) over "
+               "(partition by prev_type))").alias("p_micro"))

@@ -1808,3 +1808,34 @@ def test_funnel_counts_monotone(spark):
     got = {r.step_idx: r.n_keys
            for r in funnel_counts(df, ("a", "b")).collect()}
     assert got == {1: 2, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# event_transitions — first-order Markov census
+# ---------------------------------------------------------------------------
+def test_event_transitions_counts_and_probs(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        event_transitions)
+    rows = [("u", 1, "a"), ("u", 2, "b"), ("u", 3, "a"), ("u", 4, "c"),
+            ("v", 1, "a"), ("v", 2, "b")]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_type string")
+    got = {(r.prev_type, r.next_type): (r.n, r.p_micro)
+           for r in event_transitions(df).collect()}
+    # a -> b twice, a -> c once; b -> a once
+    assert got[("a", "b")] == (2, 666666)
+    assert got[("a", "c")] == (1, 333333)
+    assert got[("b", "a")] == (1, 1000000)
+    # no cross-user pair (v's 'b' never precedes u's events)
+    assert ("b", "b") not in got
+
+
+def test_event_transitions_tiebreak_determinism(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        event_transitions)
+    rows = [("u", 1, 1, "x"), ("u", 5, 2, "b"), ("u", 5, 3, "a")]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts long, event_id long, event_type string")
+    got = {(r.prev_type, r.next_type)
+           for r in event_transitions(df, tiebreak_col="event_id").collect()}
+    # event_id order at equal ts: x -> b -> a
+    assert got == {("x", "b"), ("b", "a")}
