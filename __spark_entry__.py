@@ -1953,6 +1953,26 @@ def _q_event_transitions(spark, sf_dir):
             .orderBy("prev_type", "next_type"))
 
 
+def _q_fingerprint_clusters(spark, sf_dir):
+    """Key-collision canonicalization (operators/canonicalize.
+    fingerprint_clusters, the OpenRefine fingerprint): part names plus a
+    deterministic word-reversed UPPERCASED twin of every part must pair
+    up cluster-by-cluster — token sort + dedup + punctuation fold is the
+    whole normalizer, all JVM expression."""
+    from climatemind_ontology_processing_spark.operators.canonicalize import (
+        fingerprint_clusters)
+    p = _read(spark, sf_dir, "part")
+    orig = p.select(F.col("p_partkey").cast("long").alias("id"),
+                    F.col("p_name").alias("name"))
+    twin = p.select((F.col("p_partkey") + 10_000_000).cast("long")
+                    .alias("id"),
+                    F.upper(F.array_join(
+                        F.reverse(F.split("p_name", " ")), " "))
+                    .alias("name"))
+    return (fingerprint_clusters(orig.unionByName(twin), "name")
+            .orderBy("fp", "id"))
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4657,6 +4677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "lt_cascade": _q_lt_cascade,
         "event_transitions": _q_event_transitions,
+        "fingerprint_clusters": _q_fingerprint_clusters,
     }
 
 
@@ -5398,6 +5419,28 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM s1 LEFT JOIN s2 ON s2.k = s1.k
                     LEFT JOIN s3 ON s3.k = s1.k
             ORDER BY user_id
+        """,
+        "fingerprint_clusters": """
+            WITH recs AS (
+              SELECT p_partkey::BIGINT AS id, p_name AS name FROM part
+              UNION ALL
+              SELECT p_partkey + 10000000,
+                     upper(array_to_string(
+                       list_reverse(string_split(p_name, ' ')), ' '))
+              FROM part),
+            keyed AS (
+              SELECT id,
+                     array_to_string(list_sort(list_distinct(list_filter(
+                       string_split_regex(trim(regexp_replace(
+                         lower(trim(name)), '[^\p{L}\p{N}]+', ' ', 'g')),
+                         '\s+'), x -> x <> ''))), ' ') AS fp
+              FROM recs),
+            stats AS (
+              SELECT fp, count(*)::BIGINT AS n_ids, min(id) AS rep
+              FROM keyed GROUP BY fp HAVING count(*) >= 2)
+            SELECT k.fp, k.id, s.n_ids, s.rep
+            FROM keyed k JOIN stats s USING (fp)
+            ORDER BY k.fp, k.id
         """,
         "event_transitions": """
             WITH seq AS (

@@ -183,3 +183,38 @@ def merge_components(labels: DataFrame, new_edges: DataFrame,
     return (merged.join(F.broadcast(lmap), "component", "left")
             .select("id",
                     F.coalesce("_new", "component").alias("component")))
+
+
+def fingerprint_key(col, lowercase: bool = True):
+    """OpenRefine-style key-collision fingerprint as a Column: trim,
+    lowercase, strip punctuation to spaces, tokenize on whitespace,
+    DEDUP + SORT tokens, rejoin — the standard first-pass string
+    canonicalizer ('Smith, John' == 'john SMITH').  Pure JVM expression,
+    usable inside any projection."""
+    c = F.trim(col.cast("string"))
+    if lowercase:
+        c = F.lower(c)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}]+", " ")
+    toks = F.array_sort(F.array_distinct(
+        F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")))
+    return F.array_join(toks, " ")
+
+
+def fingerprint_clusters(records: DataFrame, text_col: str,
+                         id_col: str = "id",
+                         min_cluster: int = 2) -> DataFrame:
+    """Key-collision clustering over ``fingerprint_key``: (fingerprint,
+    id, n_ids, rep) for every record whose fingerprint is shared by at
+    least ``min_cluster`` records; ``rep`` = the cluster's minimum id —
+    the merge candidate list an entity-canonicalization pass reviews.
+    One map-side projection + one keys-only aggregate + a semi-join —
+    never pairwise."""
+    if min_cluster < 2:
+        raise ValueError("min_cluster must be >= 2")
+    keyed = records.select(F.col(id_col).alias("id"),
+                           fingerprint_key(F.col(text_col)).alias("fp"))
+    stats = (keyed.groupBy("fp")
+             .agg(F.count("*").alias("n_ids"), F.min("id").alias("rep"))
+             .filter(F.col("n_ids") >= min_cluster))
+    return (keyed.join(stats, "fp")
+            .select("fp", "id", "n_ids", "rep"))

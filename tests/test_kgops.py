@@ -55,3 +55,31 @@ def test_entity_fact_ranking_deterministic_ties(spark):
 def test_entity_fact_ranking_k_guard(spark):
     with pytest.raises(ValueError):
         entity_fact_ranking(_t(spark, [("a", "p", "x")]), top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# fingerprint canonicalization
+# ---------------------------------------------------------------------------
+def test_fingerprint_key_normalization(spark):
+    from pyspark.sql import functions as F
+    from climatemind_ontology_processing_spark.operators.canonicalize import (
+        fingerprint_key)
+    rows = [("Smith, John",), ("john SMITH!",), ("john  smith smith",),
+            ("Jane Doe",)]
+    df = spark.createDataFrame(rows, "name string")
+    got = [r.fp for r in df.select(
+        fingerprint_key(F.col("name")).alias("fp")).collect()]
+    assert got[0] == got[1] == got[2] == "john smith"
+    assert got[3] == "doe jane"
+
+
+def test_fingerprint_clusters_min_size_and_rep(spark):
+    from climatemind_ontology_processing_spark.operators.canonicalize import (
+        fingerprint_clusters)
+    rows = [(1, "Acme Corp"), (2, "corp ACME"), (3, "acme corp."),
+            (4, "Unique Name")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {r.id: (r.fp, r.n_ids, r.rep)
+           for r in fingerprint_clusters(df, "name").collect()}
+    assert set(got) == {1, 2, 3}
+    assert all(v == ("acme corp", 3, 1) for v in got.values())
