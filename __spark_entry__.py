@@ -1973,6 +1973,54 @@ def _q_fingerprint_clusters(spark, sf_dir):
             .orderBy("fp", "id"))
 
 
+def _q_web_kg(spark, sf_dir):
+    """Integrated multi-extractor KG construction: one synthetic page per
+    part carries BOTH a JSON-LD Product block and an HTML spec table
+    whose name cell deliberately disagrees (uppercased) on every third
+    part.  The composition runs operators/structured.jsonld_facts AND
+    html_table_facts over the SAME pages, unions the evidence with
+    provenance, and resolves per (subj, pred) by source priority
+    (jsonld < table lexicographically — min_by, structured markup wins),
+    reporting the surviving object, evidence count, and a conflict flag.
+    This is the end-to-end shape of the engine: extract → union with
+    provenance → resolve → publish."""
+    from climatemind_ontology_processing_spark.operators.structured import (
+        html_table_facts, jsonld_facts)
+    p = _read(spark, sf_dir, "part")
+    table_name = F.when(F.col("p_partkey") % 3 == 0,
+                        F.upper(F.col("p_name"))).otherwise(F.col("p_name"))
+    html = F.concat(
+        F.lit('<html><body><script type="application/ld+json">'
+              '{"@type":"Product","name":"'), F.col("p_name"),
+        F.lit('","brand":"'), F.col("p_brand"),
+        F.lit('"}</script>'
+              "<table><tr><th>name</th><th>size</th></tr><tr><td>"),
+        table_name,
+        F.lit("</td><td>"), F.col("p_size").cast("string"),
+        F.lit("</td></tr></table></body></html>"))
+    pages = (p.select(F.concat(F.lit("p:"),
+                               F.col("p_partkey").cast("string"))
+                      .alias("url"), html.alias("html"))
+             .localCheckpoint(eager=True))
+    jl = (jsonld_facts(pages, ("name", "brand"))
+          .select(F.col("url").alias("subj"),
+                  F.col("field").alias("pred"),
+                  F.col("value").alias("obj"),
+                  F.lit("jsonld").alias("source")))
+    tb = (html_table_facts(pages)
+          .select(F.col("url").alias("subj"),
+                  F.col("header").alias("pred"),
+                  F.col("cell").alias("obj"),
+                  F.lit("table").alias("source")))
+    ev = jl.unionByName(tb)
+    return (ev.groupBy("subj", "pred")
+            .agg(F.min_by("obj", F.struct(F.col("source"), F.col("obj")))
+                 .alias("obj"),
+                 F.count("*").alias("n_evidence"),
+                 (F.countDistinct("obj") > 1).cast("int").alias("conflict"))
+            .orderBy("subj", "pred"))
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4678,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lt_cascade": _q_lt_cascade,
         "event_transitions": _q_event_transitions,
         "fingerprint_clusters": _q_fingerprint_clusters,
+        "web_kg": _q_web_kg,
     }
 
 
@@ -5419,6 +5468,38 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM s1 LEFT JOIN s2 ON s2.k = s1.k
                     LEFT JOIN s3 ON s3.k = s1.k
             ORDER BY user_id
+        """,
+        "web_kg": """
+            WITH pages AS (
+              SELECT 'p:' || p_partkey AS url, p_name, p_brand, p_size,
+                     CASE WHEN p_partkey % 3 = 0 THEN upper(p_name)
+                          ELSE p_name END AS tname
+              FROM part),
+            jl AS (
+              SELECT url AS subj, 'name' AS pred, p_name AS obj,
+                     'jsonld' AS source FROM pages
+              UNION ALL
+              SELECT url, 'brand', p_brand, 'jsonld' FROM pages),
+            tb AS (
+              SELECT url AS subj, 'name' AS pred, tname AS obj,
+                     'table' AS source FROM pages
+              UNION ALL
+              SELECT url, 'size', p_size::VARCHAR, 'table' FROM pages),
+            ev AS (SELECT * FROM jl UNION ALL SELECT * FROM tb),
+            ranked AS (
+              SELECT subj, pred, obj, source,
+                     row_number() OVER (PARTITION BY subj, pred
+                                        ORDER BY source, obj) AS rn
+              FROM ev)
+            SELECT r.subj, r.pred, r.obj,
+                   s.n_evidence, s.conflict
+            FROM ranked r JOIN (
+              SELECT subj, pred, count(*)::BIGINT AS n_evidence,
+                     (CASE WHEN count(DISTINCT obj) > 1
+                           THEN 1 ELSE 0 END)::INT AS conflict
+              FROM ev GROUP BY subj, pred) s USING (subj, pred)
+            WHERE r.rn = 1
+            ORDER BY subj, pred
         """,
         "fingerprint_clusters": """
             WITH recs AS (
