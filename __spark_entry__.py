@@ -2761,6 +2761,30 @@ def _lt_sql(rounds: int = 12) -> str:
     """
 
 
+def _q_rpq_regions(spark, sf_dir):
+    """Regular path query over the TPC-H KG (operators/traversal.
+    rpq_reachable): pattern ``buys_from . in_nation . in_region |
+    located_in`` — every region a seed customer belongs to OR its supply
+    chain lands in, via the automaton-product BFS (state space = nodes x
+    4 NFA states).  Seeds: customers with key % 97 == 0.  Oracle
+    enumerates the same (seed, node, state) product states in one
+    recursive CTE joined to a VALUES transition table."""
+    from climatemind_ontology_processing_spark.operators.traversal import (
+        rpq_reachable)
+    trans = [(0, "buys_from", 1), (1, "in_nation", 2),
+             (2, "in_region", 3), (0, "located_in", 3)]
+    trip = _tpch_kg_triples(spark, sf_dir)
+    seeds = (_read(spark, sf_dir, "customer")
+             .filter(F.col("c_custkey") % 97 == 0)
+             .select(F.concat(F.lit("c:"),
+                              F.col("c_custkey").cast("string"))
+                     .alias("id")).distinct())
+    return (rpq_reachable(trip, seeds, trans, (3,))
+            .select("seed", "node", F.col("state").cast("int")
+                    .alias("state"))
+            .orderBy("seed", "node"))
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -4727,6 +4751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "fingerprint_clusters": _q_fingerprint_clusters,
         "web_kg": _q_web_kg,
+        "rpq_regions": _q_rpq_regions,
     }
 
 
@@ -5468,6 +5493,23 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM s1 LEFT JOIN s2 ON s2.k = s1.k
                     LEFT JOIN s3 ON s3.k = s1.k
             ORDER BY user_id
+        """,
+        "rpq_regions": f"""
+            WITH RECURSIVE triples AS MATERIALIZED ({_KG_SQL}),
+            trans(state, pred, nstate) AS (
+              VALUES (0, 'buys_from', 1), (1, 'in_nation', 2),
+                     (2, 'in_region', 3), (0, 'located_in', 3)),
+            seeds AS (SELECT DISTINCT 'c:' || c_custkey AS id
+                      FROM customer WHERE c_custkey % 97 = 0),
+            reach(seed, node, state) AS (
+              SELECT id, id, 0 FROM seeds
+              UNION
+              SELECT r.seed, t.obj, tr.nstate
+              FROM reach r
+              JOIN triples t ON t.subj = r.node
+              JOIN trans tr ON tr.state = r.state AND tr.pred = t.pred)
+            SELECT seed, node, state::INT AS state
+            FROM reach WHERE state = 3 ORDER BY seed, node
         """,
         "web_kg": """
             WITH pages AS (

@@ -291,3 +291,64 @@ def transitive_closure(edges: DataFrame, edge_type: str | None = None,
         closure = _checkpoint(closure.unionByName(step))
         delta = step
     return closure
+
+
+def rpq_reachable(triples: DataFrame, seeds: DataFrame,
+                  transitions: list[tuple[int, str, int]],
+                  accept_states: tuple[int, ...],
+                  start_state: int = 0, s: str = "subj", p: str = "pred",
+                  o: str = "obj", max_rounds: int = 100) -> DataFrame:
+    """Regular path query (label-constrained reachability): every
+    (seed, node, state) with ``state`` accepting and some path from the
+    seed whose predicate SEQUENCE drives the NFA ``transitions`` (list of
+    (state, pred, next_state)) from ``start_state`` into ``state`` —
+    e.g. ``buys_from* . in_nation . in_region`` as
+    ``[(0,'buys_from',0), (0,'in_nation',1), (1,'in_region',2)]`` with
+    accept ``(2,)``.
+
+    The classic automaton-product construction: BFS over (node, NFA
+    state) pairs — each round joins the frontier to the edge table on
+    the node AND to the (broadcast, literally-tiny) transition table on
+    (state, pred), anti-joins the visited set, and stops when the
+    frontier drains (loud RuntimeError on the round cap: product-graph
+    diameter exceeded).  State explosion is bounded by |V| x |NFA
+    states| — NFAs for real path patterns have a handful of states.
+
+    Returns (seed, node, state) for ACCEPTING visited pairs, including
+    the seed itself when ``start_state`` accepts."""
+    if not transitions:
+        raise ValueError("transitions must be non-empty")
+    if not accept_states:
+        raise ValueError("accept_states must be non-empty")
+    spark = triples.sparkSession
+    trans = spark.createDataFrame(
+        [(int(a), str(pr), int(b)) for a, pr, b in transitions],
+        "state int, pred string, nstate int")
+    e = (triples.select(F.col(s).alias("u"), F.col(p).alias("pred"),
+                        F.col(o).alias("v"))
+         .distinct().localCheckpoint(eager=True))
+    visited = (seeds.select(F.col("id").alias("seed"),
+                            F.col("id").alias("node"),
+                            F.lit(start_state).alias("state"))
+               .distinct().localCheckpoint(eager=True))
+    frontier = visited
+    for _ in range(max_rounds):
+        step = (frontier
+                .join(e, frontier.node == e.u)
+                .join(F.broadcast(trans),
+                      (frontier.state == trans.state)
+                      & (e.pred == trans.pred))
+                .select("seed", F.col("v").alias("node"),
+                        F.col("nstate").alias("state"))
+                .distinct())
+        fresh = (step.join(visited, ["seed", "node", "state"], "left_anti")
+                 .localCheckpoint(eager=True))
+        if fresh.isEmpty():
+            return (visited
+                    .filter(F.col("state").isin(list(accept_states)))
+                    .select("seed", "node", "state"))
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    raise RuntimeError(
+        f"rpq_reachable: frontier still growing after max_rounds="
+        f"{max_rounds} — product-graph diameter exceeds the cap")

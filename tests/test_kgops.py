@@ -83,3 +83,71 @@ def test_fingerprint_clusters_min_size_and_rep(spark):
            for r in fingerprint_clusters(df, "name").collect()}
     assert set(got) == {1, 2, 3}
     assert all(v == ("acme corp", 3, 1) for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# rpq_reachable — regular path queries (automaton-product BFS)
+# ---------------------------------------------------------------------------
+def _rpq_ref(triples, seeds, transitions, accept, start=0):
+    from collections import defaultdict
+    trans = defaultdict(list)
+    for a, pr, b in transitions:
+        trans[(a, pr)].append(b)
+    adj = defaultdict(list)
+    for s, p, o in triples:
+        adj[s].append((p, o))
+    out = set()
+    for seed in seeds:
+        seen = {(seed, start)}
+        stack = [(seed, start)]
+        while stack:
+            node, st = stack.pop()
+            for pr, nxt in adj[node]:
+                for nst in trans[(st, pr)]:
+                    if (nxt, nst) not in seen:
+                        seen.add((nxt, nst))
+                        stack.append((nxt, nst))
+        out |= {(seed, n, st) for n, st in seen if st in accept}
+    return out
+
+
+def test_rpq_kleene_then_labels(spark):
+    from climatemind_ontology_processing_spark.operators.traversal import (
+        rpq_reachable)
+    T = [("c1", "buys_from", "c2"), ("c2", "buys_from", "c3"),
+         ("c3", "in_nation", "n1"), ("c1", "in_nation", "n2"),
+         ("n1", "in_region", "r1"), ("n2", "in_region", "r2"),
+         ("n2", "buys_from", "c1")]
+    trans = [(0, "buys_from", 0), (0, "in_nation", 1), (1, "in_region", 2)]
+    tdf = _t(spark, T)
+    sdf = spark.createDataFrame([("c1",)], "id string")
+    got = {(r.seed, r.node, r.state)
+           for r in rpq_reachable(tdf, sdf, trans, (2,)).collect()}
+    assert got == _rpq_ref(T, ["c1"], trans, {2})
+    # sanity: both regions reachable (direct nation + 2-hop supply chain)
+    assert {"r1", "r2"} == {n for _, n, _ in got}
+
+
+def test_rpq_accepting_start_state_and_multi_seed(spark):
+    from climatemind_ontology_processing_spark.operators.traversal import (
+        rpq_reachable)
+    T = [("a", "p", "b"), ("b", "p", "c")]
+    trans = [(0, "p", 0)]
+    tdf = _t(spark, T)
+    sdf = spark.createDataFrame([("a",), ("b",)], "id string")
+    got = {(r.seed, r.node)
+           for r in rpq_reachable(tdf, sdf, trans, (0,)).collect()}
+    # state 0 accepts: seeds themselves + kleene closure
+    assert got == {("a", "a"), ("a", "b"), ("a", "c"),
+                   ("b", "b"), ("b", "c")}
+
+
+def test_rpq_guards(spark):
+    from climatemind_ontology_processing_spark.operators.traversal import (
+        rpq_reachable)
+    tdf = _t(spark, [("a", "p", "b")])
+    sdf = spark.createDataFrame([("a",)], "id string")
+    with pytest.raises(ValueError):
+        rpq_reachable(tdf, sdf, [], (0,))
+    with pytest.raises(ValueError):
+        rpq_reachable(tdf, sdf, [(0, "p", 0)], ())
