@@ -2785,6 +2785,35 @@ def _q_rpq_regions(spark, sf_dir):
             .orderBy("seed", "node"))
 
 
+def _q_msf_delta(spark, sf_dir):
+    """Incremental MSF maintenance (operators/mst.msf_increment): the
+    sparse trade graph is split by an md5 parity into a BASE batch and a
+    DELTA batch; the query computes MSF(base), then absorbs the delta
+    incrementally — Borůvka over |forest| + |Δ| edges only.  The oracle
+    is boruvka_msf's cycle-property oracle over ALL edges, shared
+    verbatim: the hash match IS the sparsification-identity equivalence
+    proof (delta_components precedent)."""
+    from climatemind_ontology_processing_spark.operators.mst import (
+        boruvka_msf, msf_increment)
+    edges = (_trade_edges(spark, sf_dir)
+             .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0)
+             .select(F.least("src", "dst").alias("lo"),
+                     F.greatest("src", "dst").alias("hi"))
+             .filter(F.col("lo") != F.col("hi")).distinct())
+    weighted = edges.select(
+        "lo", "hi",
+        F.conv(F.substring(F.md5(F.concat_ws("|", "lo", "hi")), 1, 15),
+               16, 10).cast("long").alias("weight"))
+    parity = F.pmod(F.col("weight"), F.lit(2)) == 0
+    base = weighted.filter(parity)
+    delta = weighted.filter(~parity)
+    forest = boruvka_msf(base, src="lo", dst="hi")
+    return (msf_increment(forest, delta, src="lo", dst="hi")
+            .select(F.col("lo").cast("int").alias("lo"),
+                    F.col("hi").cast("int").alias("hi"), "weight")
+            .orderBy("lo", "hi"))
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -4752,6 +4781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_clusters": _q_fingerprint_clusters,
         "web_kg": _q_web_kg,
         "rpq_regions": _q_rpq_regions,
+        "msf_delta": _q_msf_delta,
     }
 
 
@@ -4761,6 +4791,10 @@ def oracle_sql() -> dict[str, str]:
     # equality with all-pairs Jaccard, so it shares that oracle verbatim —
     # the shared SQL IS the losslessness statement, checked by the driver.
     sql["ppjoin_pairs"] = sql["jaccard_pairs"]
+    # msf_delta absorbs a delta batch into a prior forest; the
+    # sparsification identity MSF(G ∪ Δ) = MSF(MSF(G) ∪ Δ) makes the
+    # FULL cycle-property oracle its exact expectation — shared verbatim.
+    sql["msf_delta"] = sql["boruvka_msf"]
     return sql
 
 

@@ -172,3 +172,30 @@ def greedy_matching(edges: DataFrame, src: str = "src", dst: str = "dst",
     raise RuntimeError(
         f"greedy_matching: {max_rounds} rounds exhausted before the edge "
         "set quiesced — raise max_rounds")
+
+
+def msf_increment(forest: DataFrame, new_edges: DataFrame,
+                  src: str = "src", dst: str = "dst",
+                  weight: str = "weight",
+                  max_rounds: int = 40) -> DataFrame:
+    """Incremental minimum-spanning-forest maintenance:
+
+        MSF(G ∪ Δ)  =  MSF( MSF(G) ∪ Δ )
+
+    — the classic sparsification identity (non-forest edges of G can
+    never re-enter any MSF when edges are only ADDED, by the cycle
+    property).  So absorbing a batch of Δ new edges costs Borůvka on
+    |V| + |Δ| edges instead of re-scanning all of |E| — the nightly-KG
+    shape where the similarity graph grows by one day's candidates.
+
+    ``forest`` must be a previous :func:`boruvka_msf` (or this
+    function's) output — (lo, hi, weight) rows; the identity silently
+    breaks under edge DELETION, so this operator only ever unions.
+    Equivalence with the full recompute is pinned by the registered
+    oracle (which recomputes from ALL edges via the cycle property) and
+    by pytest."""
+    f = forest.select(F.col("lo").alias(src), F.col("hi").alias(dst),
+                      F.col(weight))
+    d = new_edges.select(src, dst, weight)
+    return boruvka_msf(f.unionByName(d), src=src, dst=dst, weight=weight,
+                       max_rounds=max_rounds)

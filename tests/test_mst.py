@@ -143,3 +143,34 @@ def test_greedy_matching_cap_raises(spark):
     df = spark.createDataFrame(edges, "src int, dst int, weight int")
     with pytest.raises(RuntimeError, match="rounds exhausted"):
         greedy_matching(df, max_rounds=1)
+
+
+def test_msf_increment_equals_full_recompute(spark):
+    from climatemind_ontology_processing_spark.operators.mst import (
+        boruvka_msf, msf_increment)
+    base = [((i * 7) % 30, (i * 13 + 3) % 30, (i * 31) % 97 + 1)
+            for i in range(60)]
+    delta = [((i * 5) % 30, (i * 11 + 2) % 30, (i * 17) % 97 + 1)
+             for i in range(25)]
+    bdf = spark.createDataFrame(base, "src int, dst int, weight int")
+    ddf = spark.createDataFrame(delta, "src int, dst int, weight int")
+    full = {(r.lo, r.hi, r.weight)
+            for r in boruvka_msf(
+                bdf.unionByName(ddf)).collect()}
+    inc = {(r.lo, r.hi, r.weight)
+           for r in msf_increment(boruvka_msf(bdf), ddf).collect()}
+    assert inc == full
+
+
+def test_msf_increment_new_component_bridges(spark):
+    """Delta edges may CONNECT previously separate components — the
+    incremental path must hook across them."""
+    from climatemind_ontology_processing_spark.operators.mst import (
+        boruvka_msf, msf_increment)
+    base = [(1, 2, 1), (10, 11, 1)]
+    delta = [(2, 10, 5)]
+    bdf = spark.createDataFrame(base, "src int, dst int, weight int")
+    ddf = spark.createDataFrame(delta, "src int, dst int, weight int")
+    inc = {(r.lo, r.hi) for r in
+           msf_increment(boruvka_msf(bdf), ddf).collect()}
+    assert inc == {(1, 2), (10, 11), (2, 10)}
