@@ -2814,6 +2814,60 @@ def _q_msf_delta(spark, sf_dir):
             .orderBy("lo", "hi"))
 
 
+def _q_coarse_graph(spark, sf_dir):
+    """One multilevel coarsening level of the sparse trade graph
+    (operators/mst.coarsen_mapping + coarsen_graph): greedy-matched
+    pairs contract into their smaller id, parallel coarse edges sum
+    weights, intra-pair weight disappears into the super-node — the
+    METIS V-cycle building block.  Oracle extends the greedy_matching
+    unroll with the same contraction algebra."""
+    from climatemind_ontology_processing_spark.operators.mst import (
+        coarsen_graph, coarsen_mapping)
+    edges = (_trade_edges(spark, sf_dir)
+             .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0)
+             .select(F.least("src", "dst").alias("lo"),
+                     F.greatest("src", "dst").alias("hi"))
+             .filter(F.col("lo") != F.col("hi")).distinct())
+    weighted = edges.select(
+        "lo", "hi",
+        F.conv(F.substring(F.md5(F.concat_ws("|", "lo", "hi")), 1, 15),
+               16, 10).cast("long").alias("weight"))
+    mapping = coarsen_mapping(weighted, src="lo", dst="hi")
+    return (coarsen_graph(weighted, mapping, src="lo", dst="hi")
+            .select(F.col("lo").cast("int").alias("lo"),
+                    F.col("hi").cast("int").alias("hi"), "weight")
+            .orderBy("lo", "hi"))
+
+
+def _coarsen_sql(rounds: int = 12) -> str:
+    """Matching unroll + contraction: reuses _matching_sql's CTE chain
+    shape, then maps endpoints through the pair mapping and re-sums."""
+    base = _matching_sql(rounds)
+    # swap the final projection for the contraction algebra
+    head, _, _ = base.rpartition("SELECT lo::INT AS lo")
+    doms = " UNION ALL ".join(
+        f"SELECT lo, hi FROM dom{i}" for i in range(1, rounds + 1))
+    return f"""{head.rstrip()},
+        matched AS ({doms}),
+        mapping AS (
+          SELECT lo AS id, lo AS rep FROM matched
+          UNION ALL SELECT hi, lo FROM matched
+          UNION ALL
+          SELECT id, id FROM (
+            SELECT lo AS id FROM e0 UNION SELECT hi FROM e0)
+          WHERE id NOT IN (SELECT lo FROM matched
+                           UNION SELECT hi FROM matched)),
+        contracted AS (
+          SELECT least(ml.rep, mh.rep) AS lo,
+                 greatest(ml.rep, mh.rep) AS hi, e.w
+          FROM e0 e JOIN mapping ml ON ml.id = e.lo
+                    JOIN mapping mh ON mh.id = e.hi)
+        SELECT lo::INT AS lo, hi::INT AS hi, sum(w)::BIGINT AS weight
+        FROM contracted WHERE lo <> hi
+        GROUP BY 1, 2 ORDER BY lo, hi
+    """
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -4782,6 +4836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_kg": _q_web_kg,
         "rpq_regions": _q_rpq_regions,
         "msf_delta": _q_msf_delta,
+        "coarse_graph": _q_coarse_graph,
     }
 
 
@@ -5616,6 +5671,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pairs ORDER BY prev_type, next_type
         """,
         "lt_cascade": _lt_sql(),
+        "coarse_graph": _coarsen_sql(),
         "greedy_matching": _matching_sql(),
         "price_quantiles": """
             WITH v AS (SELECT floor(l_extendedprice * 100)::BIGINT AS c

@@ -199,3 +199,53 @@ def msf_increment(forest: DataFrame, new_edges: DataFrame,
     d = new_edges.select(src, dst, weight)
     return boruvka_msf(f.unionByName(d), src=src, dst=dst, weight=weight,
                        max_rounds=max_rounds)
+
+
+def coarsen_mapping(edges: DataFrame, src: str = "src", dst: str = "dst",
+                    weight: str = "weight",
+                    max_rounds: int = 60) -> DataFrame:
+    """(id, rep) node mapping for ONE multilevel coarsening level (the
+    METIS/Graclus shape): nodes paired by :func:`greedy_matching`
+    contract into the pair's smaller id; unmatched nodes map to
+    themselves.  Every node incident to an edge appears exactly once."""
+    m = greedy_matching(edges, src, dst, weight,
+                        max_rounds).localCheckpoint(eager=True)
+    nodes = (edges.select(F.col(src).alias("id"))
+             .unionByName(edges.select(F.col(dst).alias("id")))
+             .filter(F.col("id").isNotNull()).distinct())
+    pair_map = (m.select(F.col("lo").alias("id"), F.col("lo").alias("rep"))
+                .unionByName(
+                    m.select(F.col("hi").alias("id"),
+                             F.col("lo").alias("rep"))))
+    return (nodes.join(pair_map, "id", "left")
+            .select("id", F.coalesce("rep", F.col("id")).alias("rep")))
+
+
+def coarsen_graph(edges: DataFrame, mapping: DataFrame, src: str = "src",
+                  dst: str = "dst", weight: str = "weight") -> DataFrame:
+    """Contract ``edges`` through a coarsening ``mapping`` (id, rep):
+    canonical coarse edge (lo, hi) with SUMMED weight, intra-pair
+    self-loops dropped (their weight is interior to the super-node —
+    exactly what multilevel partitioners discard).  Unmapped endpoints
+    raise lazily (quotient_graph discipline)."""
+    mp = mapping.select(F.col("id"), F.col("rep"))
+
+    def side(col):
+        return F.when(
+            F.col("_r").isNull(),
+            F.raise_error(F.concat(
+                F.lit("coarsen_graph: unmapped node "),
+                F.col(col).cast("string")))).otherwise(F.col("_r"))
+
+    e = (edges
+         .join(mp.withColumnRenamed("id", src)
+                 .withColumnRenamed("rep", "_r"), src, "left")
+         .withColumn("_rs", side(src)).drop("_r")
+         .join(mp.withColumnRenamed("id", dst)
+                 .withColumnRenamed("rep", "_r"), dst, "left")
+         .withColumn("_rd", side(dst)).drop("_r"))
+    return (e.select(F.least("_rs", "_rd").alias("lo"),
+                     F.greatest("_rs", "_rd").alias("hi"),
+                     F.col(weight).cast("long").alias("w"))
+            .filter(F.col("lo") != F.col("hi"))
+            .groupBy("lo", "hi").agg(F.sum("w").alias(weight)))

@@ -174,3 +174,26 @@ def test_msf_increment_new_component_bridges(spark):
     inc = {(r.lo, r.hi) for r in
            msf_increment(boruvka_msf(bdf), ddf).collect()}
     assert inc == {(1, 2), (10, 11), (2, 10)}
+
+
+def test_coarsen_one_level(spark):
+    from climatemind_ontology_processing_spark.operators.mst import (
+        coarsen_graph, coarsen_mapping)
+    # square 1-2-3-4 with a pendant 5; weights force matching {1,2},{3,4}
+    edges = [(1, 2, 1), (2, 3, 10), (3, 4, 1), (4, 1, 10), (4, 5, 20)]
+    df = spark.createDataFrame(edges, "src int, dst int, weight int")
+    mp = {r.id: r.rep for r in coarsen_mapping(df).collect()}
+    assert mp == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+    got = {(r.lo, r.hi): r.weight
+           for r in coarsen_graph(df, coarsen_mapping(df)).collect()}
+    # 2-3 and 4-1 both collapse to super-edge (1,3) weight 20; 4-5 -> (3,5)
+    assert got == {(1, 3): 20, (3, 5): 20}
+
+
+def test_coarsen_unmapped_node_raises(spark):
+    from climatemind_ontology_processing_spark.operators.mst import (
+        coarsen_graph)
+    df = spark.createDataFrame([(1, 2, 1)], "src int, dst int, weight int")
+    mp = spark.createDataFrame([(1, 1)], "id int, rep int")
+    with pytest.raises(Exception, match="unmapped node"):
+        coarsen_graph(df, mp).collect()
