@@ -2021,6 +2021,19 @@ def _q_web_kg(spark, sf_dir):
             .orderBy("subj", "pred"))
 
 
+def _q_skew_report(spark, sf_dir):
+    """Pre-shuffle skew diagnostic over document sources (operators/skew.
+    skew_report): keys above 1% of rows with the ceil(n/target) salt
+    factor ``with_salt`` would need — the report a pipeline runs before
+    keying a big join on a suspect column."""
+    from climatemind_ontology_processing_spark.operators.skew import (
+        skew_report)
+    docs = _read(spark, sf_dir, "documents")
+    return (skew_report(docs, "source", share_threshold_micro=10_000,
+                        target_rows_per_task=500)
+            .orderBy("key"))
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4837,6 +4850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpq_regions": _q_rpq_regions,
         "msf_delta": _q_msf_delta,
         "coarse_graph": _q_coarse_graph,
+        "skew_report": _q_skew_report,
     }
 
 
@@ -5671,6 +5685,18 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pairs ORDER BY prev_type, next_type
         """,
         "lt_cascade": _lt_sql(),
+        "skew_report": """
+            WITH census AS (
+              SELECT source AS key, count(*)::BIGINT AS n
+              FROM documents GROUP BY source),
+            tot AS (SELECT sum(n)::BIGINT AS t FROM census)
+            SELECT key, n,
+                   ((n * 1000000) // t)::BIGINT AS share_micro,
+                   ((n + 499) // 500)::INT AS salt_factor
+            FROM census CROSS JOIN tot
+            WHERE (n * 1000000) // t >= 10000
+            ORDER BY key
+        """,
         "coarse_graph": _coarsen_sql(),
         "greedy_matching": _matching_sql(),
         "price_quantiles": """

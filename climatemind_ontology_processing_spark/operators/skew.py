@@ -113,3 +113,34 @@ def explain_shuffle_partitions(df: DataFrame) -> int:
     """Introspection helper for tests: number of exchanges in the plan."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange")
+
+
+def skew_report(df: DataFrame, key: str,
+                share_threshold_micro: int = 10_000,
+                target_rows_per_task: int = 1_000_000) -> DataFrame:
+    """Pre-shuffle skew diagnostic: one row per HOT key — keys carrying
+    more than ``share_threshold_micro``/10^6 of all rows (default 1%) —
+    with (key, n, share_micro, salt_factor), where ``salt_factor`` =
+    ceil(n / target_rows_per_task) is the bucket count ``with_salt``
+    would need so no single task holds more than the target.
+
+    Run it BEFORE a big join/groupBy on a suspect key: an empty result
+    means plain hash partitioning is fine; any row names the keys to
+    salt and by how much.  One keys-only census + a broadcast 1-row
+    total — the report itself never shuffles row data.  All integer
+    micro arithmetic (engine-exact)."""
+    if not (0 < share_threshold_micro <= 10 ** 6):
+        raise ValueError("share_threshold_micro must be in (0, 10^6]")
+    if target_rows_per_task <= 0:
+        raise ValueError("target_rows_per_task must be positive")
+    census = df.groupBy(F.col(key).alias("key")) \
+        .agg(F.count("*").alias("n"))
+    total = census.agg(F.sum("n").alias("_tot"))
+    return (census.crossJoin(F.broadcast(total))
+            .withColumn("share_micro",
+                        F.expr("(n * 1000000) div _tot"))
+            .filter(F.col("share_micro") >= share_threshold_micro)
+            .withColumn("salt_factor",
+                        F.expr(f"(n + {target_rows_per_task - 1}) div "
+                               f"{target_rows_per_task}").cast("int"))
+            .select("key", "n", "share_micro", "salt_factor"))

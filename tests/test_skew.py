@@ -129,3 +129,25 @@ def test_domain_cap_sample_head_domain_150k(spark):
              .collect()} ==
             {r.doc_id for r in again.filter(F.col("url").contains("head"))
              .collect()})
+
+
+def test_skew_report_flags_hot_keys_and_salt_factor(spark):
+    from climatemind_ontology_processing_spark.operators.skew import (
+        skew_report)
+    rows = [("hot",)] * 600 + [("warm",)] * 300 + \
+           [(f"k{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.key: (r.n, r.share_micro, r.salt_factor)
+           for r in skew_report(df, "k", share_threshold_micro=100_000,
+                                target_rows_per_task=250).collect()}
+    assert set(got) == {"hot", "warm"}
+    assert got["hot"] == (600, 600000, 3)     # ceil(600/250)
+    assert got["warm"] == (300, 300000, 2)
+
+
+def test_skew_report_empty_when_uniform(spark):
+    from climatemind_ontology_processing_spark.operators.skew import (
+        skew_report)
+    df = spark.createDataFrame([(f"k{i % 50}",) for i in range(500)],
+                               "k string")
+    assert skew_report(df, "k", share_threshold_micro=100_000).count() == 0
