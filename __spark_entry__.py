@@ -2034,6 +2034,21 @@ def _q_skew_report(spark, sf_dir):
             .orderBy("key"))
 
 
+def _q_partition_stats(spark, sf_dir):
+    """Partition-quality report (operators/mst.partition_stats) for the
+    nation→region mapping over the sparse undirected trade graph:
+    edge-cut share and balance factor in integer micros — the acceptance
+    gate before committing a bucketing/partitioning decision."""
+    from climatemind_ontology_processing_spark.operators.mst import (
+        partition_stats)
+    edges = (_trade_edges(spark, sf_dir)
+             .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0))
+    mapping = (_read(spark, sf_dir, "nation")
+               .select(F.col("n_nationkey").cast("int").alias("id"),
+                       F.col("n_regionkey").cast("int").alias("rep")))
+    return partition_stats(edges, mapping)
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4851,6 +4866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_delta": _q_msf_delta,
         "coarse_graph": _q_coarse_graph,
         "skew_report": _q_skew_report,
+        "partition_stats": _q_partition_stats,
     }
 
 
@@ -5685,6 +5701,35 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pairs ORDER BY prev_type, next_type
         """,
         "lt_cascade": _lt_sql(),
+        "partition_stats": f"""
+            WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+            sparse AS (SELECT src, dst FROM all_edges
+                       WHERE (src * 31 + dst) % 7 = 0),
+            e AS (SELECT DISTINCT least(src, dst) AS lo,
+                         greatest(src, dst) AS hi
+                  FROM sparse WHERE least(src, dst) <> greatest(src, dst)),
+            mp AS (SELECT n_nationkey::INT AS id, n_regionkey::INT AS rep
+                   FROM nation),
+            tagged AS (
+              SELECT ml.rep AS pl, mh.rep AS ph
+              FROM e JOIN mp ml ON ml.id = e.lo
+                     JOIN mp mh ON mh.id = e.hi),
+            es AS (SELECT count(*)::BIGINT AS n_edges,
+                          sum(CASE WHEN pl <> ph THEN 1 ELSE 0 END)::BIGINT
+                            AS edge_cut
+                   FROM tagged),
+            ps AS (SELECT count(*)::BIGINT AS n_parts,
+                          sum(sz)::BIGINT AS n_nodes,
+                          max(sz)::BIGINT AS max_part_size
+                   FROM (SELECT rep, count(*)::BIGINT AS sz
+                         FROM mp GROUP BY rep))
+            SELECT n_parts, n_nodes, edge_cut,
+                   ((edge_cut * 1000000) // n_edges)::BIGINT AS cut_micro,
+                   max_part_size,
+                   ((max_part_size * n_parts * 1000000) // n_nodes)::BIGINT
+                     AS balance_micro
+            FROM es CROSS JOIN ps
+        """,
         "skew_report": """
             WITH census AS (
               SELECT source AS key, count(*)::BIGINT AS n

@@ -249,3 +249,54 @@ def coarsen_graph(edges: DataFrame, mapping: DataFrame, src: str = "src",
                      F.col(weight).cast("long").alias("w"))
             .filter(F.col("lo") != F.col("hi"))
             .groupBy("lo", "hi").agg(F.sum("w").alias(weight)))
+
+
+def partition_stats(edges: DataFrame, mapping: DataFrame,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """Partition-quality report for a node→part ``mapping`` (id, rep):
+    ONE summary row (n_parts, n_nodes, edge_cut, cut_micro,
+    max_part_size, balance_micro) —
+
+      * ``edge_cut``      — distinct undirected edges crossing parts,
+      * ``cut_micro``     — edge_cut * 10^6 DIV total undirected edges,
+      * ``balance_micro`` — max part size * n_parts * 10^6 DIV n_nodes
+                            (10^6 = perfectly balanced; 2*10^6 = the
+                            largest part is twice its fair share).
+
+    The multilevel story's evaluation leg (coarsen → partition →
+    EVALUATE); also the acceptance gate for any label-propagation or
+    hash partitioning before a production bucketing decision.  Unmapped
+    endpoints raise lazily (quotient_graph discipline)."""
+    e = (edges.select(F.least(src, dst).alias("lo"),
+                      F.greatest(src, dst).alias("hi"))
+         .filter(F.col("lo") != F.col("hi")).distinct())
+    mp = mapping.select("id", "rep")
+
+    def side(col):
+        return F.when(
+            F.col("_r").isNull(),
+            F.raise_error(F.concat(
+                F.lit("partition_stats: unmapped node "),
+                F.col(col).cast("string")))).otherwise(F.col("_r"))
+
+    tagged = (e.join(mp.withColumnRenamed("id", "lo")
+                     .withColumnRenamed("rep", "_r"), "lo", "left")
+              .withColumn("_pl", side("lo")).drop("_r")
+              .join(mp.withColumnRenamed("id", "hi")
+                    .withColumnRenamed("rep", "_r"), "hi", "left")
+              .withColumn("_ph", side("hi")).drop("_r"))
+    edge_stats = tagged.agg(
+        F.count("*").alias("n_edges"),
+        F.sum((F.col("_pl") != F.col("_ph")).cast("long"))
+        .alias("edge_cut"))
+    sizes = mp.groupBy("rep").agg(F.count("*").alias("sz"))
+    part_stats = sizes.agg(F.count("*").alias("n_parts"),
+                           F.sum("sz").alias("n_nodes"),
+                           F.max("sz").alias("max_part_size"))
+    return (edge_stats.crossJoin(part_stats)
+            .select("n_parts", "n_nodes", "edge_cut",
+                    F.expr("(edge_cut * 1000000) div n_edges")
+                    .alias("cut_micro"),
+                    "max_part_size",
+                    F.expr("(max_part_size * n_parts * 1000000)"
+                           " div n_nodes").alias("balance_micro")))

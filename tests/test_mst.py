@@ -197,3 +197,25 @@ def test_coarsen_unmapped_node_raises(spark):
     mp = spark.createDataFrame([(1, 1)], "id int, rep int")
     with pytest.raises(Exception, match="unmapped node"):
         coarsen_graph(df, mp).collect()
+
+
+def test_partition_stats_closed_form(spark):
+    from climatemind_ontology_processing_spark.operators.mst import (
+        partition_stats)
+    edges = [(1, 2, 0), (2, 3, 0), (3, 4, 0), (4, 1, 0)]   # 4-cycle
+    df = spark.createDataFrame(edges, "src int, dst int, w int")
+    mp = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b"), (4, "b")],
+                               "id int, rep string")
+    r = partition_stats(df, mp).collect()[0]
+    assert (r.n_parts, r.n_nodes, r.edge_cut) == (2, 4, 2)
+    assert r.cut_micro == 500000            # 2 of 4 edges cut
+    assert r.balance_micro == 1000000       # perfectly balanced
+
+
+def test_partition_stats_unmapped_raises(spark):
+    from climatemind_ontology_processing_spark.operators.mst import (
+        partition_stats)
+    df = spark.createDataFrame([(1, 9, 0)], "src int, dst int, w int")
+    mp = spark.createDataFrame([(1, "a")], "id int, rep string")
+    with pytest.raises(Exception, match="unmapped node"):
+        partition_stats(df, mp).collect()
