@@ -2049,6 +2049,22 @@ def _q_partition_stats(spark, sf_dir):
     return partition_stats(edges, mapping)
 
 
+def _q_decayed_counts(spark, sf_dir):
+    """Half-life-decayed per-type activity counters (operators/temporal.
+    decayed_counts): integer shift decay — n DIV 2^elapsed — summed per
+    hourly bucket, horizon 12.  The floatless freshness-weighting
+    primitive; engine-exact by construction."""
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        decayed_counts)
+    ev = _read(spark, sf_dir, "events")
+    df = ev.select("event_type",
+                   F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                           / 1e6).cast("long").alias("ts_s"))
+    return (decayed_counts(df, ("event_type",), ts_col="ts_s",
+                           bucket=3600, horizon=12)
+            .orderBy("event_type", "bucket_idx"))
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4867,6 +4883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarse_graph": _q_coarse_graph,
         "skew_report": _q_skew_report,
         "partition_stats": _q_partition_stats,
+        "decayed_counts": _q_decayed_counts,
     }
 
 
@@ -5701,6 +5718,21 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pairs ORDER BY prev_type, next_type
         """,
         "lt_cascade": _lt_sql(),
+        "decayed_counts": """
+            WITH census AS (
+              SELECT event_type,
+                     (floor(epoch(ts))::BIGINT // 3600) AS b,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2),
+            contrib AS (
+              SELECT event_type, b + d AS bucket_idx,
+                     n // (1::BIGINT << d) AS c
+              FROM census, unnest(generate_series(0, 11)) AS t(d)
+              WHERE n // (1::BIGINT << d) > 0)
+            SELECT event_type, bucket_idx, sum(c)::BIGINT AS decayed
+            FROM contrib GROUP BY 1, 2
+            ORDER BY event_type, bucket_idx
+        """,
         "partition_stats": f"""
             WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
             sparse AS (SELECT src, dst FROM all_edges

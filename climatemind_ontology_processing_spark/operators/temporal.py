@@ -428,3 +428,41 @@ def event_transitions(events: DataFrame, key_col: str = "user_id",
         "prev_type", "next_type", "n",
         F.expr("(n * 1000000) div (sum(n) over "
                "(partition by prev_type))").alias("p_micro"))
+
+
+def decayed_counts(events: DataFrame, key_cols: tuple[str, ...],
+                   ts_col: str = "ts", bucket: int = 3600,
+                   horizon: int = 16) -> DataFrame:
+    """Half-life-decayed activity counters in EXACT integer arithmetic:
+    for every key and bucket index t touched by any contribution,
+
+        decayed(key, t) = sum_{0 <= d < horizon} n(key, t - d) DIV 2^d
+
+    — one halving per elapsed bucket, truncating division, so the score
+    is a BIGINT and identical on every engine (the floatless analogue of
+    exp-decay freshness weighting).  ``horizon`` caps the lookback:
+    a count n contributes nothing beyond log2(n) buckets anyway, so any
+    horizon >= 63 is exact for all BIGINT counts; smaller horizons trade
+    a documented truncation for less fan-out.
+
+    Shape: per-(key, bucket) census (map-side combinable), each census
+    row EXPLODES into its <= horizon future buckets with pre-shifted
+    contributions (rows whose shifted value is already 0 are filtered
+    before the shuffle), then one sum.  Fan-out is bounded by
+    horizon x active buckets — never by raw event count."""
+    if bucket <= 0 or not (1 <= horizon <= 63):
+        raise ValueError("bucket must be positive and 1 <= horizon <= 63")
+    b = F.floor(F.col(ts_col) / bucket).cast("long")
+    census = (events.select(*key_cols, b.alias("_b"))
+              .groupBy(*key_cols, "_b").agg(F.count("*").alias("n")))
+    contrib = (census
+               .select(*key_cols, "_b", "n",
+                       F.explode(F.sequence(
+                           F.lit(0), F.lit(horizon - 1))).alias("_d"))
+               .select(*key_cols,
+                       (F.col("_b") + F.col("_d")).alias("bucket_idx"),
+                       F.expr("n div cast(pow(2, _d) as long)")
+                       .alias("_c"))
+               .filter(F.col("_c") > 0))
+    return (contrib.groupBy(*key_cols, "bucket_idx")
+            .agg(F.sum("_c").alias("decayed")))

@@ -1839,3 +1839,50 @@ def test_event_transitions_tiebreak_determinism(spark):
            for r in event_transitions(df, tiebreak_col="event_id").collect()}
     # event_id order at equal ts: x -> b -> a
     assert got == {("x", "b"), ("b", "a")}
+
+
+# ---------------------------------------------------------------------------
+# decayed_counts — exact integer half-life counters
+# ---------------------------------------------------------------------------
+def test_decayed_counts_exact_shifts(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        decayed_counts)
+    # key "a": 8 events in bucket 0, 1 event in bucket 2
+    rows = [("a", i) for i in range(8)] + [("a", 205)]
+    df = spark.createDataFrame(rows, "k string, ts long")
+    got = {r.bucket_idx: r.decayed
+           for r in decayed_counts(df, ("k",), bucket=100,
+                                   horizon=8).collect()}
+    # t=0: 8; t=1: 8//2=4; t=2: 8//4 + 1 = 3; t=3: 8//8 + 1//2 = 1
+    assert got[0] == 8 and got[1] == 4 and got[2] == 3 and got[3] == 1
+    # 8//16 = 0 and 1//4 = 0 -> t=4 absent entirely (zero rows filtered)
+    assert 4 not in got
+
+
+def test_decayed_counts_python_replica(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        decayed_counts)
+    from collections import Counter, defaultdict
+    rows = [(f"k{i % 3}", (i * 37) % 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, ts long")
+    census = Counter((k, t // 50) for k, t in rows)
+    want = defaultdict(int)
+    for (k, b), n in census.items():
+        for d in range(12):
+            c = n >> d
+            if c:
+                want[(k, b + d)] += c
+    got = {(r.k, r.bucket_idx): r.decayed
+           for r in decayed_counts(df, ("k",), bucket=50,
+                                   horizon=12).collect()}
+    assert got == dict(want)
+
+
+def test_decayed_counts_guards(spark):
+    from climatemind_ontology_processing_spark.operators.temporal import (
+        decayed_counts)
+    df = spark.createDataFrame([("a", 1)], "k string, ts long")
+    with pytest.raises(ValueError):
+        decayed_counts(df, ("k",), horizon=0)
+    with pytest.raises(ValueError):
+        decayed_counts(df, ("k",), bucket=0)
