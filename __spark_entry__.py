@@ -2912,6 +2912,17 @@ def _coarsen_sql(rounds: int = 12) -> str:
     """
 
 
+def _q_schema_graph(spark, sf_dir):
+    """Schema-graph induction over the TPC-H KG (operators/kgops.
+    schema_summary): one row per (subj_type, pred, obj_type) with triple
+    and distinct-endpoint counts — the type-level map read before
+    writing queries against an unfamiliar KG."""
+    from climatemind_ontology_processing_spark.operators.kgops import (
+        schema_summary)
+    return (schema_summary(_tpch_kg_triples(spark, sf_dir))
+            .orderBy("subj_type", "pred", "obj_type"))
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -4884,6 +4895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": _q_skew_report,
         "partition_stats": _q_partition_stats,
         "decayed_counts": _q_decayed_counts,
+        "schema_graph": _q_schema_graph,
     }
 
 
@@ -5718,6 +5730,17 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pairs ORDER BY prev_type, next_type
         """,
         "lt_cascade": _lt_sql(),
+        "schema_graph": f"""
+            WITH t AS MATERIALIZED (
+              SELECT DISTINCT subj, pred, obj FROM ({_KG_SQL}))
+            SELECT split_part(subj, ':', 1) AS subj_type, pred,
+                   split_part(obj, ':', 1) AS obj_type,
+                   count(*)::BIGINT AS n_triples,
+                   count(DISTINCT subj)::BIGINT AS n_subj,
+                   count(DISTINCT obj)::BIGINT AS n_obj
+            FROM t GROUP BY 1, 2, 3
+            ORDER BY subj_type, pred, obj_type
+        """,
         "decayed_counts": """
             WITH census AS (
               SELECT event_type,

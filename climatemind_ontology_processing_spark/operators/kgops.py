@@ -78,3 +78,23 @@ def entity_fact_ranking(triples: DataFrame, top_k: int = 3,
             .filter(F.col("rank") <= top_k)
             .select(s, F.col("rank").cast("int").alias("rank"), p, o,
                     F.col("_pn").alias("pred_count")))
+
+
+def schema_summary(triples: DataFrame, s: str = "subj", p: str = "pred",
+                   o: str = "obj", type_sep: str = ":") -> DataFrame:
+    """Schema-graph induction (the LODStats shape): collapse the instance
+    KG to one row per (subj_type, pred, obj_type) — type = the id prefix
+    before ``type_sep`` (an id with no separator is its own type) — with
+    triple count and distinct
+    subject/object counts.  The type-level map a new consumer reads
+    before writing queries, and the drift baseline ``kg_diff_stats``
+    complements at the instance level.  One map-side projection + one
+    aggregate; output is schema-sized."""
+    ty = lambda c: F.coalesce(F.split(F.col(c), type_sep).getItem(0),
+                              F.lit(""))
+    t = triples.select(s, p, o).distinct()
+    return (t.groupBy(ty(s).alias("subj_type"), F.col(p).alias("pred"),
+                      ty(o).alias("obj_type"))
+            .agg(F.count("*").alias("n_triples"),
+                 F.countDistinct(s).alias("n_subj"),
+                 F.countDistinct(o).alias("n_obj")))

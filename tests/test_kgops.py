@@ -151,3 +151,16 @@ def test_rpq_guards(spark):
         rpq_reachable(tdf, sdf, [], (0,))
     with pytest.raises(ValueError):
         rpq_reachable(tdf, sdf, [(0, "p", 0)], ())
+
+
+def test_schema_summary_types_and_counts(spark):
+    from climatemind_ontology_processing_spark.operators.kgops import (
+        schema_summary)
+    t = _t(spark, [("c:1", "in", "n:1"), ("c:2", "in", "n:1"),
+                   ("c:2", "in", "n:1"),          # dup collapses
+                   ("n:1", "part", "r:9"), ("x", "p", "y")])
+    got = {(r.subj_type, r.pred, r.obj_type): (r.n_triples, r.n_subj, r.n_obj)
+           for r in schema_summary(t).collect()}
+    assert got == {("c", "in", "n"): (2, 2, 1),
+                   ("n", "part", "r"): (1, 1, 1),
+                   ("x", "p", "y"): (1, 1, 1)}
