@@ -2065,6 +2065,27 @@ def _q_decayed_counts(spark, sf_dir):
             .orderBy("event_type", "bucket_idx"))
 
 
+def _q_acronym_pairs(spark, sf_dir):
+    """Validated acronym-expansion mining (operators/hearst.
+    acronym_pairs, the Schwartz-Hearst shape): a synthetic corpus plants
+    'research at the <Capitalized Part Name> (<initials>) continues' per
+    part, and the miner must recover exactly the planted (acronym,
+    expansion) dictionary — a planted-facts oracle (web_kg precedent)."""
+    from climatemind_ontology_processing_spark.operators.hearst import (
+        acronym_pairs)
+    p = _read(spark, sf_dir, "part")
+    w = F.transform(F.split("p_name", " "),
+                    lambda x: F.concat(F.upper(F.substring(x, 1, 1)),
+                                       F.substring(x, 2, 100)))
+    exp = F.array_join(w, " ")
+    acr = F.upper(F.concat_ws(
+        "", F.transform(w, lambda x: F.substring(x, 1, 1))))
+    docs = p.select(F.col("p_partkey").alias("doc_id"),
+                    F.concat(F.lit("research at the "), exp, F.lit(" ("),
+                             acr, F.lit(") continues")).alias("text"))
+    return acronym_pairs(docs).orderBy("acronym", "expansion")
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4896,6 +4917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_stats": _q_partition_stats,
         "decayed_counts": _q_decayed_counts,
         "schema_graph": _q_schema_graph,
+        "acronym_pairs": _q_acronym_pairs,
     }
 
 
@@ -5730,6 +5752,21 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pairs ORDER BY prev_type, next_type
         """,
         "lt_cascade": _lt_sql(),
+        "acronym_pairs": """
+            WITH planted AS (
+              SELECT upper(substring(string_split(p_name, ' ')[1], 1, 1))
+                     || upper(substring(string_split(p_name, ' ')[2], 1, 1))
+                       AS acronym,
+                     array_to_string(list_transform(
+                       string_split(p_name, ' '),
+                       x -> upper(x[1]) || x[2:]), ' ') AS expansion
+              FROM part)
+            SELECT acronym, expansion,
+                   count(*)::BIGINT AS n_matches,
+                   count(*)::BIGINT AS n_docs
+            FROM planted GROUP BY 1, 2
+            ORDER BY acronym, expansion
+        """,
         "schema_graph": f"""
             WITH t AS MATERIALIZED (
               SELECT DISTINCT subj, pred, obj FROM ({_KG_SQL}))

@@ -106,3 +106,47 @@ def hearst_triples(docs: DataFrame, text_col: str = "text",
             .filter(F.col("n_docs") >= F.lit(int(min_docs)))
             .select("subj", F.lit("is_a").alias("pred"), "obj",
                     "n_matches", "n_docs"))
+
+
+# --- acronym-expansion mining -----------------------------------------------
+# The alias-dictionary complement to anchor-text mining: "World Health
+# Organization (WHO)" on the page IS the sameAs edge.  Lookaround-free
+# and lazy-free so Java regex (Spark) and RE2 (DuckDB) agree.
+ACRONYM_PATTERN = r"((?:[A-Z][A-Za-z]+ ){1,6})\(([A-Z]{2,7})\)"
+
+
+def acronym_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(acronym, expansion, n_matches, n_docs) for every validated
+    "Long Form (LF)" occurrence: candidate spans come from one portable
+    regex (a run of 1-6 Capitalized words before a parenthesized 2-7
+    letter uppercase token), then the candidate is KEPT iff the
+    acronym's letters equal the initials of the expansion's LAST
+    len(acronym) words — the Schwartz-Hearst validation reduced to pure
+    array algebra (slice + transform + concat), no Python.
+
+    Evidence is pooled corpus-wide with distinct-doc support, like
+    ``hypernym_counts`` — one regex map + one aggregate."""
+    m = docs.select(
+        F.col(id_col),
+        F.explode(F.arrays_zip(
+            F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")),
+                                 F.lit(ACRONYM_PATTERN), F.lit(1)),
+            F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")),
+                                 F.lit(ACRONYM_PATTERN), F.lit(2))))
+        .alias("z"))
+    cand = m.select(id_col,
+                    F.trim(F.col("z").getField("0")).alias("expansion"),
+                    F.col("z").getField("1").alias("acronym"))
+    words = F.split(F.col("expansion"), " ")
+    k = F.length("acronym")
+    lastk = F.slice(words, F.size(words) - k + 1, k)
+    initials = F.upper(F.concat_ws(
+        "", F.transform(lastk, lambda w: F.substring(w, 1, 1))))
+    valid = (cand.filter(F.size(words) >= k)
+             .filter(initials == F.col("acronym"))
+             .select(id_col, "acronym",
+                     F.concat_ws(" ", lastk).alias("expansion")))
+    return (valid.groupBy("acronym", "expansion")
+            .agg(F.count("*").cast("long").alias("n_matches"),
+                 F.countDistinct(id_col).cast("long").alias("n_docs")))

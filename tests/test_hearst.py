@@ -83,3 +83,32 @@ def test_counts_and_triples(spark, docs_df):
     strict = hearst_triples(docs_df, min_docs=3).collect()
     assert {(r["subj"], r["obj"]) for r in strict} == {("iron", "metals"),
                                                        ("zinc", "metals")}
+
+
+# ---------------------------------------------------------------------------
+# acronym_pairs — Schwartz-Hearst-style validated acronym mining
+# ---------------------------------------------------------------------------
+def test_acronym_pairs_validation(spark):
+    from climatemind_ontology_processing_spark.operators.hearst import (
+        acronym_pairs)
+    rows = [
+        (0, "the World Health Organization (WHO) said and the "
+            "Internal Revenue Service (IRS) replied"),
+        (1, "World Health Organization (WHO) again"),
+        # initials don't match the acronym -> rejected
+        (2, "Some Random Words (XYZ) here"),
+        # acronym longer than the captured words -> rejected
+        (3, "Big Co (ABCDEF) nope"),
+        # prefix word beyond the acronym length is trimmed: initials of
+        # the LAST 2 words validate 'Machine Learning (ML)'
+        (4, "Applied Machine Learning (ML) works"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.acronym, r.expansion): (r.n_matches, r.n_docs)
+           for r in acronym_pairs(docs).collect()}
+    assert got == {
+        ("WHO", "World Health Organization"): (2, 2),
+        ("IRS", "Internal Revenue Service"): (1, 1),
+        ("ML", "Machine Learning"): (1, 1),
+    }
