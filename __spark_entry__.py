@@ -2086,6 +2086,19 @@ def _q_acronym_pairs(spark, sf_dir):
     return acronym_pairs(docs).orderBy("acronym", "expansion")
 
 
+def _q_readability(spark, sf_dir):
+    """Integer-micro Flesch reading ease over documents (operators/
+    textstats.readability): vowel-group syllables, [.!?]-run sentences,
+    both engine-exact BIGINT divisions."""
+    from climatemind_ontology_processing_spark.operators.textstats import (
+        readability)
+    docs = _read(spark, sf_dir, "documents")
+    return (readability(docs)
+            .select("doc_id", "n_words", "n_sentences", "n_syllables",
+                    F.col("fre_micro").cast("string").alias("fre_micro"))
+            .orderBy("doc_id"))
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4918,6 +4931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_counts": _q_decayed_counts,
         "schema_graph": _q_schema_graph,
         "acronym_pairs": _q_acronym_pairs,
+        "readability": _q_readability,
     }
 
 
@@ -5752,6 +5766,30 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pairs ORDER BY prev_type, next_type
         """,
         "lt_cascade": _lt_sql(),
+        "readability": """
+            WITH base AS (
+              SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+            stats AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(t, '\s+'),
+                                     x -> x <> ''))::BIGINT AS nw,
+                     greatest(1, len(regexp_extract_all(t, '[.!?]+')))
+                       ::BIGINT AS ns,
+                     coalesce(list_sum(list_transform(
+                       list_filter(string_split_regex(t, '\s+'),
+                                   x -> x <> ''),
+                       w -> greatest(1,
+                         len(regexp_extract_all(w, '[aeiouy]+'))))),
+                       0)::BIGINT AS syl
+              FROM base)
+            SELECT doc_id, nw AS n_words, ns AS n_sentences,
+                   syl AS n_syllables,
+                   CASE WHEN nw > 0 THEN
+                     (206835000 - (1015000 * nw) // ns
+                                - (84600000 * syl) // nw)::BIGINT::VARCHAR
+                   END AS fre_micro
+            FROM stats ORDER BY doc_id
+        """,
         "acronym_pairs": """
             WITH planted AS (
               SELECT upper(substring(string_split(p_name, ' ')[1], 1, 1))

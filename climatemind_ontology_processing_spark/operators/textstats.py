@@ -279,3 +279,41 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
         f5.alias("flag_ellipsis"), f6.alias("flag_alpha_words"),
         f7.alias("flag_stop_words"),
         (f1 * f2 * f3 * f4 * f5 * f6 * f7).alias("passes"))
+
+
+def readability(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease in INTEGER micro arithmetic: per document,
+
+        fre_micro = 206835000 - (1015000 * words)     DIV sentences
+                              - (84600000 * syllables) DIV words
+
+    with the standard heuristics — sentences = runs of [.!?] (min 1),
+    syllables per word = vowel-group count (min 1) — so the score is a
+    BIGINT, engine-exact, and monotone in the two ratios exactly like
+    the float formula.  Documents with zero words report NULL (no
+    denominators to divide by).  One projection over array algebra; no
+    UDF, no shuffle."""
+    txt = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    words = F.filter(F.split(txt, r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(txt, F.lit(r"[.!?]+"), F.lit(0))))
+    syl = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(w, F.lit(r"[aeiouy]+"),
+                                        F.lit(0)))).cast("long"))
+    fre = (F.lit(206_835_000)
+           - F.expr(f"(1015000 * cast(_nw as bigint)) div _ns")
+           - F.expr(f"(84600000 * _syl) div cast(_nw as bigint)"))
+    return (docs.select(F.col(id_col),
+                        n_words.alias("_nw"), n_sent.alias("_ns"),
+                        syl.alias("_syl"))
+            .select(id_col,
+                    F.col("_nw").cast("long").alias("n_words"),
+                    F.col("_ns").cast("long").alias("n_sentences"),
+                    F.col("_syl").alias("n_syllables"),
+                    F.when(F.col("_nw") > 0, fre).alias("fre_micro")))

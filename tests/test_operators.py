@@ -1886,3 +1886,35 @@ def test_decayed_counts_guards(spark):
         decayed_counts(df, ("k",), horizon=0)
     with pytest.raises(ValueError):
         decayed_counts(df, ("k",), bucket=0)
+
+
+# ---------------------------------------------------------------------------
+# readability — integer Flesch reading ease
+# ---------------------------------------------------------------------------
+def test_readability_closed_form(spark):
+    from climatemind_ontology_processing_spark.operators.textstats import (
+        readability)
+    docs = spark.createDataFrame(
+        [(0, "The cat sat. The dog ran!"),     # 6 words, 2 sentences
+         (1, ""), (2, None),
+         (3, "syllable counting heuristic")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_sentences, r.n_syllables, r.fre_micro)
+           for r in readability(docs).collect()}
+    # doc 0: words=6, sent=2, syllables: the/cat/sat./the/dog/ran! -> 1 each = 6
+    w, s, syl = 6, 2, 6
+    fre = 206_835_000 - (1_015_000 * w) // s - (84_600_000 * syl) // w
+    assert got[0] == (w, s, syl, fre)
+    assert got[1] == (0, 1, 0, None) and got[2] == (0, 1, 0, None)
+    # doc 3: syl-la-ble(3: y? 'syllable'->[y,a,e]=3) count-ing(2: ou,i) heu-ris-tic(3: eu,i,i)
+    assert got[3][2] == 8
+
+
+def test_readability_monotone_in_complexity(spark):
+    from climatemind_ontology_processing_spark.operators.textstats import (
+        readability)
+    docs = spark.createDataFrame(
+        [(0, "a b c. d e f."), (1, "extraordinarily unintelligible verbiage")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.fre_micro for r in readability(docs).collect()}
+    assert got[0] > got[1]
