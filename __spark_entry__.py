@@ -2099,6 +2099,38 @@ def _q_readability(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_crawl_permissions(spark, sf_dir):
+    """RFC 9309 robots compliance at join scale (operators/robots):
+    per-region robots bodies are PARSED by robots_rules (grouping,
+    comments, case, multi-agent — parser pinned in pytest), then every
+    nation URL is evaluated under longest-match/allow-ties semantics.
+    The oracle replays the evaluation against the planted rule set —
+    including the '/private/n13' startswith '/private/n1' prefix
+    subtlety."""
+    from climatemind_ontology_processing_spark.operators.robots import (
+        crawl_permissions, robots_rules)
+    rg = _read(spark, sf_dir, "region")
+    n = _read(spark, sf_dir, "nation")
+    host = F.concat(F.lit("r"), F.col("r_regionkey").cast("string"),
+                    F.lit(".com"))
+    body = F.concat(
+        F.lit("# synthetic\nUser-agent: *\nDisallow: /private/\n"
+              "Allow: /private/n"),
+        F.col("r_regionkey").cast("string"), F.lit("\n"))
+    robots = rg.select(host.alias("host"), body.alias("body"))
+    rules = robots_rules(robots)
+    base = F.concat(F.lit("http://r"), F.col("n_regionkey").cast("string"),
+                    F.lit(".com"))
+    urls = (n.select(F.concat(base, F.lit("/private/n"),
+                              F.col("n_nationkey").cast("string"))
+                     .alias("url"))
+            .unionByName(
+                n.select(F.concat(base, F.lit("/pub/n"),
+                                  F.col("n_nationkey").cast("string"))
+                         .alias("url"))))
+    return crawl_permissions(urls, rules, agent="*").orderBy("url")
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4932,6 +4964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_graph": _q_schema_graph,
         "acronym_pairs": _q_acronym_pairs,
         "readability": _q_readability,
+        "crawl_permissions": _q_crawl_permissions,
     }
 
 
@@ -5766,6 +5799,41 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pairs ORDER BY prev_type, next_type
         """,
         "lt_cascade": _lt_sql(),
+        "crawl_permissions": """
+            WITH rules AS (
+              SELECT 'r' || r_regionkey || '.com' AS h,
+                     'disallow' AS rule, '/private/' AS path FROM region
+              UNION ALL
+              SELECT 'r' || r_regionkey || '.com', 'allow',
+                     '/private/n' || r_regionkey FROM region),
+            urls AS (
+              SELECT 'http://r' || n_regionkey || '.com/private/n'
+                       || n_nationkey AS url,
+                     'r' || n_regionkey || '.com' AS h,
+                     '/private/n' || n_nationkey AS p FROM nation
+              UNION ALL
+              SELECT 'http://r' || n_regionkey || '.com/pub/n'
+                       || n_nationkey,
+                     'r' || n_regionkey || '.com',
+                     '/pub/n' || n_nationkey FROM nation),
+            j AS (
+              SELECT u.url, r.rule, r.path, len(r.path) AS l,
+                     CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END AS a
+              FROM urls u JOIN rules r
+                ON r.h = u.h AND starts_with(u.p, r.path)),
+            best AS (
+              SELECT url, rule, path FROM (
+                SELECT url, rule, path,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY l DESC, a DESC) AS rn
+                FROM j) WHERE rn = 1)
+            SELECT u.url,
+                   (CASE WHEN b.url IS NULL OR b.rule = 'allow'
+                         THEN 1 ELSE 0 END)::INT AS allowed,
+                   b.path AS matched_path, b.rule AS matched_rule
+            FROM urls u LEFT JOIN best b USING (url)
+            ORDER BY u.url
+        """,
         "readability": """
             WITH base AS (
               SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
