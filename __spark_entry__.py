@@ -2131,6 +2131,38 @@ def _q_crawl_permissions(spark, sf_dir):
     return crawl_permissions(urls, rules, agent="*").orderBy("url")
 
 
+def _q_sitemap_entries(spark, sf_dir):
+    """Sitemap XML frontier extraction (operators/robots.
+    sitemap_entries): one synthesized per-region sitemap with an entry
+    per nation — loc + optional lastmod (every third entry omits it).
+    nullable lastmod stays VARCHAR so the hash is NaN-safe."""
+    from climatemind_ontology_processing_spark.operators.robots import (
+        sitemap_entries)
+    n = _read(spark, sf_dir, "nation")
+    entry = F.concat(
+        F.lit("<url><loc>http://r"), F.col("n_regionkey").cast("string"),
+        F.lit(".com/n"), F.col("n_nationkey").cast("string"),
+        F.lit("</loc>"),
+        F.when(F.col("n_nationkey") % 3 != 0,
+               F.concat(F.lit("<lastmod>2024-01-"),
+                        F.lpad((F.col("n_nationkey") % 28 + 1)
+                               .cast("string"), 2, "0"),
+                        F.lit("</lastmod>"))).otherwise(F.lit("")),
+        F.lit("</url>"))
+    sm = (n.select(F.col("n_regionkey").alias("rk"),
+                   F.col("n_nationkey").alias("nk"), entry.alias("e"))
+          .groupBy("rk")
+          .agg(F.array_join(
+              F.transform(F.array_sort(F.collect_list(
+                  F.struct(F.col("nk"), F.col("e")))),
+                  lambda s: s.getField("e")), "").alias("body"))
+          .select(F.concat(F.lit("r"), F.col("rk").cast("string"),
+                           F.lit(".com")).alias("host"),
+                  F.concat(F.lit("<urlset>"), F.col("body"),
+                           F.lit("</urlset>")).alias("body")))
+    return sitemap_entries(sm).orderBy("host", "entry_idx")
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4965,6 +4997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acronym_pairs": _q_acronym_pairs,
         "readability": _q_readability,
         "crawl_permissions": _q_crawl_permissions,
+        "sitemap_entries": _q_sitemap_entries,
     }
 
 
@@ -5799,6 +5832,20 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pairs ORDER BY prev_type, next_type
         """,
         "lt_cascade": _lt_sql(),
+        "sitemap_entries": """
+            WITH ranked AS (
+              SELECT n_regionkey AS rk, n_nationkey AS nk,
+                     row_number() OVER (PARTITION BY n_regionkey
+                                        ORDER BY n_nationkey) - 1
+                       AS entry_idx
+              FROM nation)
+            SELECT 'r' || rk || '.com' AS host, entry_idx::INT AS entry_idx,
+                   'http://r' || rk || '.com/n' || nk AS loc,
+                   CASE WHEN nk % 3 <> 0 THEN
+                     '2024-01-' || lpad((nk % 28 + 1)::VARCHAR, 2, '0')
+                   END AS lastmod
+            FROM ranked ORDER BY host, entry_idx
+        """,
         "crawl_permissions": """
             WITH rules AS (
               SELECT 'r' || r_regionkey || '.com' AS h,

@@ -97,3 +97,29 @@ def crawl_permissions(urls: DataFrame, rules: DataFrame,
         .cast("int").alias("allowed"),
         F.when(matched, F.col("_b.path")).alias("matched_path"),
         F.when(matched, F.col("_b.rule")).alias("matched_rule"))
+
+
+SITEMAP_URL_PATTERN = r"(?is)<url>(.*?)</url>"
+_LOC = r"(?is)<loc>\s*(.*?)\s*</loc>"
+_LASTMOD = r"(?is)<lastmod>\s*(.*?)\s*</lastmod>"
+
+
+def sitemap_entries(sitemaps: DataFrame, host_col: str = "host",
+                    body_col: str = "body") -> DataFrame:
+    """(host, entry_idx, loc, lastmod) for every <url> entry of a
+    sitemap XML body — the crawl-frontier seed list.  lastmod is NULL
+    when absent; entries without a <loc> are dropped (an unlocatable
+    entry is noise).  Same portable-regex discipline as the robots
+    parser and html_table mining; document-order indices."""
+    entries = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.regexp_extract_all(
+            F.coalesce(F.col(body_col), F.lit("")),
+            F.lit(SITEMAP_URL_PATTERN), F.lit(1)))
+        .alias("entry_idx", "_e"))
+    loc = F.regexp_extract("_e", _LOC, 1)
+    lastmod = F.regexp_extract("_e", _LASTMOD, 1)
+    return (entries
+            .select("host", "entry_idx", loc.alias("loc"),
+                    F.when(lastmod != "", lastmod).alias("lastmod"))
+            .filter(F.col("loc") != ""))

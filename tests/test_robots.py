@@ -59,3 +59,18 @@ def test_crawl_permissions_specific_agent_and_tie_allow_wins(spark):
     urls = spark.createDataFrame([("http://h.com/a/x",)], "url string")
     got = crawl_permissions(urls, rules, agent="BOT").collect()[0]
     assert (got.allowed, got.matched_rule) == (1, "allow")
+
+
+def test_sitemap_entries(spark):
+    from climatemind_ontology_processing_spark.operators.robots import (
+        sitemap_entries)
+    body = ("<urlset><url><loc> http://h.com/a </loc>"
+            "<lastmod>2024-01-01</lastmod></url>"
+            "<url><loc>http://h.com/b</loc></url>"
+            "<url><lastmod>2024-02-02</lastmod></url></urlset>")
+    df = spark.createDataFrame([("h.com", body), ("x.com", None)],
+                               "host string, body string")
+    got = {(r.host, r.entry_idx): (r.loc, r.lastmod)
+           for r in sitemap_entries(df).collect()}
+    assert got == {("h.com", 0): ("http://h.com/a", "2024-01-01"),
+                   ("h.com", 1): ("http://h.com/b", None)}
