@@ -2163,6 +2163,33 @@ def _q_sitemap_entries(spark, sf_dir):
     return sitemap_entries(sm).orderBy("host", "entry_idx")
 
 
+def _q_table_profile(spark, sf_dir):
+    """One-pass per-column statistics of the orders table (operators/
+    profile.profile_table): null rates, distinct counts, stringified
+    extrema — the ANALYZE TABLE melt, one aggregate for all columns.
+    Timestamp extrema stringify differently across engines, so the
+    profile covers the five non-timestamp columns."""
+    from climatemind_ontology_processing_spark.operators.profile import (
+        profile_table)
+    o = _read(spark, sf_dir, "orders")
+    cols = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    return (profile_table(o.select(*cols)).orderBy("column"))
+
+
+def _q_k_anonymity(spark, sf_dir):
+    """k-anonymity census over quasi-identifiers (operators/profile.
+    k_anonymity_violations): customer (nation, mktsegment-ish bucket)
+    groups below k=5 — the re-identification risk list."""
+    from climatemind_ontology_processing_spark.operators.profile import (
+        k_anonymity_violations)
+    c = _read(spark, sf_dir, "customer")
+    qi = c.select(F.col("c_nationkey").cast("int").alias("nation"),
+                  F.floor(F.col("c_acctbal") / 1000).cast("int")
+                  .alias("bal_kb"))
+    return (k_anonymity_violations(qi, ("nation", "bal_kb"), k=5)
+            .orderBy("nation", "bal_kb"))
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -4998,6 +5025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "crawl_permissions": _q_crawl_permissions,
         "sitemap_entries": _q_sitemap_entries,
+        "table_profile": _q_table_profile,
+        "k_anonymity": _q_k_anonymity,
     }
 
 
@@ -5832,6 +5861,47 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pairs ORDER BY prev_type, next_type
         """,
         "lt_cascade": _lt_sql(),
+        "table_profile": """
+            WITH s AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_orderpriority FROM orders),
+            u AS (
+              SELECT 'o_custkey' AS col, count(*) AS n_rows,
+                     sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS n_nulls,
+                     count(DISTINCT o_custkey) AS n_distinct,
+                     min(o_custkey)::VARCHAR AS min_str,
+                     max(o_custkey)::VARCHAR AS max_str FROM s
+              UNION ALL
+              SELECT 'o_orderkey', count(*),
+                     sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+                     count(DISTINCT o_orderkey),
+                     min(o_orderkey)::VARCHAR, max(o_orderkey)::VARCHAR
+              FROM s
+              UNION ALL
+              SELECT 'o_orderpriority', count(*),
+                     sum(CASE WHEN o_orderpriority IS NULL
+                         THEN 1 ELSE 0 END),
+                     count(DISTINCT o_orderpriority),
+                     min(o_orderpriority), max(o_orderpriority) FROM s
+              UNION ALL
+              SELECT 'o_orderstatus', count(*),
+                     sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                     count(DISTINCT o_orderstatus),
+                     min(o_orderstatus), max(o_orderstatus) FROM s)
+            SELECT col AS "column", n_rows::BIGINT AS n_rows,
+                   n_nulls::BIGINT AS n_nulls,
+                   n_distinct::BIGINT AS n_distinct, min_str, max_str
+            FROM u ORDER BY col
+        """,
+        "k_anonymity": """
+            WITH qi AS (
+              SELECT c_nationkey::INT AS nation,
+                     floor(c_acctbal / 1000)::INT AS bal_kb
+              FROM customer)
+            SELECT nation, bal_kb, count(*)::BIGINT AS group_size
+            FROM qi GROUP BY 1, 2 HAVING count(*) < 5
+            ORDER BY nation, bal_kb
+        """,
         "sitemap_entries": """
             WITH ranked AS (
               SELECT n_regionkey AS rk, n_nationkey AS nk,
