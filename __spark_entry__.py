@@ -2190,6 +2190,29 @@ def _q_k_anonymity(spark, sf_dir):
             .orderBy("nation", "bal_kb"))
 
 
+def _q_quote_attributions(spark, sf_dir):
+    """Quote-attribution mining (operators/hearst.quote_attributions):
+    each part page plants one quote in each canonical order — 'Name
+    said: "..."' and '"...," said Name' — with the capitalized part
+    name as speaker; the miner must recover the planted dictionary with
+    n_matches 2 / n_docs 1 per part page (planted-facts oracle)."""
+    from climatemind_ontology_processing_spark.operators.hearst import (
+        quote_attributions)
+    p = _read(spark, sf_dir, "part")
+    w = F.transform(F.split("p_name", " "),
+                    lambda x: F.concat(F.upper(F.substring(x, 1, 1)),
+                                       F.substring(x, 2, 100)))
+    speaker = F.array_join(w, " ")
+    quote = F.concat(F.lit("the "), F.col("p_type"),
+                     F.lit(" line is ready"))
+    text = F.concat(speaker, F.lit(' said: "'), quote, F.lit('" and "'),
+                    quote, F.lit('," said '), speaker, F.lit(" today"))
+    docs = p.select(F.col("p_partkey").alias("doc_id"),
+                    text.alias("text"))
+    return (quote_attributions(docs)
+            .orderBy("speaker", "quote"))
+
+
 def _q_zorder_keys(spark, sf_dir):
     """Z-order layout keys (functions/zorder.zorder_key): Morton
     interleave of (nationkey, shifted integer account balance) at 16
@@ -5027,6 +5050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": _q_sitemap_entries,
         "table_profile": _q_table_profile,
         "k_anonymity": _q_k_anonymity,
+        "quote_attributions": _q_quote_attributions,
     }
 
 
@@ -5892,6 +5916,20 @@ def _oracle_sql_literal() -> dict[str, str]:
                    n_nulls::BIGINT AS n_nulls,
                    n_distinct::BIGINT AS n_distinct, min_str, max_str
             FROM u ORDER BY col
+        """,
+        "quote_attributions": """
+            WITH planted AS (
+              SELECT p_partkey AS doc_id,
+                     array_to_string(list_transform(
+                       string_split(p_name, ' '),
+                       x -> upper(x[1]) || x[2:]), ' ') AS speaker,
+                     'the ' || p_type || ' line is ready' AS quote
+              FROM part)
+            SELECT speaker, quote,
+                   (2 * count(*))::BIGINT AS n_matches,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM planted GROUP BY 1, 2
+            ORDER BY speaker, quote
         """,
         "k_anonymity": """
             WITH qi AS (

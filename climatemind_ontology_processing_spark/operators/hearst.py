@@ -150,3 +150,38 @@ def acronym_pairs(docs: DataFrame, text_col: str = "text",
     return (valid.groupBy("acronym", "expansion")
             .agg(F.count("*").cast("long").alias("n_matches"),
                  F.countDistinct(id_col).cast("long").alias("n_docs")))
+
+
+# --- quote attribution -------------------------------------------------------
+# (speaker, quote) evidence for provenance-bearing claim extraction:
+# both canonical surface orders, lookaround-free and lazy-free so Java
+# regex and RE2 agree.
+_NAME = r"[A-Z][a-z]+(?: [A-Z][a-z]+){0,2}"
+QUOTE_PRE_PATTERN = rf'({_NAME}) said[:,]? "([^"]{{5,300}})"'
+QUOTE_POST_PATTERN = rf'"([^"]{{5,300}})," said ({_NAME})'
+
+
+def quote_attributions(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(speaker, quote, n_matches, n_docs) for every attributed quote in
+    either canonical order — ``Name said: "..."`` or ``"...," said
+    Name`` — pooled corpus-wide with distinct-doc support (the
+    hypernym_counts aggregation shape).  Speaker = 1-3 Capitalized
+    words; quotes are unnested double-quote spans (nested/apostrophe
+    quoting is out of scope, documented)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def matches(pattern, sp_idx, q_idx):
+        z = F.arrays_zip(
+            F.regexp_extract_all(t, F.lit(pattern), F.lit(sp_idx)),
+            F.regexp_extract_all(t, F.lit(pattern), F.lit(q_idx)))
+        return docs.select(F.col(id_col), F.explode(z).alias("m")) \
+            .select(id_col, F.col("m").getField("0").alias("speaker"),
+                    F.col("m").getField("1").alias("quote"))
+
+    pre = matches(QUOTE_PRE_PATTERN, 1, 2)
+    post = (matches(QUOTE_POST_PATTERN, 2, 1))
+    return (pre.unionByName(post)
+            .groupBy("speaker", "quote")
+            .agg(F.count("*").cast("long").alias("n_matches"),
+                 F.countDistinct(id_col).cast("long").alias("n_docs")))

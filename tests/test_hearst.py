@@ -112,3 +112,22 @@ def test_acronym_pairs_validation(spark):
         ("IRS", "Internal Revenue Service"): (1, 1),
         ("ML", "Machine Learning"): (1, 1),
     }
+
+
+def test_quote_attributions_both_orders(spark):
+    from climatemind_ontology_processing_spark.operators.hearst import (
+        quote_attributions)
+    rows = [
+        (0, 'Jane Doe said: "the model improved" and later '
+            '"costs went down," said Bob Smith'),
+        (1, 'Jane Doe said "the model improved" again'),
+        (2, 'nobody said "anything attributable here'),   # unclosed
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.speaker, r.quote): (r.n_matches, r.n_docs)
+           for r in quote_attributions(docs).collect()}
+    assert got == {
+        ("Jane Doe", "the model improved"): (2, 2),
+        ("Bob Smith", "costs went down"): (1, 1),
+    }
