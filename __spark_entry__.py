@@ -3071,6 +3071,51 @@ def _q_schema_graph(spark, sf_dir):
             .orderBy("subj_type", "pred", "obj_type"))
 
 
+def _q_coreness(spark, sf_dir):
+    """Full core decomposition of the sparse undirected trade subgraph
+    (operators/graphstats.coreness): degrees hammered by the H-operator
+    to the fixed point, which is the core number (Lü et al. 2016).
+    Oracle unrolls 10 H-iteration rounds — monotone non-increasing, so
+    rounds past convergence are no-ops and 10 >= the measured
+    convergence depth at every tested SF."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        coreness)
+    edges = (_trade_edges(spark, sf_dir)
+             .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0))
+    return (coreness(edges)
+            .select(F.col("id").cast("int").alias("id"), "coreness")
+            .orderBy("id"))
+
+
+def _coreness_sql(rounds: int = 10) -> str:
+    steps = []
+    prev = "v0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+        v{i} AS MATERIALIZED (
+          SELECT a AS id, max(least(c, rn))::BIGINT AS c FROM (
+            SELECT s.a, v.c,
+                   row_number() OVER (PARTITION BY s.a
+                                      ORDER BY v.c DESC, s.b ASC) AS rn
+            FROM sym s JOIN {prev} v ON v.id = s.b)
+          GROUP BY a)""")
+        prev = f"v{i}"
+    return f"""
+        WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+        sparse AS (SELECT src, dst FROM all_edges
+                   WHERE (src * 31 + dst) % 7 = 0),
+        e AS (SELECT DISTINCT least(src, dst) AS lo,
+                     greatest(src, dst) AS hi
+              FROM sparse WHERE least(src, dst) <> greatest(src, dst)),
+        sym AS MATERIALIZED (SELECT lo AS a, hi AS b FROM e
+                             UNION ALL SELECT hi, lo FROM e),
+        v0 AS MATERIALIZED (
+          SELECT a AS id, count(*)::BIGINT AS c FROM sym GROUP BY a),
+        {",".join(steps)}
+        SELECT id::INT AS id, c AS coreness FROM {prev} ORDER BY id
+    """
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -5051,6 +5096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _q_table_profile,
         "k_anonymity": _q_k_anonymity,
         "quote_attributions": _q_quote_attributions,
+        "coreness": _q_coreness,
     }
 
 
@@ -5884,6 +5930,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                      ::BIGINT AS p_micro
             FROM pairs ORDER BY prev_type, next_type
         """,
+        "coreness": _coreness_sql(),
         "lt_cascade": _lt_sql(),
         "table_profile": """
             WITH s AS (SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -15,7 +15,7 @@ standard MapReduce triangle trick).
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -901,3 +901,46 @@ def lt_cascade(edges: DataFrame, seeds: DataFrame, src: str = "src",
     raise RuntimeError(
         f"lt_cascade still activating after max_rounds={max_rounds} — "
         "raise the cap (monotone cascades need at most |V| rounds)")
+
+
+def coreness(edges: DataFrame, src: str = "src", dst: str = "dst",
+             max_rounds: int = 100) -> DataFrame:
+    """FULL core decomposition — (id, coreness) for every node — via the
+    H-operator iteration (Lü, Zhou, Zhang & Stanley 2016, "The H-index
+    of a network node"): start from degrees and repeatedly replace each
+    node's value with the H-INDEX of its neighbors' values (the largest
+    h such that >= h neighbors hold value >= h); the fixed point IS the
+    core number.  Monotone non-increasing, so convergence is detectable
+    (no change) and extra rounds are no-ops; loud RuntimeError on cap.
+
+    Per round: one join of values to the symmetrized edges + one
+    per-node window (H = max over the value-desc ranking of
+    min(value, rank) — the classic H-index identity).  The window
+    partitions by node, so cost is bounded by the max degree: salt or
+    pre-cap mega-hubs upstream if one node's adjacency cannot sit in a
+    task.  Unlike iterative peeling (|V| sequential rounds worst case),
+    H-iteration converges in O(diameter)-ish rounds in practice."""
+    e = (undirected_canonical(edges, src, dst)
+         .localCheckpoint(eager=True))
+    sym = (e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+           .unionByName(e.select(F.col("hi").alias("a"),
+                                 F.col("lo").alias("b"))))
+    vals = (sym.groupBy(F.col("a").alias("id"))
+            .agg(F.count("*").cast("long").alias("c"))
+            .localCheckpoint(eager=True))
+    w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("b"))
+    for _ in range(max_rounds):
+        nbr = sym.join(vals.select(F.col("id").alias("b"), "c"), "b")
+        h = (nbr.withColumn("_rn", F.row_number().over(w))
+             .groupBy(F.col("a").alias("id"))
+             .agg(F.max(F.least(F.col("c"), F.col("_rn")))
+                  .cast("long").alias("c")))
+        new = h.localCheckpoint(eager=True)
+        changed = (new.join(vals.withColumnRenamed("c", "_old"), "id")
+                   .filter(F.col("c") != F.col("_old")))
+        if changed.isEmpty():
+            return new.select("id", F.col("c").alias("coreness"))
+        vals = new
+    raise RuntimeError(
+        f"coreness H-iteration did not converge within max_rounds="
+        f"{max_rounds} — raise the cap")

@@ -653,3 +653,36 @@ def test_lt_cascade_guards(spark):
                                  "src int, dst int, w int")
     with pytest.raises(RuntimeError, match="still activating"):
         lt_cascade(edf2, sdf, max_rounds=1)
+
+
+# ---------------------------------------------------------------------------
+# coreness — full core decomposition via H-index iteration
+# ---------------------------------------------------------------------------
+def test_coreness_matches_networkx(spark):
+    import networkx as nx
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        coreness)
+    edges = [((i * 7) % 25, (i * 11 + 3) % 25) for i in range(70)]
+    g = nx.Graph((u, v) for u, v in edges if u != v)
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.id: r.coreness for r in coreness(df).collect()}
+    assert got == nx.core_number(g)
+
+
+def test_coreness_clique_plus_tail(spark):
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        coreness)
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    tail = [(3, 10), (10, 11)]
+    df = spark.createDataFrame(clique + tail, "src int, dst int")
+    got = {r.id: r.coreness for r in coreness(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1}
+
+
+def test_coreness_cap_raises(spark):
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        coreness)
+    df = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                               "src int, dst int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        coreness(df, max_rounds=1)
