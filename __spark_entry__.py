@@ -3116,6 +3116,22 @@ def _coreness_sql(rounds: int = 10) -> str:
     """
 
 
+def _q_nation_mixing(spark, sf_dir):
+    """Nominal assortativity of the trade graph under the nation→region
+    labeling (operators/graphstats.nominal_assortativity, Newman 2003):
+    do nations trade within their region?  Exact rational (m, r_num,
+    r_den) in DECIMAL(38,0) — the modularity convention."""
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        nominal_assortativity)
+    edges = _trade_edges(spark, sf_dir)
+    labels = (_read(spark, sf_dir, "nation")
+              .select(F.col("n_nationkey").cast("int").alias("id"),
+                      F.col("n_regionkey").cast("int").alias("label")))
+    return (nominal_assortativity(edges, labels)
+            .select("m", F.col("r_num").cast("string").alias("r_num"),
+                    F.col("r_den").cast("string").alias("r_den")))
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -5097,6 +5113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q_k_anonymity,
         "quote_attributions": _q_quote_attributions,
         "coreness": _q_coreness,
+        "nation_mixing": _q_nation_mixing,
     }
 
 
@@ -5929,6 +5946,29 @@ def _oracle_sql_literal() -> dict[str, str]:
                    ((n * 1000000) // sum(n) OVER (PARTITION BY prev_type))
                      ::BIGINT AS p_micro
             FROM pairs ORDER BY prev_type, next_type
+        """,
+        "nation_mixing": f"""
+            WITH e AS ({_TRADE_SQL}),
+            lab AS (SELECT n_nationkey::INT AS id, n_regionkey::INT AS l
+                    FROM nation),
+            qg AS (
+              SELECT ls.l AS gs, ld.l AS gd, count(*)::BIGINT AS n
+              FROM e JOIN lab ls ON ls.id = e.src
+                     JOIN lab ld ON ld.id = e.dst
+              GROUP BY 1, 2),
+            ab AS (
+              SELECT sum(r.rs::HUGEINT * c.cs) AS ab FROM
+                (SELECT gs AS g, sum(n) AS rs FROM qg GROUP BY 1) r
+                JOIN (SELECT gd AS g, sum(n) AS cs FROM qg GROUP BY 1) c
+                USING (g)),
+            tot AS (SELECT sum(n)::BIGINT AS m,
+                           sum(CASE WHEN gs = gd THEN n ELSE 0 END)
+                             ::BIGINT AS diag
+                    FROM qg)
+            SELECT m,
+                   (m::HUGEINT * diag - ab.ab)::VARCHAR AS r_num,
+                   (m::HUGEINT * m - ab.ab)::VARCHAR AS r_den
+            FROM tot CROSS JOIN ab
         """,
         "coreness": _coreness_sql(),
         "lt_cascade": _lt_sql(),

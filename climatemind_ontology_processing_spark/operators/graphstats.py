@@ -944,3 +944,43 @@ def coreness(edges: DataFrame, src: str = "src", dst: str = "dst",
     raise RuntimeError(
         f"coreness H-iteration did not converge within max_rounds="
         f"{max_rounds} — raise the cap")
+
+
+def nominal_assortativity(edges: DataFrame, labels: DataFrame,
+                          src: str = "src", dst: str = "dst",
+                          id_col: str = "id",
+                          label_col: str = "label") -> DataFrame:
+    """Nominal (categorical) assortativity coefficient (Newman 2003,
+    "Mixing patterns in networks") over a node labeling, EXACT rational:
+
+        r = (m * sum_i E_ii - sum_i row_i * col_i)
+            / (m^2        - sum_i row_i * col_i)
+
+    where E_ij counts directed edges from label i to label j, row/col
+    are its marginals and m the total edge count — returned as one row
+    (m, r_num, r_den) in DECIMAL(38,0) (m^2 overflows BIGINT at
+    web-scale m; the ``modularity`` convention).  r = 1 iff all edges
+    stay within their label; 0 at random mixing.  Built on
+    :func:`quotient_graph`, so it inherits the loud unlabeled-node
+    guard; everything after the rollup is label-count-sized."""
+    qg = quotient_graph(edges, labels, src, dst, id_col, label_col) \
+        .select("g_src", "g_dst", "n_edges")
+    row = qg.groupBy(F.col("g_src").alias("g")) \
+        .agg(F.sum("n_edges").alias("_r"))
+    col = qg.groupBy(F.col("g_dst").alias("g")) \
+        .agg(F.sum("n_edges").alias("_c"))
+    ab = (row.join(col, "g")
+          .agg(F.sum(F.col("_r").cast("decimal(38,0)") * F.col("_c"))
+               .cast("decimal(38,0)").alias("_ab")))
+    tot = qg.agg(
+        F.sum("n_edges").cast("long").alias("m"),
+        F.sum(F.when(F.col("g_src") == F.col("g_dst"),
+                     F.col("n_edges")).otherwise(F.lit(0)))
+        .cast("long").alias("_diag"))
+    md = F.col("m").cast("decimal(38,0)")
+    return (tot.crossJoin(ab)
+            .select("m",
+                    (md * F.col("_diag") - F.col("_ab"))
+                    .cast("decimal(38,0)").alias("r_num"),
+                    (md * md - F.col("_ab"))
+                    .cast("decimal(38,0)").alias("r_den")))

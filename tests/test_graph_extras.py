@@ -686,3 +686,38 @@ def test_coreness_cap_raises(spark):
                                "src int, dst int")
     with pytest.raises(RuntimeError, match="did not converge"):
         coreness(df, max_rounds=1)
+
+
+def test_nominal_assortativity_closed_forms(spark):
+    from fractions import Fraction
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        nominal_assortativity)
+    labels = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "y")], "id int, label string")
+    # perfectly assortative: every edge intra-label -> r = 1
+    intra = spark.createDataFrame([(1, 2, ), (2, 1), (3, 4)],
+                                  "src int, dst int")
+    r = nominal_assortativity(intra, labels).collect()[0]
+    assert Fraction(int(r.r_num), int(r.r_den)) == 1
+    # perfectly disassortative 2-label case -> r = -1
+    inter = spark.createDataFrame([(1, 3), (3, 1), (2, 4), (4, 2)],
+                                  "src int, dst int")
+    r = nominal_assortativity(inter, labels).collect()[0]
+    assert Fraction(int(r.r_num), int(r.r_den)) == -1
+
+
+def test_nominal_assortativity_matches_networkx(spark):
+    import networkx as nx
+    from climatemind_ontology_processing_spark.operators.graphstats import (
+        nominal_assortativity)
+    edges = [((i * 3) % 10, (i * 7 + 1) % 10) for i in range(25)]
+    edges = [(u, v) for u, v in edges if u != v]
+    lab = {n: "abc"[n % 3] for n in range(10)}
+    g = nx.DiGraph()
+    g.add_edges_from(set(edges))
+    nx.set_node_attributes(g, lab, "l")
+    want = nx.attribute_assortativity_coefficient(g, "l")
+    df = spark.createDataFrame(sorted(set(edges)), "src int, dst int")
+    ldf = spark.createDataFrame(sorted(lab.items()), "id int, label string")
+    r = nominal_assortativity(df, ldf).collect()[0]
+    assert abs(int(r.r_num) / int(r.r_den) - want) < 1e-12
