@@ -3132,6 +3132,54 @@ def _q_nation_mixing(spark, sf_dir):
                     F.col("r_den").cast("string").alias("r_den")))
 
 
+def _q_dag_paths(spark, sf_dir):
+    """Exact path counts in the orientation DAG of the sparse trade
+    graph (operators/paths.dag_path_counts — edges kept only src < dst,
+    provably acyclic): BIGINT DP from the in-degree-0 sources, loud on
+    overflow/cycles.  Oracle unrolls 24 walk rounds (node count bounds
+    the longest path) and sums them."""
+    from climatemind_ontology_processing_spark.operators.paths import (
+        dag_path_counts)
+    edges = (_trade_edges(spark, sf_dir)
+             .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0)
+             .filter(F.col("src") < F.col("dst")))
+    nodes = (edges.select(F.col("src").alias("id"))
+             .unionByName(edges.select(F.col("dst").alias("id")))
+             .distinct())
+    sources = nodes.join(edges.select(F.col("dst").alias("id")),
+                         "id", "left_anti")
+    return (dag_path_counts(edges, sources)
+            .select(F.col("id").cast("int").alias("id"), "n_paths")
+            .orderBy("id"))
+
+
+def _dag_paths_sql(rounds: int = 24) -> str:
+    steps = []
+    walks = ["SELECT id, w FROM w0"]
+    prev = "w0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+        w{i} AS MATERIALIZED (
+          SELECT e.dst AS id, sum(p.w)::BIGINT AS w
+          FROM {prev} p JOIN e ON e.src = p.id GROUP BY 1)""")
+        walks.append(f"SELECT id, w FROM w{i}")
+        prev = f"w{i}"
+    return f"""
+        WITH all_edges AS MATERIALIZED ({_TRADE_SQL}),
+        e AS MATERIALIZED (
+          SELECT src, dst FROM all_edges
+          WHERE (src * 31 + dst) % 7 = 0 AND src < dst),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        w0 AS MATERIALIZED (
+          SELECT id, 1::BIGINT AS w FROM nodes
+          WHERE id NOT IN (SELECT dst FROM e)),
+        {",".join(steps)}
+        SELECT id::INT AS id, sum(w)::BIGINT AS n_paths
+        FROM ({" UNION ALL ".join(walks)})
+        GROUP BY 1 ORDER BY id
+    """
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -5114,6 +5162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quote_attributions": _q_quote_attributions,
         "coreness": _q_coreness,
         "nation_mixing": _q_nation_mixing,
+        "dag_paths": _q_dag_paths,
     }
 
 
@@ -5970,6 +6019,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (m::HUGEINT * m - ab.ab)::VARCHAR AS r_den
             FROM tot CROSS JOIN ab
         """,
+        "dag_paths": _dag_paths_sql(),
         "coreness": _coreness_sql(),
         "lt_cascade": _lt_sql(),
         "table_profile": """

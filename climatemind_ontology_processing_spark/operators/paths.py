@@ -238,3 +238,54 @@ def earliest_arrival(edges: DataFrame, seeds: DataFrame | list,
     raise RuntimeError(
         f"earliest_arrival did not converge within max_rounds="
         f"{max_rounds} — the temporal hop diameter exceeds the cap")
+
+
+def dag_path_counts(edges: DataFrame, sources: DataFrame | list,
+                    src: str = "src", dst: str = "dst",
+                    max_rounds: int = 100,
+                    max_count: int = 2 ** 62) -> DataFrame:
+    """(id, n_paths) — the EXACT number of distinct directed paths from
+    any source to each reachable node, for a DAG: the layered dynamic
+    program walks_t = Aᵀ·walks_{t-1} summed over t (in a DAG every walk
+    is a path and walks vanish past the longest path length).  Sources
+    count their empty path (n_paths includes 1 for the source itself).
+
+    All BIGINT: path counts explode combinatorially, so every round
+    checks ``max_count`` and RAISES on breach (a silently wrapped count
+    is worse than no count); a frontier still alive at ``max_rounds``
+    also raises — on a DAG that means the cap is below the longest
+    path, on anything else it means a CYCLE (walk counts never drain).
+    Per round: one join + one map-side-combinable sum — the
+    shortest_paths relaxation shape with + instead of min."""
+    e = _checkpoint(edges.select(F.col(src).alias("u"),
+                                 F.col(dst).alias("v"))
+                    .filter(F.col("u").isNotNull()
+                            & F.col("v").isNotNull()).distinct())
+    spark = edges.sparkSession
+    if isinstance(sources, list):
+        t = e.schema["u"].dataType.simpleString()
+        sources = spark.createDataFrame(
+            [(s,) for s in sorted(set(sources))], f"id {t}")
+    cur = _checkpoint(sources.select(
+        "id", F.lit(1).cast("long").alias("w")))
+    total = cur
+    for _ in range(max_rounds):
+        nxt = _checkpoint(
+            e.join(cur.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("w").alias("w")))
+        if nxt.isEmpty():
+            return (total.groupBy("id")
+                    .agg(F.sum("w").alias("n_paths")))
+        overflow = nxt.filter(F.col("w") > max_count)
+        if not overflow.isEmpty():
+            raise RuntimeError(
+                "dag_path_counts: a path count exceeded max_count="
+                f"{max_count} — combinatorial explosion; count on a "
+                "restricted subgraph")
+        total = _checkpoint(total.unionByName(nxt))
+        cur = nxt
+    raise RuntimeError(
+        f"dag_path_counts: walks still alive after max_rounds="
+        f"{max_rounds} — longest path exceeds the cap, or the graph "
+        "has a CYCLE (walk counts never drain on cycles)")

@@ -1918,3 +1918,54 @@ def test_readability_monotone_in_complexity(spark):
         "doc_id long, text string")
     got = {r.doc_id: r.fre_micro for r in readability(docs).collect()}
     assert got[0] > got[1]
+
+
+# ---------------------------------------------------------------------------
+# dag_path_counts — exact path-count DP
+# ---------------------------------------------------------------------------
+def test_dag_path_counts_diamond(spark):
+    from climatemind_ontology_processing_spark.operators.paths import (
+        dag_path_counts)
+    # diamond a->{b,c}->d plus tail d->e: 2 paths to d and e
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id: r.n_paths for r in dag_path_counts(df, ["a"]).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 2, "e": 2}
+
+
+def test_dag_path_counts_brute_force(spark):
+    from climatemind_ontology_processing_spark.operators.paths import (
+        dag_path_counts)
+    edges = sorted({(i, j) for i in range(10) for j in range(i + 1, 10)
+                    if (i * 7 + j * 3) % 4 == 0})
+    df = spark.createDataFrame(edges, "src int, dst int")
+    from collections import defaultdict
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+
+    def count(frm):
+        c = defaultdict(int)
+
+        def rec(n):
+            c[n] += 1
+            for m in adj[n]:
+                rec(m)
+        rec(frm)
+        return c
+    want = defaultdict(int)
+    for s in (0, 1):
+        for n, k in count(s).items():
+            want[n] += k
+    got = {r.id: r.n_paths
+           for r in dag_path_counts(df, [0, 1]).collect()}
+    assert got == dict(want)
+
+
+def test_dag_path_counts_cycle_raises(spark):
+    from climatemind_ontology_processing_spark.operators.paths import (
+        dag_path_counts)
+    df = spark.createDataFrame([("a", "b"), ("b", "a")],
+                               "src string, dst string")
+    with pytest.raises(RuntimeError, match="CYCLE|max_rounds"):
+        dag_path_counts(df, ["a"], max_rounds=10)
