@@ -3180,6 +3180,82 @@ def _dag_paths_sql(rounds: int = 24) -> str:
     """
 
 
+def _q_single_linkage(spark, sf_dir):
+    """Exact single-linkage clustering into 4 groups on the sparse trade
+    graph with md5_60 weights (operators/mst.single_linkage_clusters):
+    MSF, cut the 3 heaviest forest edges, components of the rest — the
+    MST↔single-linkage duality.  Oracle composes the cycle-property MSF
+    with the same deterministic cut and a recursive-CTE CC."""
+    from climatemind_ontology_processing_spark.operators.mst import (
+        single_linkage_clusters)
+    edges = (_trade_edges(spark, sf_dir)
+             .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0)
+             .select(F.least("src", "dst").alias("lo"),
+                     F.greatest("src", "dst").alias("hi"))
+             .filter(F.col("lo") != F.col("hi")).distinct())
+    weighted = edges.select(
+        "lo", "hi",
+        F.conv(F.substring(F.md5(F.concat_ws("|", "lo", "hi")), 1, 15),
+               16, 10).cast("long").alias("weight"))
+    return (single_linkage_clusters(weighted, 4, src="lo", dst="hi")
+            .select(F.col("id").cast("int").alias("id"),
+                    F.col("cluster").cast("int").alias("cluster"))
+            .orderBy("id"))
+
+
+def _single_linkage_sql(k: int = 4) -> str:
+    return f"""
+        WITH RECURSIVE all_edges AS MATERIALIZED ({_TRADE_SQL}),
+        sparse AS (SELECT src, dst FROM all_edges
+                   WHERE (src * 31 + dst) % 7 = 0),
+        e AS (SELECT DISTINCT least(src, dst) AS lo,
+                     greatest(src, dst) AS hi
+              FROM sparse WHERE least(src, dst) <> greatest(src, dst)),
+        we AS (SELECT lo, hi,
+                      ('0x' || substring(md5(lo || '|' || hi), 1, 15))
+                        ::BIGINT AS w
+               FROM e),
+        symw AS (SELECT lo AS a, hi AS b, w, lo, hi FROM we
+                 UNION ALL SELECT hi, lo, w, lo, hi FROM we),
+        reach(clo, chi, node) AS (
+          SELECT lo, hi, lo FROM we
+          UNION
+          SELECT r.clo, r.chi, s.b
+          FROM reach r
+          JOIN symw s ON s.a = r.node
+          JOIN we c ON c.lo = r.clo AND c.hi = r.chi
+          WHERE (s.w, s.lo, s.hi) < (c.w, c.lo, c.hi)
+        ),
+        msf AS MATERIALIZED (
+          SELECT c.lo, c.hi, c.w FROM we c
+          WHERE NOT EXISTS (SELECT 1 FROM reach r
+                            WHERE r.clo = c.lo AND r.chi = c.hi
+                              AND r.node = c.hi)),
+        cut AS (SELECT lo, hi FROM msf
+                ORDER BY w DESC, lo DESC, hi DESC LIMIT {k - 1}),
+        kept AS (SELECT m.lo, m.hi FROM msf m
+                 WHERE NOT EXISTS (SELECT 1 FROM cut c
+                                   WHERE c.lo = m.lo AND c.hi = m.hi)),
+        -- CLAUDE.md: inside WITH RECURSIVE, non-recursive UNION does
+        -- not dedupe across arms in DuckDB 1.0 — use DISTINCT+UNION ALL
+        nodes AS (SELECT DISTINCT id FROM (
+          SELECT lo AS id FROM e UNION ALL SELECT hi FROM e)),
+        symk AS (SELECT DISTINCT a, b FROM (
+          SELECT lo AS a, hi AS b FROM kept
+          UNION ALL SELECT hi, lo FROM kept)),
+        cc(id, r) AS (
+          SELECT a, a FROM symk
+          UNION
+          SELECT c2.id, s.b FROM cc c2 JOIN symk s ON s.a = c2.r)
+        SELECT n.id::INT AS id,
+               coalesce(m.comp, n.id)::INT AS cluster
+        FROM nodes n LEFT JOIN (
+          SELECT id, min(r) AS comp FROM cc GROUP BY id) m
+          ON m.id = n.id
+        ORDER BY n.id
+    """
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -5163,6 +5239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": _q_coreness,
         "nation_mixing": _q_nation_mixing,
         "dag_paths": _q_dag_paths,
+        "single_linkage": _q_single_linkage,
     }
 
 
@@ -6019,6 +6096,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (m::HUGEINT * m - ab.ab)::VARCHAR AS r_den
             FROM tot CROSS JOIN ab
         """,
+        "single_linkage": _single_linkage_sql(),
         "dag_paths": _dag_paths_sql(),
         "coreness": _coreness_sql(),
         "lt_cascade": _lt_sql(),

@@ -219,3 +219,61 @@ def test_partition_stats_unmapped_raises(spark):
     mp = spark.createDataFrame([(1, "a")], "id int, rep string")
     with pytest.raises(Exception, match="unmapped node"):
         partition_stats(df, mp).collect()
+
+
+def test_single_linkage_two_tight_groups(spark):
+    from climatemind_ontology_processing_spark.operators.mst import (
+        single_linkage_clusters)
+    a = [(1, 2, 1), (2, 3, 2), (1, 3, 3)]
+    b = [(10, 11, 1), (11, 12, 2)]
+    bridge = [(3, 10, 100)]
+    df = spark.createDataFrame(a + b + bridge,
+                               "src int, dst int, weight int")
+    got = {r.id: r.cluster
+           for r in single_linkage_clusters(df, 2).collect()}
+    assert {got[1], got[2], got[3]} == {got[1]}
+    assert {got[10], got[11], got[12]} == {got[10]}
+    assert got[1] != got[10]
+    one = {r.id: r.cluster
+           for r in single_linkage_clusters(df, 1).collect()}
+    assert len(set(one.values())) == 1
+
+
+def test_single_linkage_matches_scipy_style_reference(spark):
+    """Cut count k yields exactly the components of the MSF minus its
+    k-1 heaviest edges — cross-checked against the Kruskal reference."""
+    from climatemind_ontology_processing_spark.operators.mst import (
+        single_linkage_clusters)
+    edges = [((i * 7) % 20, (i * 13 + 3) % 20, (i * 31) % 97 + 1)
+             for i in range(60)]
+    df = spark.createDataFrame(edges, "src int, dst int, weight int")
+    msf = sorted(_nx_msf(edges), key=lambda e: (e[2], e[0], e[1]))
+    kept = msf[:-3]  # cut 3 heaviest -> 4 clusters (graph is connected)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    nodes = {n for u, v, _ in edges for n in (u, v)}
+    for n in nodes:
+        find(n)
+    for lo, hi, _ in kept:
+        ra, rb = find(lo), find(hi)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+    got = {r.id: r.cluster
+           for r in single_linkage_clusters(df, 4).collect()}
+    # same partition (representative choice may differ in principle,
+    # but both use min-id; compare as partitions to be safe)
+    gsets = {}
+    for n, c in got.items():
+        gsets.setdefault(c, set()).add(n)
+    wsets = {}
+    for n, c in want.items():
+        wsets.setdefault(c, set()).add(n)
+    assert sorted(map(sorted, gsets.values())) == \
+        sorted(map(sorted, wsets.values()))
