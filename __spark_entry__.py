@@ -3256,6 +3256,22 @@ def _single_linkage_sql(k: int = 4) -> str:
     """
 
 
+def _q_diameter_bound(spark, sf_dir):
+    """Double-sweep diameter lower bound of the sparse undirected trade
+    subgraph (operators/paths.double_sweep_diameter): two BFS sweeps
+    instead of |V|.  Oracle enumerates BFS (node, depth) states twice in
+    recursive CTEs with the same deterministic farthest-node pick."""
+    from climatemind_ontology_processing_spark.operators.paths import (
+        double_sweep_diameter)
+    edges = (_trade_edges(spark, sf_dir)
+             .filter((F.col("src") * 31 + F.col("dst")) % 7 == 0))
+    return (double_sweep_diameter(edges)
+            .select(F.col("start").cast("int").alias("start"),
+                    F.col("far_node").cast("int").alias("far_node"),
+                    F.col("diameter_lb").cast("long")
+                    .alias("diameter_lb")))
+
+
 def _q_pred_signatures(spark, sf_dir):
     """Predicate schema induction (operators/rules.pred_signatures): one
     row per predicate with triple/distinct-subject/object counts,
@@ -5240,6 +5256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_mixing": _q_nation_mixing,
         "dag_paths": _q_dag_paths,
         "single_linkage": _q_single_linkage,
+        "diameter_bound": _q_diameter_bound,
     }
 
 
@@ -6095,6 +6112,33 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (m::HUGEINT * diag - ab.ab)::VARCHAR AS r_num,
                    (m::HUGEINT * m - ab.ab)::VARCHAR AS r_den
             FROM tot CROSS JOIN ab
+        """,
+        "diameter_bound": f"""
+            WITH RECURSIVE all_edges AS MATERIALIZED ({_TRADE_SQL}),
+            sparse AS (SELECT src, dst FROM all_edges
+                       WHERE (src * 31 + dst) % 7 = 0),
+            sym AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+              SELECT src AS a, dst AS b FROM sparse WHERE src <> dst
+              UNION ALL
+              SELECT dst, src FROM sparse WHERE src <> dst)),
+            s0 AS (SELECT min(a) AS id FROM sym),
+            r1(node, d) AS (
+              SELECT id, 0::BIGINT FROM s0
+              UNION
+              SELECT s.b, r.d + 1 FROM r1 r JOIN sym s ON s.a = r.node
+              WHERE r.d < 100),
+            d1 AS (SELECT node, min(d) AS dist FROM r1 GROUP BY node),
+            far AS (SELECT node FROM d1
+                    ORDER BY dist DESC, node ASC LIMIT 1),
+            r2(node, d) AS (
+              SELECT node, 0::BIGINT FROM far
+              UNION
+              SELECT s.b, r.d + 1 FROM r2 r JOIN sym s ON s.a = r.node
+              WHERE r.d < 100),
+            d2 AS (SELECT node, min(d) AS dist FROM r2 GROUP BY node)
+            SELECT s0.id::INT AS start, far.node::INT AS far_node,
+                   (SELECT max(dist) FROM d2)::BIGINT AS diameter_lb
+            FROM s0 CROSS JOIN far
         """,
         "single_linkage": _single_linkage_sql(),
         "dag_paths": _dag_paths_sql(),

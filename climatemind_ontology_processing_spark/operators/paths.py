@@ -289,3 +289,39 @@ def dag_path_counts(edges: DataFrame, sources: DataFrame | list,
         f"dag_path_counts: walks still alive after max_rounds="
         f"{max_rounds} — longest path exceeds the cap, or the graph "
         "has a CYCLE (walk counts never drain on cycles)")
+
+
+def double_sweep_diameter(edges: DataFrame, src: str = "src",
+                          dst: str = "dst",
+                          start=None, max_rounds: int = 100) -> DataFrame:
+    """Diameter LOWER BOUND via the double-sweep heuristic
+    (Magnien, Latapy & Habib 2009): BFS from a start node, move to the
+    farthest node found (ties: smaller id), BFS again — the second
+    sweep's eccentricity lower-bounds the diameter, is EXACT on trees
+    and empirically tight on real graphs, for the cost of two BFS
+    instead of |V|.  Undirected (edges symmetrized); unreachable
+    components are simply not seen — run once per component for a
+    global bound.  Returns ONE row (start, far_node, diameter_lb).
+
+    The only driver-side value is the single argmax row between sweeps
+    (algorithmically tiny); both sweeps are :func:`shortest_paths`
+    frontier relaxations."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u").isNotNull() & F.col("v").isNotNull()
+                 & (F.col("u") != F.col("v"))))
+    sym = e.unionByName(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v"))).distinct() \
+        .localCheckpoint(eager=True)
+    if start is None:
+        start = sym.agg(F.min("u")).collect()[0][0]
+    d1 = shortest_paths(sym, [start], src="u", dst="v",
+                        max_rounds=max_rounds)
+    far = d1.orderBy(F.desc("dist"), F.asc("id")).first()
+    d2 = shortest_paths(sym, [far.id], src="u", dst="v",
+                        max_rounds=max_rounds)
+    spark = edges.sparkSession
+    lb = d2.agg(F.max("dist").alias("diameter_lb"))
+    t = sym.schema["u"].dataType.simpleString()
+    meta = spark.createDataFrame([(start, far.id)],
+                                 f"start {t}, far_node {t}")
+    return meta.crossJoin(lb)

@@ -1969,3 +1969,30 @@ def test_dag_path_counts_cycle_raises(spark):
                                "src string, dst string")
     with pytest.raises(RuntimeError, match="CYCLE|max_rounds"):
         dag_path_counts(df, ["a"], max_rounds=10)
+
+
+# ---------------------------------------------------------------------------
+# double_sweep_diameter
+# ---------------------------------------------------------------------------
+def test_double_sweep_exact_on_path_graph(spark):
+    from climatemind_ontology_processing_spark.operators.paths import (
+        double_sweep_diameter)
+    df = spark.createDataFrame([(i, i + 1) for i in range(7)],
+                               "src int, dst int")
+    r = double_sweep_diameter(df).collect()[0]
+    assert r.diameter_lb == 7          # exact on trees
+    assert r.far_node in (0, 7)
+
+
+def test_double_sweep_lower_bounds_networkx_diameter(spark):
+    import networkx as nx
+    from climatemind_ontology_processing_spark.operators.paths import (
+        double_sweep_diameter)
+    edges = sorted({((i * 7) % 15, (i * 11 + 2) % 15) for i in range(40)})
+    g = nx.Graph((u, v) for u, v in edges if u != v)
+    g = g.subgraph(max(nx.connected_components(g), key=len))
+    df = spark.createDataFrame(edges, "src int, dst int")
+    r = double_sweep_diameter(df, start=min(g.nodes)).collect()[0]
+    assert r.diameter_lb <= nx.diameter(g)
+    # double sweep is usually tight; on this fixed graph it is
+    assert r.diameter_lb == nx.diameter(g)
