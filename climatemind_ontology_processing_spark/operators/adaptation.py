@@ -37,10 +37,40 @@ def downstream_nodes(edges_b: DataFrame, root: str = GREENHOUSE_EFFECT) -> DataF
     return bfs_reachable(edges_b, [root], direction="forward", edge_type=None)
 
 
+def _local_pairs(edges_b: DataFrame, root: str) -> list[tuple]:
+    """Driver-side (effect, intermediate) pairs for the small-graph path:
+    the same reachability product as the distributed branch — reflexive
+    closure of the downstream-restricted subgraph, filtered to sources
+    reachable from the root — computed over the memoized edge list."""
+    from .traversal import _bfs_local, _collect_hops
+
+    fwd = _collect_hops(edges_b, "forward", None)
+    down = _bfs_local(fwd, [root])
+    sub: dict = {}
+    for u, vs in fwd.items():
+        if u in down:
+            kept = [v for v in vs if v in down]
+            if kept:
+                sub[u] = kept
+    nodes = set(sub)
+    for vs in sub.values():
+        nodes.update(vs)
+    reach = {n: _bfs_local(sub, [n]) for n in nodes}  # reflexive
+    from_root = reach.get(root, set())
+    return [(m, n) for n in sorted(nodes) if n in from_root
+            for m in sorted(reach[n]) if m in down]
+
+
 def intermediate_pairs(edges_b: DataFrame,
                        root: str = GREENHOUSE_EFFECT) -> DataFrame:
     """G5 — (effect, intermediate) pairs: intermediate lies on a simple path
     root -> effect in B.  One closure computation serves every effect node."""
+    from .traversal import _edge_count_small
+
+    if _edge_count_small(edges_b):
+        ty = edges_b.schema["src"].dataType.simpleString()
+        return edges_b.sparkSession.createDataFrame(
+            _local_pairs(edges_b, root), f"effect {ty}, intermediate {ty}")
     down = downstream_nodes(edges_b, root)
     # restrict closure to the downstream component (everything on a
     # root->e path is itself downstream)
@@ -66,6 +96,21 @@ def adaptation_solutions(edges_g: DataFrame, edges_b: DataFrame,
     Effects whose intermediates have no inhibit out-edges get an empty array
     (the reference sets an empty list attribute too, :546-548).
     """
+    from .traversal import _collect_edge_rows, _edge_count_small
+
+    if _edge_count_small(edges_b) and _edge_count_small(edges_g):
+        pairs = _local_pairs(edges_b, root)
+        inhib: dict = {}
+        for s, d, t in _collect_edge_rows(edges_g):
+            if t == INHIBITS:
+                inhib.setdefault(s, set()).add(d)
+        sols: dict = {}
+        for effect, inter in pairs:
+            sols.setdefault(effect, set()).update(inhib.get(inter, ()))
+        ty = edges_b.schema["src"].dataType.simpleString()
+        return edges_b.sparkSession.createDataFrame(
+            [(e, sorted(vs)) for e, vs in sorted(sols.items())],
+            f"effect {ty}, adaptation_solutions array<{ty}>")
     pairs = intermediate_pairs(edges_b, root)
     inhib = edges_g.filter(F.col("type") == INHIBITS) \
         .select(F.col("src").alias("intermediate"), F.col("dst").alias("solution"))

@@ -52,7 +52,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     from ..config import DEFAULT_SALT_BUCKETS
     from .skew import salted_agg
-    from .traversal import _edge_count_small
+    from .traversal import _collect_probe_rows, _edge_count_small
 
     buckets = DEFAULT_SALT_BUCKETS if salt_buckets is None else salt_buckets
 
@@ -69,8 +69,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                 x = parent[x]
             return x
 
-        for r in e.collect():
-            a, b = r.a, r.b
+        for a, b in _collect_probe_rows(e):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)

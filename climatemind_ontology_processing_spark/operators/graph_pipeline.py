@@ -81,6 +81,11 @@ def build_graph(triples: DataFrame, concepts: DataFrame,
     def _ckpt(df: DataFrame) -> DataFrame:
         return (df.coalesce(1) if small else df).localCheckpoint(eager=True)
 
+    # driver-built small-path outputs (upstream/mitigation/adaptation sets)
+    # are already-materialized local relations — checkpointing them would
+    # only add a job per stage
+    _ckpt_set = (lambda df: df) if small else _ckpt
+
     # J1 + A3
     nodes0 = attach_attributes(edges0, concepts)
 
@@ -94,12 +99,12 @@ def build_graph(triples: DataFrame, concepts: DataFrame,
     edges_b = _ckpt(make_acyclic(edges, nodes))
 
     # G3/G7/O1
-    ups = _ckpt(upstream_nodes(edges_b, root))
-    mit = _ckpt(mitigation_solutions(edges_b, root, ups=ups))
+    ups = _ckpt_set(upstream_nodes(edges_b, root))
+    mit = _ckpt_set(mitigation_solutions(edges_b, root, ups=ups))
     mit_ranked = [r.id for r in rank_mitigations(mit, nodes).collect()]
 
     # G4/G5/G8 — inhibit neighbors from PRE-cut G, paths from B
-    adapt = _ckpt(adaptation_solutions(edges, edges_b, root))
+    adapt = _ckpt_set(adaptation_solutions(edges, edges_b, root))
     adapt_ids = total_adaptation_nodes(adapt)
 
     # solution sources (A5) for mitigation + adaptation solution nodes.

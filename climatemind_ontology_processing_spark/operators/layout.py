@@ -33,7 +33,7 @@ def dag_layers(edges: DataFrame, src: str = "src", dst: str = "dst",
     """(id, layer) — longest-path layering of a DAG; raises ValueError on a
     cycle (run ``acyclic.make_acyclic`` first, as the reference pipeline
     does before visualizing)."""
-    from .traversal import _edge_count_small
+    from .traversal import _collect_probe_rows, _edge_count_small
 
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
@@ -42,11 +42,11 @@ def dag_layers(edges: DataFrame, src: str = "src", dst: str = "dst",
         adj: dict = {}
         indeg: dict = {}
         nodes: set = set()
-        for r in e.collect():
-            adj.setdefault(r.u, []).append(r.v)
-            indeg[r.v] = indeg.get(r.v, 0) + 1
-            nodes.add(r.u)
-            nodes.add(r.v)
+        for u, v in _collect_probe_rows(e):
+            adj.setdefault(u, []).append(v)
+            indeg[v] = indeg.get(v, 0) + 1
+            nodes.add(u)
+            nodes.add(v)
         layer = {n: 0 for n in nodes}
         queue = sorted(n for n in nodes if indeg.get(n, 0) == 0)
         seen = 0

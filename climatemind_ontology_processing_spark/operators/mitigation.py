@@ -28,7 +28,24 @@ from .traversal import bfs_reachable
 
 
 def upstream_nodes(edges_b: DataFrame, root: str = GREENHOUSE_EFFECT) -> DataFrame:
-    """G3 — DataFrame[id] of nodes on causes-edges upstream of ``root``."""
+    """G3 — DataFrame[id] of nodes on causes-edges upstream of ``root``.
+
+    Size-adaptive: on a small graph the whole pipeline — reverse BFS plus
+    the causes-edge endpoint collapse — runs on the memoized collected
+    edge list (one Spark action total, shared with every other traversal
+    over the same frame) instead of a BFS + two joins + a distinct."""
+    from .traversal import (_bfs_local, _collect_edge_rows, _collect_hops,
+                            _edge_count_small)
+    if _edge_count_small(edges_b):
+        reached = _bfs_local(_collect_hops(edges_b, "reverse", None), [root])
+        out: set = set()
+        for s, d, t in _collect_edge_rows(edges_b):
+            if t == CAUSES and d in reached:
+                out.add(s)
+                out.add(d)
+        ty = edges_b.schema["src"].dataType.simpleString()
+        return edges_b.sparkSession.createDataFrame(
+            [(v,) for v in sorted(out)], f"id {ty}")
     reached = bfs_reachable(edges_b, [root], direction="reverse", edge_type=None)
     causes = edges_b.filter(F.col("type") == CAUSES) \
         .join(reached.withColumnRenamed("id", "dst"), "dst", "left_semi")
@@ -41,6 +58,16 @@ def mitigation_solutions(edges_b: DataFrame, root: str = GREENHOUSE_EFFECT,
                          ups: DataFrame | None = None) -> DataFrame:
     """G7 — DataFrame[id]: inhibit-edge targets of upstream nodes.  Pass a
     precomputed upstream set to avoid recomputing the BFS."""
+    from .traversal import _collect_edge_rows, _edge_count_small
+    if _edge_count_small(edges_b):
+        if ups is None:
+            ups = upstream_nodes(edges_b, root)
+        ups_ids = {r[0] for r in ups.collect()}
+        out = sorted({d for s, d, t in _collect_edge_rows(edges_b)
+                      if t == INHIBITS and s in ups_ids})
+        ty = edges_b.schema["src"].dataType.simpleString()
+        return edges_b.sparkSession.createDataFrame(
+            [(v,) for v in out], f"id {ty}")
     if ups is None:
         ups = upstream_nodes(edges_b, root)
     return (edges_b.filter(F.col("type") == INHIBITS)

@@ -49,6 +49,13 @@ def transitive_closure(pairs: DataFrame, a: str = "a", b: str = "b",
                        max_rounds: int = 25) -> DataFrame:
     """Transitive closure of a binary relation as (a, b) pairs.
 
+    Size-adaptive (the traversal.SMALL_GRAPH_THRESHOLD convention): a
+    relation that fits on the driver — the usual case for schema
+    hierarchies, which are vocabulary-sized — closes in one collected
+    BFS pass with zero per-round Spark jobs; bigger relations run the
+    distributed semi-naive loop below.  Identical output either way
+    (pinned in tests/test_rdfs.py).
+
     Semi-naive evaluation: each round extends only the NEW pairs of the
     previous round by one hop, then anti-joins the accumulated closure,
     so converged chains stop contributing work.  Rounds grow closure
@@ -56,8 +63,44 @@ def transitive_closure(pairs: DataFrame, a: str = "a", b: str = "b",
     exhaustion (loud-cap invariant).  Cycles are fine — reflexive pairs
     appear iff a node reaches itself through the cycle.
     """
-    base = pairs.select(F.col(a).alias("a"), F.col(b).alias("b")) \
-                .distinct().localCheckpoint(eager=True)
+    from .traversal import SMALL_GRAPH_THRESHOLD, _bfs_local
+
+    sel = pairs.select(F.col(a).alias("a"), F.col(b).alias("b")).distinct()
+    if SMALL_GRAPH_THRESHOLD > 0:
+        probe = sel.limit(SMALL_GRAPH_THRESHOLD + 1).collect()
+        if len(probe) <= SMALL_GRAPH_THRESHOLD:
+            adj: dict = {}
+            for r in probe:
+                adj.setdefault(r[0], []).append(r[1])
+            out = []
+            maxd = 0
+            for src in sorted(adj):
+                # >= 1 step: level BFS from the successors (a node reaches
+                # itself only through a cycle); track shortest-hop depth so
+                # the loud round cap fires exactly when the distributed
+                # loop's would (frontier still live after max_rounds)
+                seen = set(adj[src])
+                frontier = seen
+                depth = 1
+                while frontier:
+                    maxd = max(maxd, depth)
+                    nxt = {v for u in frontier for v in adj.get(u, ())
+                           if v not in seen}
+                    seen |= nxt
+                    frontier = nxt
+                    depth += 1
+                for dst in sorted(seen):
+                    out.append((src, dst))
+            if maxd >= max_rounds:
+                raise RuntimeError(
+                    f"transitive_closure did not converge within max_rounds="
+                    f"{max_rounds} — raise max_rounds (chain deeper than the "
+                    f"cap)")
+            ta = sel.schema["a"].dataType.simpleString()
+            tb = sel.schema["b"].dataType.simpleString()
+            return pairs.sparkSession.createDataFrame(
+                out, f"{a} {ta}, {b} {tb}")
+    base = sel.localCheckpoint(eager=True)
     closure = base
     frontier = base
     for _ in range(max_rounds):

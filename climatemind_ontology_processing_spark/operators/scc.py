@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .traversal import _checkpoint, _edge_count_small
+from .traversal import _checkpoint, _collect_probe_rows, _edge_count_small
 
 
 def _tarjan_components(edge_rows, nodes) -> list[tuple]:
@@ -107,7 +107,7 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
     spark = edges.sparkSession
 
     if _edge_count_small(e):
-        rows = [(r.a, r.b) for r in e.collect()]
+        rows = _collect_probe_rows(e)
         nodes = sorted({x for ab in rows for x in ab})
         return spark.createDataFrame(_tarjan_components(rows, nodes),
                                      f"id {t}, component {t}")

@@ -55,15 +55,45 @@ def _checkpoint(df: DataFrame) -> DataFrame:
             return df
 
 
+def _probe_cols(edges: DataFrame) -> list[str]:
+    """Columns the small-graph machinery collects: (src, dst[, type]) when
+    present, else the frame's own first two columns (e.g. CC's (a, b))."""
+    if "src" in edges.columns and "dst" in edges.columns:
+        return (["src", "dst", "type"] if "type" in edges.columns
+                else ["src", "dst"])
+    return list(edges.columns[:2])
+
+
 def _edge_count_small(edges: DataFrame) -> bool:
+    """Size probe that doubles as the collect: ONE limited collect of the
+    distinct probe columns decides small-vs-distributed AND, when small,
+    caches the rows every downstream adjacency derives from — the upstream
+    plan (often a multi-join substrate) executes once, not once for the
+    probe and again for the collect (guide §1/§2.4: don't recompute what
+    you already materialized)."""
     if SMALL_GRAPH_THRESHOLD <= 0:
         return False
     memo = _SMALL_GRAPH_MEMO.setdefault(edges, {})
     # keyed on the live threshold so tests that flip it mid-session re-probe
     key = ("small", SMALL_GRAPH_THRESHOLD)
     if key not in memo:
-        memo[key] = (edges.limit(SMALL_GRAPH_THRESHOLD + 1).count()
-                     <= SMALL_GRAPH_THRESHOLD)
+        cols = _probe_cols(edges)
+        rows = (edges.select(*cols).distinct()
+                .limit(SMALL_GRAPH_THRESHOLD + 1).collect())
+        memo[key] = len(rows) <= SMALL_GRAPH_THRESHOLD
+        if memo[key]:
+            memo[("probe_rows", tuple(cols))] = [tuple(r) for r in rows]
+    return memo[key]
+
+
+def _collect_probe_rows(edges: DataFrame) -> list[tuple]:
+    """Distinct rows of the probe columns, reusing the probe's collect."""
+    memo = _SMALL_GRAPH_MEMO.setdefault(edges, {})
+    cols = _probe_cols(edges)
+    key = ("probe_rows", tuple(cols))
+    if key not in memo:
+        rows = edges.select(*cols).distinct().collect()
+        memo[key] = [tuple(r) for r in rows]
     return memo[key]
 
 
@@ -74,8 +104,7 @@ def _collect_edge_rows(edges: DataFrame) -> list[tuple]:
     memo = _SMALL_GRAPH_MEMO.setdefault(edges, {})
     if "rows" not in memo:
         has_type = "type" in edges.columns
-        cols = ["src", "dst", "type"] if has_type else ["src", "dst"]
-        rows = edges.select(*cols).distinct().collect()
+        rows = _collect_probe_rows(edges)
         memo["rows"] = [(r[0], r[1], r[2] if has_type else None) for r in rows]
     return memo["rows"]
 

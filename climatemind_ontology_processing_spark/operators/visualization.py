@@ -108,11 +108,83 @@ def filter_by_edge_type(nodes: DataFrame, edges: DataFrame,
     return nodes.join(endpoint_ids, "label", "left_semi"), kept
 
 
+def _build_subgraphs_local(nodes: DataFrame, edges_annot: DataFrame,
+                           mitigation_ids: DataFrame, adaptation_ids: DataFrame,
+                           root: str) -> dict:
+    """Small-graph path: every subgraph node set, the reversed-solutions
+    edge list, and the per-pv tagged BFS computed on the memoized collected
+    edge list — the 25-subgraph fan-out costs three tiny collects (edge
+    rows, pv labels, mitigation/adaptation ids) instead of ~25 join plans.
+    Returns plain Python collections under key "__local__" alongside the
+    DataFrame views of the same data (identical rows to the distributed
+    branch; pinned by the golden parity suite)."""
+    from collections import defaultdict
+
+    from ..functions.arrays import any_truthy
+    from .traversal import _bfs_local, _collect_edge_rows, _collect_hops
+
+    spark = edges_annot.sparkSession
+    rows = _collect_edge_rows(edges_annot)
+    upstream = sorted(_bfs_local(_collect_hops(edges_annot, "reverse", CAUSES),
+                                 [root]))
+    down_adapt = _bfs_local(_collect_hops(edges_annot, "forward", None), [root])
+    downstream = sorted(_bfs_local(_collect_hops(edges_annot, "forward", CAUSES),
+                                   [root]))
+    mit_ids = {r[0] for r in mitigation_ids.collect()}
+    adapt_ids = {r[0] for r in adaptation_ids.collect()}
+    upstream_mit = sorted(set(upstream) | mit_ids)
+
+    # reversed-solutions graph restricted to downstream_adaptations
+    da = [(s, d) for s, d, _t in rows if s in down_adapt and d in down_adapt]
+    rev = sorted({(d, s) if d in adapt_ids else (s, d) for s, d in da})
+    rev_adj: dict = defaultdict(list)
+    for s, d in rev:
+        rev_adj[d].append(s)      # reverse direction for the pv BFS
+
+    pv_labels = sorted(
+        r[0] for r in nodes.select("label")
+        .filter(any_truthy(F.col("personal_values_10"))).collect())
+    pv_members = {tag: sorted(_bfs_local(rev_adj, [tag])) for tag in pv_labels}
+
+    ty = edges_annot.schema["src"].dataType.simpleString()
+
+    def _df(vals):
+        return spark.createDataFrame([(v,) for v in vals], f"id {ty}")
+
+    return {
+        "upstream": _df(upstream),
+        "downstream_adaptations": _df(sorted(down_adapt)),
+        "downstream": _df(downstream),
+        "upstream_mitigations": _df(upstream_mit),
+        "__pv__": spark.createDataFrame(
+            [(tag, v) for tag in pv_labels for v in pv_members[tag]],
+            f"tag string, id {ty}"),
+        "__pv_edges_base__": spark.createDataFrame(
+            rev, f"src {ty}, dst {ty}"),
+        "__local__": {
+            "upstream": set(upstream),
+            "downstream_adaptations": set(down_adapt),
+            "downstream": set(downstream),
+            "upstream_mitigations": set(upstream_mit),
+            "pv_members": pv_members,
+            "rev_edges": rev,
+            "edge_rows": rows,
+        },
+    }
+
+
 def build_subgraphs(nodes: DataFrame, edges_annot: DataFrame,
                     mitigation_ids: DataFrame, adaptation_ids: DataFrame,
                     root: str = GREENHOUSE_EFFECT) -> dict[str, DataFrame]:
     """All named subgraph node sets.  Returns {name: DataFrame[id]}; pv
-    subgraphs are returned together under key "__pv__" as DataFrame[tag, id]."""
+    subgraphs are returned together under key "__pv__" as DataFrame[tag, id];
+    on small graphs a "__local__" key additionally carries the driver-side
+    collections for :func:`subgraph_tables` to reuse."""
+    from .traversal import _edge_count_small
+
+    if _edge_count_small(edges_annot):
+        return _build_subgraphs_local(nodes, edges_annot, mitigation_ids,
+                                      adaptation_ids, root)
     upstream = bfs_reachable(edges_annot, [root], "reverse", CAUSES)
     downstream_adapt = bfs_reachable(edges_annot, [root], "forward", None)
     downstream = bfs_reachable(edges_annot, [root], "forward", CAUSES)
@@ -143,10 +215,34 @@ def subgraph_tables(subgraphs: dict[str, DataFrame],
                     edges_annot: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Materialize (subgraph_name, node_id) and (subgraph_name, src, dst)
     tables — the engine's S7 sink shape, partitionable by subgraph_name."""
+    loc = subgraphs.get("__local__")
+    if loc is not None:
+        # small-graph path: induce every named + pv subgraph's edges on the
+        # already-collected rows — two createDataFrames instead of a
+        # 25-branch union-of-joins plan
+        spark = edges_annot.sparkSession
+        pairs = {(s, d) for s, d, _t in loc["edge_rows"]}
+        nrows, erows = [], set()
+        for name in ("upstream", "downstream_adaptations", "downstream",
+                     "upstream_mitigations"):
+            ns = loc[name]
+            nrows.extend((name, v) for v in sorted(ns))
+            erows.update((name, s, d) for s, d in pairs
+                         if s in ns and d in ns)
+        for tag, members in loc["pv_members"].items():
+            ms = set(members)
+            nrows.extend((tag, v) for v in members)
+            erows.update((tag, s, d) for s, d in loc["rev_edges"]
+                         if s in ms and d in ms)
+        ty = edges_annot.schema["src"].dataType.simpleString()
+        return (spark.createDataFrame(
+                    nrows, f"subgraph_name string, node_id {ty}"),
+                spark.createDataFrame(
+                    sorted(erows), f"subgraph_name string, src {ty}, dst {ty}"))
     parts_n = []
     parts_e = []
     for name, df in subgraphs.items():
-        if name.startswith("__pv_edges"):
+        if name.startswith("__pv_edges") or name == "__local__":
             continue
         if name == "__pv__":
             parts_n.append(df.select(F.col("tag").alias("subgraph_name"),
