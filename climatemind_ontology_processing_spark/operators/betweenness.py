@@ -42,6 +42,82 @@ from .traversal import _checkpoint
 SIGMA_EXACT_MAX = 1 << 20
 
 
+def _betweenness_local(spark, sym_rows, sources, num_sources, max_rounds, ty):
+    """Small-graph path: the identical level algebra — exact BIGINT sigmas,
+    per-term truncating micro dependency accumulation, loud caps/guards —
+    over the collected symmetric edge list (zero per-level Spark jobs)."""
+    import hashlib
+
+    adj: dict = {}
+    nodes = set()
+    for a, b in sym_rows:
+        adj.setdefault(a, []).append(b)
+        nodes.add(a)
+        nodes.add(b)
+    if sources is None:
+        srcs = sorted(nodes, key=lambda n: (
+            hashlib.md5(str(n).encode()).hexdigest(), n))[:int(num_sources)]
+    else:
+        srcs = sorted({r[0] for r in sources.collect()})
+
+    # forward: level-synchronous BFS with path counts
+    dist: dict = {}
+    sigma: dict = {}
+    for s in srcs:
+        dist[(s, s)] = 0
+        sigma[(s, s)] = 1
+    frontier = [(s, s) for s in srcs]
+    level, converged = 0, False
+    for _ in range(max_rounds):
+        acc: dict = {}
+        for s, v in frontier:
+            sv = sigma[(s, v)]
+            for b in adj.get(v, ()):
+                if (s, b) not in dist:
+                    acc[(s, b)] = acc.get((s, b), 0) + sv
+        if not acc:
+            converged = True
+            break
+        for k, sg in acc.items():
+            dist[k] = level + 1
+            sigma[k] = sg
+        frontier, level = list(acc), level + 1
+    if not converged:
+        raise RuntimeError(
+            f"sampled_betweenness forward BFS did not exhaust within "
+            f"max_rounds={max_rounds} — raise max_rounds")
+    max_sigma = max(sigma.values(), default=0)
+    if max_sigma > SIGMA_EXACT_MAX:
+        raise ValueError(
+            f"max path count sigma={max_sigma} exceeds the micro-exact "
+            f"bound {SIGMA_EXACT_MAX} — the 64-bit micro product could "
+            "overflow silently; this graph needs the float formulation")
+
+    # backward: dependency accumulation, deepest level first
+    delta = {k: 0 for k, d in dist.items() if d == level}
+    all_rows = dict(delta)
+    for l in range(level, 0, -1):
+        nxt_delta: dict = {}
+        for (s, v), d in dist.items():
+            if d != l - 1:
+                continue
+            sv = sigma[(s, v)]
+            t = 0
+            for b in adj.get(v, ()):
+                if (s, b) in delta:
+                    t += (sv * (1_000_000 + delta[(s, b)])) // sigma[(s, b)]
+            nxt_delta[(s, v)] = t
+        delta = nxt_delta
+        all_rows.update(delta)
+    out: dict = {}
+    for (s, v), d in all_rows.items():
+        if v != s:
+            out[v] = out.get(v, 0) + d
+    return spark.createDataFrame(
+        [(v, d) for v, d in sorted(out.items())],
+        f"id {ty}, bc_micro long")
+
+
 def sampled_betweenness(edges: DataFrame, num_sources: int = 8,
                         src: str = "src", dst: str = "dst",
                         sources: DataFrame | None = None,
@@ -51,12 +127,22 @@ def sampled_betweenness(edges: DataFrame, num_sources: int = 8,
     Brandes dependency delta_s(v).  Raw sampled sum (no n/k extrapolation
     factor — callers comparing runs with different k scale themselves).
     Nodes unreachable from every sampled source produce no row."""
-    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-         .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
-                 & (F.col("a") != F.col("b"))))
-    e = _checkpoint(
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct())
+    e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+          .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                  & (F.col("a") != F.col("b"))))
+    sym = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+
+    from .traversal import SMALL_GRAPH_THRESHOLD
+
+    if SMALL_GRAPH_THRESHOLD > 0:
+        probe = sym.limit(SMALL_GRAPH_THRESHOLD + 1).collect()
+        if len(probe) <= SMALL_GRAPH_THRESHOLD:
+            return _betweenness_local(edges.sparkSession, probe, sources,
+                                      num_sources, max_rounds,
+                                      sym.schema["a"].dataType.simpleString())
+
+    e = _checkpoint(sym)
     if sources is None:
         nodes = e.select(F.col("a").alias("id")).distinct()
         sources = (nodes
