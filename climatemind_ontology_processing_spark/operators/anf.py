@@ -60,6 +60,63 @@ def _ball_summary(state: DataFrame, p: int, step: int) -> DataFrame:
                       est.alias("est"))
 
 
+def _hyperball_local(spark, edge_rows, rounds: int, p: int, ty: str):
+    """Small-graph path: identical register algebra (md5_60 60-bit hash,
+    top-p register, rho = leading zeros + 1, register-wise max merge,
+    integer harmonic totals, the same float estimator expression) over
+    the collected edge list — zero per-round Spark jobs."""
+    import hashlib
+
+    m = 2 ** p
+    rem_bits = _HASH_BITS - p
+    s_exp = rem_bits + 1
+    mask = 2 ** rem_bits - 1
+    out_adj: dict = {}
+    nodes = set()
+    for c, n in edge_rows:
+        out_adj.setdefault(c, []).append(n)
+        nodes.add(c)
+        nodes.add(n)
+    state: dict = {}
+    for v in nodes:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        rem = h & mask
+        rho = rem_bits + 1 - rem.bit_length() if rem > 0 else rem_bits + 1
+        state[v] = {h >> rem_bits: rho}
+
+    rows = []
+
+    def summarize(step):
+        for v in nodes:
+            regs = state[v]
+            n_reg = len(regs)
+            total = (sum(2 ** (s_exp - rho) for rho in regs.values())
+                     + (m - n_reg) * 2 ** s_exp)
+            est_raw = (_alpha(m) * m * m) / (total / float(2 ** s_exp))
+            zeros = m - n_reg
+            if est_raw <= 2.5 * m and zeros > 0:
+                est = float(m) * math.log(float(m) / zeros)
+            else:
+                est = est_raw
+            rows.append((v, step, n_reg, total, est))
+
+    summarize(0)
+    for t in range(1, rounds + 1):
+        new = {}
+        for v in nodes:
+            merged = dict(state[v])
+            for n in out_adj.get(v, ()):
+                for r, rho in state[n].items():
+                    if merged.get(r, 0) < rho:
+                        merged[r] = rho
+            new[v] = merged
+        state = new
+        summarize(t)
+    return spark.createDataFrame(
+        rows, f"id {ty}, step int, n_registers long, harm_total long, "
+              f"est double")
+
+
 def hyperball(edges: DataFrame, rounds: int = 3, p: int = 6,
               src: str = "src", dst: str = "dst",
               hash_family: str = "md5_60",
@@ -76,10 +133,29 @@ def hyperball(edges: DataFrame, rounds: int = 3, p: int = 6,
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    e = (edges.select(F.col(src).alias("c"), F.col(dst).alias("n"))
-         .filter(F.col("c").isNotNull() & F.col("n").isNotNull())
-         .filter(F.col("c") != F.col("n"))
-         .distinct().localCheckpoint(eager=True))
+    sel = (edges.select(F.col(src).alias("c"), F.col(dst).alias("n"))
+           .filter(F.col("c").isNotNull() & F.col("n").isNotNull())
+           .filter(F.col("c") != F.col("n"))
+           .distinct())
+
+    from .traversal import SMALL_GRAPH_THRESHOLD
+
+    if SMALL_GRAPH_THRESHOLD > 0:
+        # hash_family is validated by hll_reg_rho on the distributed path;
+        # keep the same loud check before the driver-side register algebra
+        if hash_family != "md5_60":
+            raise ValueError("hll requires hash_family='md5_60' "
+                             f"(got {hash_family!r}: signed 64-bit hashes "
+                             "break the 60-bit register layout)")
+        if not 4 <= p <= 16:
+            raise ValueError(f"p must be in [4, 16], got {p}")
+        probe = sel.limit(SMALL_GRAPH_THRESHOLD + 1).collect()
+        if len(probe) <= SMALL_GRAPH_THRESHOLD:
+            return _hyperball_local(
+                edges.sparkSession, probe, rounds, p,
+                sel.schema["c"].dataType.simpleString())
+
+    e = sel.localCheckpoint(eager=True)
     nodes = (e.select(F.col("c").alias("id"))
              .unionByName(e.select(F.col("n").alias("id"))).distinct())
     reg, rho = hll_reg_rho(F.col("id"), p, hash_family)

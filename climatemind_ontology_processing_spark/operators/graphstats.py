@@ -258,6 +258,32 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
     und = e.unionByName(e.select(F.col("b").alias("a"),
                                  F.col("a").alias("b"))).distinct() \
         .localCheckpoint(eager=True)
+
+    from .traversal import SMALL_GRAPH_THRESHOLD
+
+    if SMALL_GRAPH_THRESHOLD > 0:
+        probe = und.limit(SMALL_GRAPH_THRESHOLD + 1).collect()
+        if len(probe) <= SMALL_GRAPH_THRESHOLD:
+            # small-graph path: the identical synchronous rounds (most
+            # frequent neighbor label, ties to the smallest) driver-side;
+            # und is already checkpointed, so the probe reads, not computes
+            adj: dict = {}
+            for a, b in probe:
+                adj.setdefault(a, []).append(b)
+            lab = {n: n for n in adj}
+            for _ in range(rounds):
+                new = {}
+                for n, nbrs in adj.items():
+                    cnt: dict = {}
+                    for b in nbrs:
+                        l = lab[b]
+                        cnt[l] = cnt.get(l, 0) + 1
+                    new[n] = min(cnt, key=lambda l: (-cnt[l], l))
+                lab = new
+            ty = und.schema["a"].dataType.simpleString()
+            return edges.sparkSession.createDataFrame(
+                sorted(lab.items()), f"id {ty}, community {ty}")
+
     labels = und.select(F.col("a").alias("id")).distinct() \
         .withColumn("lab", F.col("id"))
     for _ in range(rounds):
@@ -632,10 +658,58 @@ def node2vec_walks(edges: DataFrame, length: int = 4,
         if not 1 <= v <= 8_000_000:
             # H40 < 2^40; mult <= 8e6 keeps H40 * mult < 2^63
             raise ValueError(f"{nm} must be in [1, 8000000], got {v}")
-    e = (edges.select(F.col(src).alias("c"), F.col(dst).alias("n"))
-         .filter(F.col("c").isNotNull() & F.col("n").isNotNull())
-         .filter(F.col("c") != F.col("n"))
-         .distinct().localCheckpoint(eager=True))
+    sel = (edges.select(F.col(src).alias("c"), F.col(dst).alias("n"))
+           .filter(F.col("c").isNotNull() & F.col("n").isNotNull())
+           .filter(F.col("c") != F.col("n"))
+           .distinct())
+
+    from .traversal import SMALL_GRAPH_THRESHOLD
+
+    if SMALL_GRAPH_THRESHOLD > 0:
+        probe = sel.limit(SMALL_GRAPH_THRESHOLD + 1).collect()
+        if len(probe) <= SMALL_GRAPH_THRESHOLD:
+            # small-graph path: the identical hash-biased argmin walk over
+            # the collected adjacency — every choice still derives from
+            # (seed, step, prev, cur, cand), so it is bit-identical to the
+            # distributed rounds (oracle-verified)
+            import hashlib
+
+            out_adj: dict = {}
+            und_set = set()
+            for c, n in probe:
+                out_adj.setdefault(c, []).append(n)
+                und_set.add((c, n))
+                und_set.add((n, c))
+            starts = sorted(out_adj)
+            cur = {s: (s, None) for s in starts}
+            rows = [(s, 0, s) for s in starts]
+            for t in range(1, length + 1):
+                nxt = {}
+                for s, (node, prev) in cur.items():
+                    best = None
+                    for n in out_adj.get(node, ()):
+                        if prev is not None and n == prev:
+                            mult = int(p_micro)
+                        elif (prev, n) in und_set:
+                            mult = 1_000_000
+                        else:
+                            mult = int(q_micro)
+                        key = (f"{seed}|{t}|"
+                               f"{'-' if prev is None else prev}|{node}|{n}")
+                        h = int(hashlib.md5(key.encode())
+                                .hexdigest()[:10], 16)
+                        cand = (h * mult, n)
+                        if best is None or cand < best:
+                            best = cand
+                    if best is not None:
+                        nxt[s] = (best[1], node)
+                        rows.append((s, t, best[1]))
+                cur = nxt
+            ty = sel.schema["c"].dataType.simpleString()
+            return edges.sparkSession.createDataFrame(
+                rows, f"start {ty}, step int, node {ty}")
+
+    e = sel.localCheckpoint(eager=True)
     und = (e.unionByName(e.select(F.col("n").alias("c"),
                                   F.col("c").alias("n")))
            .distinct()
