@@ -853,16 +853,21 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
     any-token.  No df cap is needed: unlike ``max_shingle_df`` this is
     exact, not a lower bound.
     """
-    sh = with_shingles(docs, text_col, n,
-                       hash_family=hash_family).select(
-        F.col(id_col).alias("doc"), F.col("shingles"))
-    # materialize the exploded (doc, s) set ONCE: six downstream plan arms
-    # (df census, sizes, ranking, both candidate sides, both verify sides)
-    # reference it, and re-deriving the shingling per arm is the dominant
-    # cost at corpus scale (_shingled_checkpointed precedent)
-    ex = (sh.select("doc", F.explode("shingles").alias("s")).distinct()
+    # materialize the per-doc shingle SET once as arrays (with_shingles is
+    # array_distinct, so (doc, s) is unique by construction): the array
+    # table is corpus-rows-sized — orders of magnitude smaller than the
+    # exploded token table the previous version checkpointed — and five
+    # downstream arms (df census, ranking, sizes, both verify sides)
+    # derive from it map-side.  The old exploded ``.distinct()`` shuffle
+    # is gone outright (guide §2.4), sizes come from F.size (no groupBy),
+    # and verification is one array_intersect per candidate pair instead
+    # of a two-join row expansion + count + two size joins (guide §2.3:
+    # shuffle candidate ids, not candidate-x-shingle rows).
+    sh = (with_shingles(docs, text_col, n, hash_family=hash_family)
+          .select(F.col(id_col).alias("doc"), F.col("shingles"))
           .localCheckpoint(eager=True))
-    sizes = ex.groupBy("doc").agg(F.count("*").alias("sz"))
+    ex = sh.select("doc", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc", F.size("shingles").alias("sz"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("_df"))
     ranked = (ex.join(dfreq, "s")
               .withColumn("rnk", F.row_number().over(
@@ -881,16 +886,14 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
                                               * F.col("r.sz"))))
             .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
             .distinct())
-    full = ex  # (doc, s) distinct — verification side
     j = (cand
-         .join(full.select(F.col("doc").alias("a"), "s"), "a")
-         .join(full.select(F.col("doc").alias("b"), "s"), ["b", "s"]))
-    inter = j.groupBy("a", "b").agg(F.count("*").alias("inter"))
-    out = (inter
-           .join(sizes.select(F.col("doc").alias("a"),
-                              F.col("sz").alias("sz_a")), "a")
-           .join(sizes.select(F.col("doc").alias("b"),
-                              F.col("sz").alias("sz_b")), "b")
+         .join(sh.select(F.col("doc").alias("a"),
+                         F.col("shingles").alias("_sa")), "a")
+         .join(sh.select(F.col("doc").alias("b"),
+                         F.col("shingles").alias("_sb")), "b"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    out = (j.select("a", "b", inter.alias("inter"),
+                    F.size("_sa").alias("sz_a"), F.size("_sb").alias("sz_b"))
            .withColumn("jaccard", F.col("inter")
                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
            .filter(F.col("jaccard") >= threshold)

@@ -96,25 +96,28 @@ def cooccurrence_graph(docs: DataFrame, window: int = 2,
     (same token co-occurring with itself) are dropped — they carry no
     ranking signal and would create self-loops.
 
-    The pair join is per-document and position-banded, so its output is
-    bounded by corpus_tokens * window — linear in the corpus, never
-    quadratic in the vocabulary."""
+    Pair generation is per-document and position-banded — output bounded
+    by corpus_tokens * window, linear in the corpus, never quadratic in
+    the vocabulary — and runs entirely MAP-SIDE as array algebra (each
+    position pairs with the next ``window`` positions of its own token
+    array), so the only shuffle is the final (lo, hi) count: the previous
+    positional self-join cost a checkpoint of the exploded positions plus
+    a doc-id-keyed shuffle of the corpus for each join side (guide §2.4:
+    same result, two fewer corpus-sized exchanges)."""
     toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
                                                F.lit(""))), r"\s+"),
                     lambda x: x != "")
-    # materialize the tokenized positions once: both sides of the
-    # positional self-join reference it, and re-tokenizing the corpus for
-    # each side doubles the dominant scan cost
-    t = (docs.select(F.col(id_col).alias("id"), toks.alias("_t"))
-         .select("id", F.posexplode("_t").alias("pos", "tok"))
-         .localCheckpoint(eager=True))
-    l, r = t.alias("l"), t.alias("r")
-    pairs = (l.join(r, (F.col("l.id") == F.col("r.id"))
-                    & (F.col("r.pos") > F.col("l.pos"))
-                    & (F.col("r.pos") <= F.col("l.pos") + window)
-                    & (F.col("l.tok") != F.col("r.tok")))
-             .select(F.least("l.tok", "r.tok").alias("lo"),
-                     F.greatest("l.tok", "r.tok").alias("hi")))
+    t = F.col("_t")
+    pair_arr = F.flatten(F.transform(
+        t,
+        lambda x, i: F.transform(
+            F.slice(t, i + F.lit(2), F.lit(window)),
+            lambda y: F.struct(F.least(x, y).alias("lo"),
+                               F.greatest(x, y).alias("hi")))))
+    pairs = (docs.select(toks.alias("_t"))
+             .select(F.explode(pair_arr).alias("p"))
+             .select("p.lo", "p.hi")
+             .filter(F.col("lo") != F.col("hi")))
     return pairs.groupBy("lo", "hi").agg(F.count("*").alias("w"))
 
 
@@ -150,6 +153,28 @@ def textrank_scores(docs: DataFrame, window: int = 2, iters: int = 3,
     # table is re-joined `iters` times — rebuilding the co-occurrence
     # graph per round would re-scan the corpus each time)
     e = edges.join(strength, "src").localCheckpoint(eager=True)
+
+    # the iteration state is vocabulary-sized; when the weighted edge
+    # list fits on the driver, run the identical BIGINT `div` recurrence
+    # locally — zero per-round jobs (size-adaptive convention; the
+    # materialized `e` above means the probe collect reads, not computes)
+    from .traversal import SMALL_GRAPH_THRESHOLD
+    if SMALL_GRAPH_THRESHOLD > 0:
+        rows = e.limit(SMALL_GRAPH_THRESHOLD + 1).collect()
+        if len(rows) <= SMALL_GRAPH_THRESHOLD:
+            score = {}
+            for r in rows:
+                score[r[0]] = MICRO
+            for _ in range(iters):
+                flow: dict = {}
+                for s, d, w, ws in rows:
+                    flow[d] = flow.get(d, 0) + (score[s] * w) // ws
+                score = {tok: 15 * MICRO // 100
+                         + (85 * flow.get(tok, 0)) // 100
+                         for tok in score}
+            return docs.sparkSession.createDataFrame(
+                sorted(score.items()), "tok string, score long")
+
     scores = strength.select(F.col("src").alias("tok"),
                              F.lit(MICRO).cast("long").alias("score"))
     for _ in range(iters):
