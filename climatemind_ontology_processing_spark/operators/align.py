@@ -52,8 +52,11 @@ def align_entities(left: DataFrame, right: DataFrame,
     if max_holders < 2:
         # a shared fact needs at least one holder on each side
         raise ValueError(f"max_holders must be >= 2, got {max_holders}")
-    l = _facts(left, subj, pred, obj)
-    r = _facts(right, subj, pred, obj)
+    # each side feeds TWO arms (the holders census and the candidate
+    # join); materialize once so a multi-join upstream fact plan is not
+    # re-executed per arm (same reuse-counting as rules.mine_chain_rules)
+    l = _facts(left, subj, pred, obj).localCheckpoint(eager=True)
+    r = _facts(right, subj, pred, obj).localCheckpoint(eager=True)
     weights = (l.unionByName(r)
                .groupBy("pred", "obj")
                .agg(F.countDistinct("subj").cast("long").alias("_nh"))

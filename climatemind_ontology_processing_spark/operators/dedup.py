@@ -755,6 +755,10 @@ def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
             .otherwise(F.array().cast(
                 "array<struct<start:int,h:long>>"))).alias("w")) \
         .select(id_col, "w.start", "w.h")
+    # the window-hash table feeds both the occurrence census and the
+    # duplicated-window semi-join; materialize once so the corpus is
+    # tokenized and window-hashed exactly once per run
+    wh = wh.localCheckpoint(eager=True)
     hot = (wh.groupBy("h").agg(F.count("*").alias("_c"))
            .filter(F.col("_c") >= min_count).select("h"))
     dup = wh.join(hot, "h", "left_semi").select(id_col, "start")
