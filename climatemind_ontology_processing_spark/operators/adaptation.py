@@ -96,7 +96,8 @@ def adaptation_solutions(edges_g: DataFrame, edges_b: DataFrame,
     Effects whose intermediates have no inhibit out-edges get an empty array
     (the reference sets an empty list attribute too, :546-548).
     """
-    from .traversal import _collect_edge_rows, _edge_count_small
+    from .traversal import (_collect_edge_rows, _edge_count_small,
+                            _stash_local_rows)
 
     if _edge_count_small(edges_b) and _edge_count_small(edges_g):
         pairs = _local_pairs(edges_b, root)
@@ -108,9 +109,9 @@ def adaptation_solutions(edges_g: DataFrame, edges_b: DataFrame,
         for effect, inter in pairs:
             sols.setdefault(effect, set()).update(inhib.get(inter, ()))
         ty = edges_b.schema["src"].dataType.simpleString()
-        return edges_b.sparkSession.createDataFrame(
-            [(e, sorted(vs)) for e, vs in sorted(sols.items())],
-            f"effect {ty}, adaptation_solutions array<{ty}>")
+        rows = [(e, sorted(vs)) for e, vs in sorted(sols.items())]
+        return _stash_local_rows(edges_b.sparkSession.createDataFrame(
+            rows, f"effect {ty}, adaptation_solutions array<{ty}>"), rows)
     pairs = intermediate_pairs(edges_b, root)
     inhib = edges_g.filter(F.col("type") == INHIBITS) \
         .select(F.col("src").alias("intermediate"), F.col("dst").alias("solution"))
@@ -128,6 +129,16 @@ def total_adaptation_nodes(adaptations: DataFrame) -> DataFrame:
     """DataFrame[id] — union of all adaptation solutions
     (``make_graph_class.py:558`` accumulator; duplicates irrelevant, used as a
     subgraph node set)."""
+    from .traversal import _local_rows, _stash_local_rows
+
+    stashed = _local_rows(adaptations)
+    if stashed is not None:
+        ids = sorted({v for _e, vs in stashed for v in vs})
+        ty = adaptations.schema["adaptation_solutions"] \
+            .dataType.elementType.simpleString()
+        rows = [(v,) for v in ids]
+        return _stash_local_rows(adaptations.sparkSession.createDataFrame(
+            rows, f"id {ty}"), rows)
     return (adaptations
             .select(F.explode("adaptation_solutions").alias("id"))
             .distinct())

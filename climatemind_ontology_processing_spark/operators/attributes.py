@@ -38,6 +38,34 @@ def _dp(col_name: str):
     return F.col("data_properties").getItem(col_name).cast("int")
 
 
+# the four pv column expressions reference only the fixed column name
+# "data_properties" and config constants, so the (large) expression trees
+# are reusable across DataFrames; building them costs hundreds of py4j
+# round trips (~0.5 s per build_graph rep measured) — cache the Columns
+# once per process
+_PV_COLS_CACHE: tuple | None = None
+
+
+def _pv_cols() -> tuple:
+    global _PV_COLS_CACHE
+    if _PV_COLS_CACHE is None:
+        pv19 = F.array(*[_dp(k) for k in PERSONAL_VALUES_19])
+        pv10_slots = []
+        conflict_flags = []
+        for slot_name, keys in PERSONAL_VALUES_10:
+            vec = F.array(*[_dp(k) for k in keys])
+            pv10_slots.append(compute_collapse(vec) if len(keys) > 1
+                              else _dp(keys[0]))
+            if len(keys) > 1:
+                conflict_flags.append(
+                    F.when(compute_conflict(vec), F.lit(slot_name)))
+        political = F.array(*[_dp(k) for k in POLITICAL_KEYS])
+        conflicts = F.filter(F.array(*conflict_flags),
+                             lambda x: x.isNotNull())
+        _PV_COLS_CACHE = (pv19, F.array(*pv10_slots), political, conflicts)
+    return _PV_COLS_CACHE
+
+
 def with_personal_values(nodes: DataFrame) -> DataFrame:
     """A3 — pv19 vector, pv10 collapse, political vector.
 
@@ -46,20 +74,10 @@ def with_personal_values(nodes: DataFrame) -> DataFrame:
     slot and are flagged in ``pv_conflicts`` for a post-hoc quarantine
     assertion (SURVEY §4).
     """
-    pv19 = F.array(*[_dp(k) for k in PERSONAL_VALUES_19])
-    pv10_slots = []
-    conflict_flags = []
-    for slot_name, keys in PERSONAL_VALUES_10:
-        vec = F.array(*[_dp(k) for k in keys])
-        pv10_slots.append(compute_collapse(vec) if len(keys) > 1 else _dp(keys[0]))
-        if len(keys) > 1:
-            conflict_flags.append(
-                F.when(compute_conflict(vec), F.lit(slot_name)))
-    political = F.array(*[_dp(k) for k in POLITICAL_KEYS])
-    conflicts = F.filter(F.array(*conflict_flags), lambda x: x.isNotNull())
+    pv19, pv10, political, conflicts = _pv_cols()
     return (nodes
             .withColumn("personal_values_19", pv19)
-            .withColumn("personal_values_10", F.array(*pv10_slots))
+            .withColumn("personal_values_10", pv10)
             .withColumn("political_value", political)
             .withColumn("pv_conflicts", conflicts))
 

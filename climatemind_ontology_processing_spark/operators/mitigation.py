@@ -35,7 +35,7 @@ def upstream_nodes(edges_b: DataFrame, root: str = GREENHOUSE_EFFECT) -> DataFra
     edge list (one Spark action total, shared with every other traversal
     over the same frame) instead of a BFS + two joins + a distinct."""
     from .traversal import (_bfs_local, _collect_edge_rows, _collect_hops,
-                            _edge_count_small)
+                            _edge_count_small, _stash_local_rows)
     if _edge_count_small(edges_b):
         reached = _bfs_local(_collect_hops(edges_b, "reverse", None), [root])
         out: set = set()
@@ -44,8 +44,9 @@ def upstream_nodes(edges_b: DataFrame, root: str = GREENHOUSE_EFFECT) -> DataFra
                 out.add(s)
                 out.add(d)
         ty = edges_b.schema["src"].dataType.simpleString()
-        return edges_b.sparkSession.createDataFrame(
-            [(v,) for v in sorted(out)], f"id {ty}")
+        rows = [(v,) for v in sorted(out)]
+        return _stash_local_rows(edges_b.sparkSession.createDataFrame(
+            rows, f"id {ty}"), rows)
     reached = bfs_reachable(edges_b, [root], direction="reverse", edge_type=None)
     causes = edges_b.filter(F.col("type") == CAUSES) \
         .join(reached.withColumnRenamed("id", "dst"), "dst", "left_semi")
@@ -58,16 +59,20 @@ def mitigation_solutions(edges_b: DataFrame, root: str = GREENHOUSE_EFFECT,
                          ups: DataFrame | None = None) -> DataFrame:
     """G7 — DataFrame[id]: inhibit-edge targets of upstream nodes.  Pass a
     precomputed upstream set to avoid recomputing the BFS."""
-    from .traversal import _collect_edge_rows, _edge_count_small
+    from .traversal import (_collect_edge_rows, _edge_count_small,
+                            _local_rows, _stash_local_rows)
     if _edge_count_small(edges_b):
         if ups is None:
             ups = upstream_nodes(edges_b, root)
-        ups_ids = {r[0] for r in ups.collect()}
+        stashed = _local_rows(ups)
+        ups_ids = {r[0] for r in (stashed if stashed is not None
+                                  else ups.collect())}
         out = sorted({d for s, d, t in _collect_edge_rows(edges_b)
                       if t == INHIBITS and s in ups_ids})
         ty = edges_b.schema["src"].dataType.simpleString()
-        return edges_b.sparkSession.createDataFrame(
-            [(v,) for v in out], f"id {ty}")
+        rows = [(v,) for v in out]
+        return _stash_local_rows(edges_b.sparkSession.createDataFrame(
+            rows, f"id {ty}"), rows)
     if ups is None:
         ups = upstream_nodes(edges_b, root)
     return (edges_b.filter(F.col("type") == INHIBITS)

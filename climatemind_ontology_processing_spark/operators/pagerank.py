@@ -192,9 +192,10 @@ def katz_centrality(edges: DataFrame, rounds: int = 4, atten_denom: int = 4,
 
     if SMALL_GRAPH_THRESHOLD > 0:
         probe = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-                 .filter(F.col("u") != F.col("v")).distinct()
+                 .filter(F.col("u") != F.col("v"))
                  .limit(SMALL_GRAPH_THRESHOLD + 1).collect())
         if len(probe) <= SMALL_GRAPH_THRESHOLD:
+            probe = sorted({tuple(r) for r in probe})
             # driver-side power iteration: same BIGINT walk counts, same
             # per-term truncating division (// == DIV on non-negatives),
             # same overflow guard — zero per-round jobs (size-adaptive

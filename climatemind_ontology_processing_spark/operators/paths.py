@@ -135,8 +135,9 @@ def landmark_distances(edges: DataFrame, num_landmarks: int = 16,
         e0 = e0.unionByName(e0.select(F.col("v").alias("u"),
                                       F.col("u").alias("v"), "w"))
     if SMALL_GRAPH_THRESHOLD > 0:
-        probe = e0.distinct().limit(SMALL_GRAPH_THRESHOLD + 1).collect()
+        probe = e0.limit(SMALL_GRAPH_THRESHOLD + 1).collect()
         if len(probe) <= SMALL_GRAPH_THRESHOLD:
+            probe = sorted({tuple(r) for r in probe})
             # driver-side: the SAME concurrent min-plus rounds (one pass
             # over the edge list per round, loud cap preserved) on the
             # collected edges — zero per-round jobs (size-adaptive

@@ -78,12 +78,35 @@ def _edge_count_small(edges: DataFrame) -> bool:
     key = ("small", SMALL_GRAPH_THRESHOLD)
     if key not in memo:
         cols = _probe_cols(edges)
-        rows = (edges.select(*cols).distinct()
-                .limit(SMALL_GRAPH_THRESHOLD + 1).collect())
+        # RAW limited collect (same row-count gate the round-start probe
+        # used) — no extra distinct exchange on top of the upstream plan;
+        # the dedup happens driver-side on the rows we collected anyway
+        rows = edges.select(*cols).limit(SMALL_GRAPH_THRESHOLD + 1).collect()
         memo[key] = len(rows) <= SMALL_GRAPH_THRESHOLD
         if memo[key]:
-            memo[("probe_rows", tuple(cols))] = [tuple(r) for r in rows]
+            seen = set()
+            dedup = []
+            for r in rows:
+                t = tuple(r)
+                if t not in seen:
+                    seen.add(t)
+                    dedup.append(t)
+            memo[("probe_rows", tuple(cols))] = dedup
     return memo[key]
+
+
+def _stash_local_rows(df: DataFrame, rows: list) -> DataFrame:
+    """Record the driver-side rows a small-path operator just built its
+    DataFrame from, so downstream small-path consumers read them back
+    without a collect job (WeakKeyDictionary — dies with the frame)."""
+    _SMALL_GRAPH_MEMO.setdefault(df, {})["local_rows"] = rows
+    return df
+
+
+def _local_rows(df: DataFrame):
+    """The stashed driver-side rows for ``df``, or None."""
+    memo = _SMALL_GRAPH_MEMO.get(df)
+    return None if memo is None else memo.get("local_rows")
 
 
 def _collect_probe_rows(edges: DataFrame) -> list[tuple]:

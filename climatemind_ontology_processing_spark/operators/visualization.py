@@ -121,7 +121,8 @@ def _build_subgraphs_local(nodes: DataFrame, edges_annot: DataFrame,
     from collections import defaultdict
 
     from ..functions.arrays import any_truthy
-    from .traversal import _bfs_local, _collect_edge_rows, _collect_hops
+    from .traversal import (_bfs_local, _collect_edge_rows, _collect_hops,
+                            _local_rows)
 
     spark = edges_annot.sparkSession
     rows = _collect_edge_rows(edges_annot)
@@ -130,8 +131,12 @@ def _build_subgraphs_local(nodes: DataFrame, edges_annot: DataFrame,
     down_adapt = _bfs_local(_collect_hops(edges_annot, "forward", None), [root])
     downstream = sorted(_bfs_local(_collect_hops(edges_annot, "forward", CAUSES),
                                    [root]))
-    mit_ids = {r[0] for r in mitigation_ids.collect()}
-    adapt_ids = {r[0] for r in adaptation_ids.collect()}
+    mit_stash = _local_rows(mitigation_ids)
+    adapt_stash = _local_rows(adaptation_ids)
+    mit_ids = {r[0] for r in (mit_stash if mit_stash is not None
+                              else mitigation_ids.collect())}
+    adapt_ids = {r[0] for r in (adapt_stash if adapt_stash is not None
+                                else adaptation_ids.collect())}
     upstream_mit = sorted(set(upstream) | mit_ids)
 
     # reversed-solutions graph restricted to downstream_adaptations
