@@ -106,17 +106,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_cooccurrence_edges(spark, sf_dir):
+    # per-doc distinct dictionary mentions as a sorted ARRAY, pairs
+    # generated map-side from the array (i < j positions of a sorted
+    # distinct array == the a.term < b.term self-join, exactly) — the only
+    # shuffles left are the mention distinct and the final pair count;
+    # the old doc_id-keyed mention self-join is gone (guide §2.4)
     docs = _read(spark, sf_dir, "documents")
     terms = spark.createDataFrame([(t,) for t in TERMS], "term string")
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
     mentions = (tokens.join(F.broadcast(terms), tokens.tok == terms.term)
                 .select("doc_id", "term").distinct())
-    a = mentions.alias("a")
-    b = mentions.alias("b")
-    return (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) &
-                   (F.col("a.term") < F.col("b.term")))
-            .groupBy(F.col("a.term").alias("subj"), F.col("b.term").alias("obj"))
+    arr = mentions.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("term")).alias("_ts"))
+    t = F.col("_ts")
+    pair_arr = F.flatten(F.transform(
+        t, lambda x, i: F.transform(
+            F.slice(t, i + F.lit(2), F.size(t)),
+            lambda y: F.struct(x.alias("subj"), y.alias("obj")))))
+    return (arr.select(F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.subj").alias("subj"), F.col("p.obj").alias("obj"))
             .agg(F.count("*").alias("weight"))
             .withColumn("pred", F.lit("co_occurs_with"))
             .select("subj", "pred", "obj", "weight")

@@ -65,6 +65,26 @@ def build_graph(triples: DataFrame, concepts: DataFrame,
     from .traversal import _edge_count_small
 
     edges0 = triples_to_edges(triples)
+    small0 = _edge_count_small(edges0)
+    if not small0:
+        return _build_graph_impl(edges0, concepts, root)
+    # SMALL path: whole-stage codegen compilation dominates sub-threshold
+    # runs (the ~12 annotation stages each compile large generated classes
+    # for a few hundred rows; measured ~1.5 s/rep on the golden fixture).
+    # Scope the toggle to this call — big graphs keep codegen.
+    spark = triples.sparkSession
+    key = "spark.sql.codegen.wholeStage"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        return _build_graph_impl(edges0, concepts, root)
+    finally:
+        spark.conf.set(key, old)
+
+
+def _build_graph_impl(edges0: DataFrame, concepts: DataFrame,
+                      root: str = GREENHOUSE_EFFECT) -> GraphBundle:
+    from .traversal import _edge_count_small
 
     # Size-adaptive checkpoint width: a curated KG (hundreds..thousands of
     # edges) gains nothing from 32-partition checkpointed RDDs — every
@@ -78,8 +98,13 @@ def build_graph(triples: DataFrame, concepts: DataFrame,
     # per-stage scheduling floor spread over ~12 phases, not width.)
     small = _edge_count_small(edges0)
 
+    from .traversal import _mark_small
+
     def _ckpt(df: DataFrame) -> DataFrame:
-        return (df.coalesce(1) if small else df).localCheckpoint(eager=True)
+        out = (df.coalesce(1) if small else df).localCheckpoint(eager=True)
+        # every edge table below derives from edges0 by filtering — once
+        # edges0 probed small, skip the probe on the derived frames
+        return _mark_small(out) if small else out
 
     # driver-built small-path outputs (upstream/mitigation/adaptation sets)
     # are already-materialized local relations — checkpointing them would

@@ -95,6 +95,16 @@ def _edge_count_small(edges: DataFrame) -> bool:
     return memo[key]
 
 
+def _mark_small(df: DataFrame) -> DataFrame:
+    """Pre-seed the small-graph verdict for a frame DERIVED from one
+    already probed small (subset edge sets can only shrink) — skips the
+    limit-collect probe; the first consumer still collects the rows."""
+    if SMALL_GRAPH_THRESHOLD > 0:
+        _SMALL_GRAPH_MEMO.setdefault(df, {})[
+            ("small", SMALL_GRAPH_THRESHOLD)] = True
+    return df
+
+
 def _stash_local_rows(df: DataFrame, rows: list) -> DataFrame:
     """Record the driver-side rows a small-path operator just built its
     DataFrame from, so downstream small-path consumers read them back
