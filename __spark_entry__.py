@@ -2446,13 +2446,18 @@ def _tpch_kg_triples(spark, sf_dir):
           .select(ent("c:", "c_custkey").alias("subj"),
                   F.lit("located_in").alias("pred"),
                   ent("r:", "n_regionkey").alias("obj")))
+    # distinct on the INT key pair before stringification: the shuffle
+    # carries 2 longs instead of 2 strings and the concat runs once per
+    # distinct pair, not per lineitem row ('c:'||k is injective, so the
+    # pair set is identical — guide §2.3 narrower types)
     bf = (o.join(c, o.o_custkey == c.c_custkey)
           .join(l, l.l_orderkey == o.o_orderkey)
           .join(s, l.l_suppkey == s.s_suppkey)
-          .select(ent("c:", "c_custkey").alias("subj"),
+          .select(c.c_custkey.alias("_ck"), s.s_suppkey.alias("_sk"))
+          .distinct()
+          .select(ent("c:", "_ck").alias("subj"),
                   F.lit("buys_from").alias("pred"),
-                  ent("s:", "s_suppkey").alias("obj"))
-          .distinct())
+                  ent("s:", "_sk").alias("obj")))
     return cn.unionByName(sn).unionByName(nr).unionByName(cr).unionByName(bf)
 
 

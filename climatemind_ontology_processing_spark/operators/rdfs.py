@@ -166,9 +166,11 @@ def rdfs_closure(instance: DataFrame, schema: DataFrame,
     # --- instance stratum ------------------------------------------------
     asserted_a = inst.filter(F.col(P) != type_pred)
     # rdfs7: propagate assertions up the property hierarchy
+    # no intermediate distincts below: every branch drains into the final
+    # (s,p,o) aggregation, which deduplicates once for all of them
     ext_a = asserted_a.unionByName(
         asserted_a.join(F.broadcast(sp), asserted_a[P] == sp["p"])
-        .select(S, F.col("q").alias(P), O)).distinct()
+        .select(S, F.col("q").alias(P), O))
 
     declared_t = inst.filter(F.col(P) == type_pred) \
                      .select(S, F.col(O).alias("c"))
@@ -180,12 +182,19 @@ def rdfs_closure(instance: DataFrame, schema: DataFrame,
     rng_t = asserted_a.join(F.broadcast(rng_eff),
                             asserted_a[P] == rng_eff["p"]) \
                       .select(F.col(O).alias(S), "c")
-    types = declared_t.unionByName(dom_t).unionByName(rng_t).distinct()
+    types = declared_t.unionByName(dom_t).unionByName(rng_t)
     # rdfs9: propagate types up the class hierarchy
     all_types = types.unionByName(
         types.join(F.broadcast(sc), "c")
-        .select(S, F.col("d").alias("c"))).distinct()
+        .select(S, F.col("d").alias("c")))
 
+    # entailed ⊇ asserted (every asserted row re-derives through ext_a /
+    # declared types / the schema arm), so one (s,p,o)-keyed MIN over the
+    # tagged union replaces the old entailed.distinct() + asserted
+    # .distinct() + left join — three full-size exchanges become one
+    # map-side-combinable aggregation (guide §2.3 "aggregate before you
+    # shuffle"); the intermediate distincts above it only deduplicate
+    # what this aggregate deduplicates anyway.
     entailed = (ext_a
                 .unionByName(all_types.select(
                     S, F.lit(type_pred).alias(P), F.col("c").alias(O)))
@@ -196,13 +205,11 @@ def rdfs_closure(instance: DataFrame, schema: DataFrame,
                                        F.lit(sub_prop).alias(P),
                                        F.col("q").alias(O)))
                 .unionByName(sch)
-                .distinct())
-    asserted = inst.unionByName(sch).distinct() \
-                   .withColumn("_asserted", F.lit(1))
-    return (entailed.join(asserted, [S, P, O], "left")
-            .select(S, P, O,
-                    F.when(F.col("_asserted").isNotNull(), F.lit(0))
-                     .otherwise(F.lit(1)).alias("derived")))
+                .withColumn("derived", F.lit(1)))
+    asserted = inst.unionByName(sch).withColumn("derived", F.lit(0))
+    return (entailed.unionByName(asserted)
+            .groupBy(S, P, O)
+            .agg(F.min("derived").alias("derived")))
 
 
 def rdfs_increment(closure: DataFrame, delta: DataFrame, schema: DataFrame,
