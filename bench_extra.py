@@ -92,8 +92,11 @@ def main() -> None:
         ts = []
         for _ in range(args.reps):
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")
-            df = build(name)
+            # time build + action together, like bench.py's timed(): plan
+            # construction is part of the cost (and for size-adaptive
+            # small paths it's where the driver-side compute happens)
             t0 = time.time()
+            df = build(name)
             if args.noop and name != "graph_build":
                 df.write.format("noop").mode("overwrite").save()
             else:

@@ -70,15 +70,13 @@ def mine_chain_rules(triples: DataFrame, min_support: int = 5,
 
     Head triples with x == y chains are counted like any other (AMIE does
     not special-case reflexive witnesses; neither do we)."""
-    # the triple plan feeds THREE arms (both body sides + heads) and body
-    # feeds two aggregates; without materialization Spark re-executes the
-    # (possibly multi-join) upstream plan once per arm — no common-subplan
-    # reuse exists for self-joins (guide §3.3: materialize to truncate).
-    # Measured on the TPC-H KG: 4 substrate executions -> 1.
-    triples = triples.select("subj", "pred", "obj") \
-        .localCheckpoint(eager=True)
+    # NOTE on materialization: the triple plan feeds three arms (both body
+    # sides + heads) and body feeds two aggregates, but eagerly
+    # localCheckpointing them measured NEUTRAL-to-worse at sf0.1 — the
+    # recompute is broadcast-join + scan (cheap) while the checkpoint
+    # synchronously stores ~0.6M rows twice.  Callers whose triple input
+    # is itself an expensive shuffle plan should checkpoint before calling.
     body, _ = chain_body_pairs(triples, max_fanout)
-    body = body.localCheckpoint(eager=True)
     n_body = body.groupBy("p", "q").agg(F.count("*").alias("n_body"))
     heads = triples.select(F.col("subj").alias("x"),
                            F.col("pred").alias("head"),
