@@ -34,7 +34,18 @@ def get_spark(
                 str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE: coalescePartitions.parallelismFirst stays at its default
+        # (true).  Size-targeted coalescing (advisory 64m, guide §2.2) was
+        # A/B-measured WORSE here: several operators reduce ~20 MB that is
+        # CPU-heavy (string-key hash aggregation), and byte-based
+        # coalescing collapses them to one single-threaded partition.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash join when its size conditions
+        # hold (guide §3.1/§9): skips the per-partition sorts of
+        # sort-merge; A/B-measured -10..-30% on the join-heavy operators
+        # (rule mining 4.9->3.5s min).  Sort-merge remains the fallback
+        # for sides too big to hash locally.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Spark 4.1: localCheckpoint of a projected join fails with
