@@ -46,6 +46,16 @@ def get_spark(
         # (rule mining 4.9->3.5s min).  Sort-merge remains the fallback
         # for sides too big to hash locally.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # scan-split open cost: the 4 MB default is a packing guard for
+        # directories of thousands of tiny files; it also FLOORS the split
+        # size, capping single-file scan parallelism (a 10 MB parquet file
+        # gets ~3 tasks on 32 cores).  256 KB reflects real open cost on
+        # local/SSD storage and parallelizes small-file scans; A/B-measured
+        # -10..-20% on every TPC-H-substrate query.  Production tables
+        # should target 128 MB–1 GB files anyway (guide §6), where this
+        # knob is inert; raise via env for pathological many-tiny-file dirs.
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_GRAFT_OPEN_COST", str(256 * 1024)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Spark 4.1: localCheckpoint of a projected join fails with
@@ -60,10 +70,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # long sessions running many short queries accumulate dead
         # localCheckpoint blocks until the ContextCleaner's periodic GC
-        # (default 30 MINUTES) finally releases them — by then the heap
-        # churn slows every job.  A 1-minute cadence keeps the block
-        # manager drained at negligible GC cost (measured: removes a
-        # ~0.5-0.8 s/query late-session penalty in 36-query runs).
+        # (default 30 MINUTES) finally releases them.  A 1-minute cadence
+        # keeps the block manager drained; System.gc() on this heap
+        # measured ~0.1 s, so the cadence is effectively free (hygiene —
+        # co-tenant noise prevented attributing a specific win to it).
         .config("spark.cleaner.periodicGC.interval",
                 os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
