@@ -2488,7 +2488,11 @@ def _q_rule_mining(spark, sf_dir):
     from climatemind_ontology_processing_spark.operators.rules import (
         mine_chain_rules)
     trip = _tpch_kg_triples(spark, sf_dir)
-    return (mine_chain_rules(trip, min_support=5, max_fanout=None)
+    # assume_distinct: the KG is a union of per-predicate arms with
+    # disjoint predicates (each arm distinct by PK or explicit dedup), so
+    # the head-side dedup exchange is provably a no-op
+    return (mine_chain_rules(trip, min_support=5, max_fanout=None,
+                             assume_distinct=True)
             .orderBy("p", "q", "head"))
 
 
@@ -2574,7 +2578,10 @@ def _q_rdfs_closure(spark, sf_dir):
     inst = _rdfs_instance(spark, sf_dir, [0])
     sch = spark.createDataFrame(_RDFS_SCHEMA,
                                 "subj string, pred string, obj string")
-    return rdfs_closure(inst, sch).orderBy("subj", "pred", "obj")
+    # assume_distinct: inst0 arms are distinct and decl's 'type' pred is
+    # disjoint from every instance pred, so the union is duplicate-free
+    return (rdfs_closure(inst, sch, assume_distinct=True)
+            .orderBy("subj", "pred", "obj"))
 
 
 def _q_rdfs_delta(spark, sf_dir):

@@ -121,7 +121,8 @@ def transitive_closure(pairs: DataFrame, a: str = "a", b: str = "b",
 def rdfs_closure(instance: DataFrame, schema: DataFrame,
                  type_pred: str = "type", sub_class: str = "subClassOf",
                  sub_prop: str = "subPropertyOf", domain: str = "domain",
-                 range_: str = "range", max_rounds: int = 25) -> DataFrame:
+                 range_: str = "range", max_rounds: int = 25,
+                 assume_distinct: bool = False) -> DataFrame:
     """Full RDFS entailment of ``instance`` triples under ``schema``.
 
     Both inputs are (subj, pred, obj) tables; ``schema`` holds the
@@ -138,8 +139,15 @@ def rdfs_closure(instance: DataFrame, schema: DataFrame,
     # both sides are consumed by 3+ rule branches below; materialize once
     # so an expensive upstream instance plan (e.g. a multi-join KG build)
     # is not re-executed per branch.  The schema side is vocabulary-sized.
+    # ``assume_distinct=True`` skips the instance-side dedup exchange —
+    # pass it only when the input provably has no duplicate rows (the
+    # final output aggregation dedups anyway, but duplicated asserted
+    # rows would inflate the intermediate joins)
     sch = schema.select(S, P, O).distinct().localCheckpoint(eager=True)
-    inst = instance.select(S, P, O).distinct().localCheckpoint(eager=True)
+    inst = instance.select(S, P, O)
+    if not assume_distinct:
+        inst = inst.distinct()
+    inst = inst.localCheckpoint(eager=True)
 
     # --- schema stratum: rdfs11 / rdfs5 closures (vocabulary-sized) ------
     sc = transitive_closure(

@@ -63,13 +63,19 @@ def chain_body_pairs(triples: DataFrame,
 
 
 def mine_chain_rules(triples: DataFrame, min_support: int = 5,
-                     max_fanout: int | None = 1_000_000) -> DataFrame:
+                     max_fanout: int | None = 1_000_000,
+                     assume_distinct: bool = False) -> DataFrame:
     """(p, q, head, support, n_body, conf_micro) for every 2-chain rule
     with ``support >= min_support``; conf_micro = support*1e6 DIV n_body
     (truncating integer division — identical in Spark and ANSI SQL).
 
     Head triples with x == y chains are counted like any other (AMIE does
-    not special-case reflexive witnesses; neither do we)."""
+    not special-case reflexive witnesses; neither do we).
+
+    ``assume_distinct=True`` skips the head-side dedup exchange — pass it
+    ONLY when the input provably has no duplicate (subj, pred, obj) rows
+    (e.g. a union of per-predicate arms with disjoint predicates); a
+    duplicated head row would otherwise inflate ``support``."""
     # NOTE on materialization: the triple plan feeds three arms (both body
     # sides + heads) and body feeds two aggregates, but eagerly
     # localCheckpointing them measured NEUTRAL-to-worse at sf0.1 — the
@@ -80,7 +86,9 @@ def mine_chain_rules(triples: DataFrame, min_support: int = 5,
     n_body = body.groupBy("p", "q").agg(F.count("*").alias("n_body"))
     heads = triples.select(F.col("subj").alias("x"),
                            F.col("pred").alias("head"),
-                           F.col("obj").alias("y")).distinct()
+                           F.col("obj").alias("y"))
+    if not assume_distinct:
+        heads = heads.distinct()
     support = (body.join(heads, ["x", "y"])
                .groupBy("p", "q", "head")
                .agg(F.count("*").alias("support"))
