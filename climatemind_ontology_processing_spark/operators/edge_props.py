@@ -40,14 +40,28 @@ def set_edge_properties(edges: DataFrame, nodes: DataFrame,
     table is broadcast to both join sides; edges stream through without a
     shuffle at scale.
     """
-    st = source_types or SOURCE_TYPES
+    st = tuple(source_types or SOURCE_TYPES)
     props = _node_props(nodes)
     a = props.alias("a")
     b = props.alias("b")
     joined = (edges
               .join(F.broadcast(a), edges.src == F.col("a._n"), "left")
               .join(F.broadcast(b), edges.dst == F.col("b._n"), "left"))
+    return (joined
+            .select(*[edges[c] for c in edges.columns if c != "properties"],
+                    _prop_map_col(st).alias("properties")))
 
+
+# the property-map expression references only fixed column names
+# ("a._p"/"b._p"/"type") and the source-type list, so the tree is
+# reusable across DataFrames; building it costs ~100 py4j round trips —
+# cache per source-type tuple (the _pv_cols precedent)
+_PROP_MAP_CACHE: dict = {}
+
+
+def _prop_map_col(st: tuple):
+    if st in _PROP_MAP_CACHE:
+        return _PROP_MAP_CACHE[st]
     # Map-level formulation (round-2 verdict next-step #8): instead of
     # |source_types| unrolled when/intersect/coalesce sub-trees (which
     # dominated first-job codegen), restrict each endpoint's property map to
@@ -72,9 +86,8 @@ def set_edge_properties(edges: DataFrame, nodes: DataFrame,
     prop_map = F.when(F.col("type") != INHIBITS,
                       F.map_filter(inter, lambda _k, v: F.size(v) > 0)) \
         .otherwise(empty_map)
-    return (joined
-            .select(*[edges[c] for c in edges.columns if c != "properties"],
-                    prop_map.alias("properties")))
+    _PROP_MAP_CACHE[st] = prop_map
+    return prop_map
 
 
 def removal_sets(edges_with_props: DataFrame) -> DataFrame:
