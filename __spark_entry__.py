@@ -5206,7 +5206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "cosine_topk": _q_cosine_topk,
-        # ---- 50-slot window boundary (entries below: sweep-only) ----
         "cooccurrence_edges": _q_cooccurrence_edges,
         "pmi_edges": _q_pmi_edges,
         "shortest_paths": _q_shortest_paths,
