@@ -896,8 +896,26 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
          .join(sh.select(F.col("doc").alias("b"),
                          F.col("shingles").alias("_sb")), "b"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
-    out = (j.select("a", "b", inter.alias("inter"),
-                    F.size("_sa").alias("sz_a"), F.size("_sb").alias("sz_b"))
+    sized = j.select("a", "b", inter.alias("inter"),
+                     F.size("_sa").alias("sz_a"), F.size("_sb").alias("sz_b"))
+    if threshold == 0.5:
+        # integer-exact specialization for the default threshold: Catalyst
+        # pushes the jaccard filter into the verify-join CONDITION, where
+        # the division form mentions array_intersect twice (and the
+        # projection a third time) — measured ~20% of the whole query.
+        # For t = 1/2:  inter/U >= 0.5  <=>  3*inter >= sz_a+sz_b
+        # (U = sz_a+sz_b-inter > 0, integers).  Exact including double
+        # rounding: the closest ratio below 1/2 is 1/2 - 1/(2U), a gap of
+        # >= 2^-21 at any real U — 2^32 ulps of 0.5 — so rounding the
+        # quotient can never cross the boundary.  Other thresholds keep
+        # the division filter (product forms round differently).
+        sized = sized.filter(3 * F.col("inter")
+                             >= F.col("sz_a") + F.col("sz_b"))
+        return (sized.withColumn("jaccard", F.col("inter")
+                                 / (F.col("sz_a") + F.col("sz_b")
+                                    - F.col("inter")))
+                .select("a", "b", "jaccard"))
+    out = (sized
            .withColumn("jaccard", F.col("inter")
                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
            .filter(F.col("jaccard") >= threshold)

@@ -39,10 +39,56 @@ cap (a truncated fixpoint is invisible — CLAUDE.md invariant).
 """
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 S, P, O = "subj", "pred", "obj"
+
+# Schemas at or below this row count run the literal small path in
+# rdfs_closure: the schema stratum (transitive closures, sp-closed
+# domain/range maps) computed driver-side and the instance-side rule joins
+# replaced by literal-map lookups — zero broadcast exchanges, zero tiny
+# shuffle stages, one final aggregation.  Capped well below the PQ-literal
+# precedent (CLAUDE.md: literal expression trees cost analysis time) —
+# bigger schemas keep the broadcast-join path unchanged.  Set to 0 to
+# disable (used by the equivalence pin in tests).
+SCHEMA_LITERAL_MAX = int(os.environ.get("CMKG_RDFS_SCHEMA_LITERAL_MAX",
+                                        "256"))
+
+
+def _closure_local(adj: dict, max_rounds: int) -> list:
+    """Driver-side transitive closure of an adjacency dict — the
+    small-graph path shared by transitive_closure and rdfs_closure's
+    literal schema stratum.  Returns sorted (a, b) pairs; RAISES on
+    round-cap exhaustion at the same boundary as the distributed loop
+    (frontier still live after max_rounds)."""
+    out = []
+    maxd = 0
+    for src in sorted(adj):
+        # >= 1 step: level BFS from the successors (a node reaches
+        # itself only through a cycle); track shortest-hop depth so
+        # the loud round cap fires exactly when the distributed
+        # loop's would
+        seen = set(adj[src])
+        frontier = seen
+        depth = 1
+        while frontier:
+            maxd = max(maxd, depth)
+            nxt = {v for u in frontier for v in adj.get(u, ())
+                   if v not in seen}
+            seen |= nxt
+            frontier = nxt
+            depth += 1
+        for dst in sorted(seen):
+            out.append((src, dst))
+    if maxd >= max_rounds:
+        raise RuntimeError(
+            f"transitive_closure did not converge within max_rounds="
+            f"{max_rounds} — raise max_rounds (chain deeper than the "
+            f"cap)")
+    return out
 
 
 def transitive_closure(pairs: DataFrame, a: str = "a", b: str = "b",
@@ -72,30 +118,7 @@ def transitive_closure(pairs: DataFrame, a: str = "a", b: str = "b",
             adj: dict = {}
             for r in probe:
                 adj.setdefault(r[0], []).append(r[1])
-            out = []
-            maxd = 0
-            for src in sorted(adj):
-                # >= 1 step: level BFS from the successors (a node reaches
-                # itself only through a cycle); track shortest-hop depth so
-                # the loud round cap fires exactly when the distributed
-                # loop's would (frontier still live after max_rounds)
-                seen = set(adj[src])
-                frontier = seen
-                depth = 1
-                while frontier:
-                    maxd = max(maxd, depth)
-                    nxt = {v for u in frontier for v in adj.get(u, ())
-                           if v not in seen}
-                    seen |= nxt
-                    frontier = nxt
-                    depth += 1
-                for dst in sorted(seen):
-                    out.append((src, dst))
-            if maxd >= max_rounds:
-                raise RuntimeError(
-                    f"transitive_closure did not converge within max_rounds="
-                    f"{max_rounds} — raise max_rounds (chain deeper than the "
-                    f"cap)")
+            out = _closure_local(adj, max_rounds)
             ta = sel.schema["a"].dataType.simpleString()
             tb = sel.schema["b"].dataType.simpleString()
             return pairs.sparkSession.createDataFrame(
@@ -143,11 +166,28 @@ def rdfs_closure(instance: DataFrame, schema: DataFrame,
     # pass it only when the input provably has no duplicate rows (the
     # final output aggregation dedups anyway, but duplicated asserted
     # rows would inflate the intermediate joins)
-    sch = schema.select(S, P, O).distinct().localCheckpoint(eager=True)
     inst = instance.select(S, P, O)
     if not assume_distinct:
         inst = inst.distinct()
     inst = inst.localCheckpoint(eager=True)
+
+    # literal small path: a vocabulary-sized schema closes driver-side and
+    # the rule joins become literal-map lookups — the instance side then
+    # runs as pure projections into ONE final aggregation (no broadcast
+    # exchanges, no tiny schema-side shuffle stages).  Equivalence to the
+    # join path is pinned in tests/test_rdfs.py::test_literal_path_equals_join_path.
+    if SCHEMA_LITERAL_MAX > 0 and all(
+            f.dataType.simpleString() == "string"
+            for f in schema.select(S, P, O).schema.fields):
+        probe = schema.select(S, P, O).limit(SCHEMA_LITERAL_MAX + 1).collect()
+        if (len(probe) <= SCHEMA_LITERAL_MAX
+                and not any(r[0] is None or r[1] is None or r[2] is None
+                            for r in probe)):
+            rows = sorted({(r[0], r[1], r[2]) for r in probe})
+            return _rdfs_closure_literal(
+                inst, rows, type_pred, sub_class, sub_prop, domain, range_,
+                max_rounds)
+    sch = schema.select(S, P, O).distinct().localCheckpoint(eager=True)
 
     # --- schema stratum: rdfs11 / rdfs5 closures (vocabulary-sized) ------
     sc = transitive_closure(
@@ -215,6 +255,97 @@ def rdfs_closure(instance: DataFrame, schema: DataFrame,
                 .unionByName(sch)
                 .withColumn("derived", F.lit(1)))
     asserted = inst.unionByName(sch).withColumn("derived", F.lit(0))
+    return (entailed.unionByName(asserted)
+            .groupBy(S, P, O)
+            .agg(F.min("derived").alias("derived")))
+
+
+def _rdfs_closure_literal(inst: DataFrame, sch_rows: list, type_pred: str,
+                          sub_class: str, sub_prop: str, domain: str,
+                          range_: str, max_rounds: int) -> DataFrame:
+    """rdfs_closure's literal small path: ``sch_rows`` is the collected,
+    deduped, null-free (subj, pred, obj) schema; ``inst`` is the already
+    checkpointed instance table.  Same algebra as the join path — rdfs5/11
+    closed by _closure_local (same loud round cap), rdfs7/2/3/9 as
+    literal-map explodes (map miss => null => row dropped, exactly the
+    inner-join semantics), identical final MIN-over-tagged-union."""
+    spark = inst.sparkSession
+    trip_schema = f"{S} string, {P} string, {O} string"
+
+    def _adj(pred_name):
+        adj: dict = {}
+        for s, p, o in sch_rows:
+            if p == pred_name:
+                adj.setdefault(s, []).append(o)
+        return adj
+
+    sc_pairs = _closure_local(_adj(sub_class), max_rounds)   # rdfs11
+    sp_pairs = _closure_local(_adj(sub_prop), max_rounds)    # rdfs5
+    dom_by_p: dict = {}
+    rng_by_p: dict = {}
+    for s, p, o in sch_rows:
+        if p == domain:
+            dom_by_p.setdefault(s, set()).add(o)
+        elif p == range_:
+            rng_by_p.setdefault(s, set()).add(o)
+    # domain/range of a SUPERproperty apply to subproperty assertions
+    dom_eff = {p: set(cs) for p, cs in dom_by_p.items()}
+    rng_eff = {p: set(cs) for p, cs in rng_by_p.items()}
+    for p, q in sp_pairs:
+        for tgt, src in ((dom_eff, dom_by_p), (rng_eff, rng_by_p)):
+            if q in src:
+                tgt.setdefault(p, set()).update(src[q])
+    sp_by_p: dict = {}
+    for p, q in sp_pairs:
+        sp_by_p.setdefault(p, set()).add(q)
+    sc_by_c: dict = {}
+    for c, d in sc_pairs:
+        sc_by_c.setdefault(c, set()).add(d)
+
+    def _map_arr(m):
+        args = []
+        for k in sorted(m):
+            args.append(F.lit(k))
+            args.append(F.array(*[F.lit(v) for v in sorted(m[k])]))
+        return F.create_map(*args)
+
+    asserted_a = inst.filter(F.col(P) != type_pred)
+    # rdfs7: propagate assertions up the property hierarchy
+    ext_a = asserted_a
+    if sp_by_p:
+        ext_a = ext_a.unionByName(asserted_a.select(
+            F.col(S), F.explode(_map_arr(sp_by_p)[F.col(P)]).alias(P),
+            F.col(O)))
+    declared_t = inst.filter(F.col(P) == type_pred) \
+                     .select(S, F.col(O).alias("c"))
+    # rdfs2/3 over the RAW assertions with sp-closed domain/range maps
+    types = declared_t
+    if dom_eff:
+        types = types.unionByName(asserted_a.select(
+            F.col(S), F.explode(_map_arr(dom_eff)[F.col(P)]).alias("c")))
+    if rng_eff:
+        types = types.unionByName(asserted_a.select(
+            F.col(O).alias(S),
+            F.explode(_map_arr(rng_eff)[F.col(P)]).alias("c")))
+    # rdfs9: propagate types up the class hierarchy
+    all_types = types
+    if sc_by_c:
+        all_types = types.unionByName(types.select(
+            F.col(S), F.explode(_map_arr(sc_by_c)[F.col("c")]).alias("c")))
+
+    sch_df = spark.createDataFrame(sch_rows, trip_schema)
+    entailed = (ext_a
+                .unionByName(all_types.select(
+                    S, F.lit(type_pred).alias(P), F.col("c").alias(O)))
+                .unionByName(sch_df))
+    if sc_pairs:
+        entailed = entailed.unionByName(spark.createDataFrame(
+            [(c, sub_class, d) for c, d in sc_pairs], trip_schema))
+    if sp_pairs:
+        entailed = entailed.unionByName(spark.createDataFrame(
+            [(p, sub_prop, q) for p, q in sp_pairs], trip_schema))
+    entailed = entailed.withColumn("derived", F.lit(1))
+    asserted = inst.unionByName(sch_df).withColumn("derived", F.lit(0))
     return (entailed.unionByName(asserted)
             .groupBy(S, P, O)
             .agg(F.min("derived").alias("derived")))

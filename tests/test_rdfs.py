@@ -122,6 +122,23 @@ def test_increment_equals_full_run(spark):
     assert gi[("u", "type", "C")] == 1        # new fact entails rdfs2+9
 
 
+def test_literal_path_equals_join_path(spark, monkeypatch):
+    """The literal small path (schema closed driver-side, rule joins as
+    literal-map explodes) must row-equal the broadcast-join path on a
+    schema exercising every rule family, incl. a superproperty domain."""
+    from climatemind_ontology_processing_spark.operators import rdfs as mod
+    inst = spark.createDataFrame(
+        INSTANCE + [("y", "q", "z"), ("w", "type", "B")],
+        "subj string, pred string, obj string")
+    sch = spark.createDataFrame(SCHEMA, "subj string, pred string, obj string")
+    as_map = lambda df: {(r.subj, r.pred, r.obj): r.derived
+                         for r in df.collect()}
+    lit_out = as_map(rdfs_closure(inst, sch))          # literal path (tiny)
+    monkeypatch.setattr(mod, "SCHEMA_LITERAL_MAX", 0)  # force join path
+    join_out = as_map(rdfs_closure(inst, sch))
+    assert lit_out == join_out
+
+
 def test_idempotent(spark, closed):
     once = spark.createDataFrame(
         [(s, p, o) for (s, p, o) in closed],
