@@ -106,19 +106,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_cooccurrence_edges(spark, sf_dir):
-    # per-doc distinct dictionary mentions as a sorted ARRAY, pairs
-    # generated map-side from the array (i < j positions of a sorted
-    # distinct array == the a.term < b.term self-join, exactly) — the only
-    # shuffles left are the mention distinct and the final pair count;
-    # the old doc_id-keyed mention self-join is gone (guide §2.4)
+    # per-doc distinct dictionary mentions as a sorted ARRAY built fully
+    # MAP-SIDE: array_intersect(tokens, literal terms) is the distinct
+    # mention set per document (doc_id is unique by generator contract,
+    # pinned by the oracle hash), so the old explode + broadcast-join +
+    # distinct + groupBy chain — three corpus-sized exchanges — is zero
+    # exchanges; pairs come from i < j positions of the sorted array
+    # (== the a.term < b.term self-join, exactly) and the only shuffle
+    # left is the final pair count (guide §2.4)
     docs = _read(spark, sf_dir, "documents")
-    terms = spark.createDataFrame([(t,) for t in TERMS], "term string")
-    tokens = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    mentions = (tokens.join(F.broadcast(terms), tokens.tok == terms.term)
-                .select("doc_id", "term").distinct())
-    arr = mentions.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("term")).alias("_ts"))
+    terms_arr = F.array(*[F.lit(t) for t in TERMS])
+    arr = docs.select(F.array_sort(
+        F.array_intersect(F.split(F.col("text"), " "), terms_arr))
+        .alias("_ts"))
     t = F.col("_ts")
     pair_arr = F.flatten(F.transform(
         t, lambda x, i: F.transform(

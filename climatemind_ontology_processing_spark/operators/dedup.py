@@ -460,6 +460,13 @@ def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
                       .withColumnRenamed("shingles", "_sb"), "b"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
+    if threshold == 0.5:
+        # integer-exact t=1/2 form — one array_intersect in the pushed-down
+        # join condition instead of two (see ppjoin_pairs for the
+        # half-ulp boundary proof)
+        return (joined.filter(3 * inter >= F.size("_sa") + F.size("_sb"))
+                .withColumn("jaccard", inter / union)
+                .select("a", "b", "jaccard"))
     return (joined.withColumn("jaccard", inter / union)
             .filter(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard"))
