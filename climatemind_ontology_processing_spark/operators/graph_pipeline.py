@@ -111,8 +111,11 @@ def _build_graph_impl(edges0: DataFrame, concepts: DataFrame,
     # only add a job per stage
     _ckpt_set = (lambda df: df) if small else _ckpt
 
-    # J1 + A3
-    nodes0 = attach_attributes(edges0, concepts)
+    # J1 + A3 (checkpointed: both set_edge_properties and
+    # remove_edge_properties_from_nodes consume nodes0 — one attach
+    # execution instead of two, and their stage jobs stop re-broadcasting
+    # the concepts dictionary)
+    nodes0 = _ckpt(attach_attributes(edges0, concepts))
 
     # J2 / A7 / U1-U3  (eager checkpoint: lazy localCheckpoint under AQE can
     # lose attribute bindings — observed "key not found: src#N" in Spark 4.1)
