@@ -166,9 +166,14 @@ def _collect_hops(edges: DataFrame, direction: str,
 
 def _seed_values(seeds: DataFrame | list) -> list:
     """Seeds may be a DataFrame[id] or a plain driver-side list (saves a
-    Spark action when the caller already knows the seed labels)."""
+    Spark action when the caller already knows the seed labels); a frame
+    with stashed local rows (a literal the caller just built) reads them
+    back without the distinct+collect job."""
     if isinstance(seeds, list):
         return sorted(set(seeds))
+    rows = _local_rows(seeds)
+    if rows is not None:
+        return sorted({r[0] for r in rows})
     return sorted({r[0] for r in seeds.distinct().collect()})
 
 
