@@ -878,15 +878,17 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
           .select(F.col(id_col).alias("doc"), F.col("shingles"))
           .localCheckpoint(eager=True))
     ex = sh.select("doc", F.explode("shingles").alias("s"))
-    sizes = sh.select("doc", F.size("shingles").alias("sz"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("_df"))
+    # sz from a count(*) window over the SAME doc partitioning the rank
+    # window establishes (per-doc row count == F.size(shingles): (doc, s)
+    # is unique by construction) — no sizes join, no extra exchange
     ranked = (ex.join(dfreq, "s")
               .withColumn("rnk", F.row_number().over(
-                  Window.partitionBy("doc").orderBy("_df", "s"))))
+                  Window.partitionBy("doc").orderBy("_df", "s")))
+              .withColumn("sz", F.count("*").over(Window.partitionBy("doc"))))
     prefix_len = (F.col("sz")
                   - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-    pre = (ranked.join(sizes, "doc")
-           .filter(F.col("rnk") <= prefix_len)
+    pre = (ranked.filter(F.col("rnk") <= prefix_len)
            .select("doc", "s", "sz"))
     l, r = pre.alias("l"), pre.alias("r")
     cand = (l.join(r, (F.col("l.s") == F.col("r.s"))
