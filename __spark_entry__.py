@@ -57,10 +57,16 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _read(spark, sf_dir, "customer")
     l = _read(spark, sf_dir, "lineitem")
     s = _read(spark, sf_dir, "supplier")
-    return (o.join(c, o.o_custkey == c.c_custkey)
-            .join(l, l.l_orderkey == o.o_orderkey)
+    # shuffle_hash on the (orders x customer) side: the planner would
+    # otherwise BROADCAST the bigger lineitem projection, whose hashed
+    # relation builds single-threaded per query; the shuffled-hash build
+    # of the smaller side parallelizes (guide §3.1; A/B 0.66 -> 0.54 s)
+    oc = (o.join(c, o.o_custkey == c.c_custkey)
+          .select("o_orderkey", "c_nationkey"))
+    return (l.join(oc.hint("shuffle_hash"),
+                   l.l_orderkey == F.col("o_orderkey"))
             .join(s, l.l_suppkey == s.s_suppkey)
-            .select(c.c_nationkey.cast("int").alias("src"),
+            .select(F.col("c_nationkey").cast("int").alias("src"),
                     s.s_nationkey.cast("int").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
             .distinct())
@@ -2454,10 +2460,14 @@ def _tpch_kg_triples(spark, sf_dir):
     # carries 2 longs instead of 2 strings and the concat runs once per
     # distinct pair, not per lineitem row ('c:'||k is injective, so the
     # pair set is identical — guide §2.3 narrower types)
-    bf = (o.join(c, o.o_custkey == c.c_custkey)
-          .join(l, l.l_orderkey == o.o_orderkey)
+    # shuffle_hash on the (orders x customer) side — same build-side flip
+    # as _trade_edges (the broadcast of the bigger lineitem projection
+    # builds single-threaded per query)
+    oc = (o.join(c, o.o_custkey == c.c_custkey)
+          .select("o_orderkey", F.col("c_custkey").alias("_ck0")))
+    bf = (l.join(oc.hint("shuffle_hash"), l.l_orderkey == F.col("o_orderkey"))
           .join(s, l.l_suppkey == s.s_suppkey)
-          .select(c.c_custkey.alias("_ck"), s.s_suppkey.alias("_sk"))
+          .select(F.col("_ck0").alias("_ck"), s.s_suppkey.alias("_sk"))
           .distinct()
           .select(ent("c:", "_ck").alias("subj"),
                   F.lit("buys_from").alias("pred"),
