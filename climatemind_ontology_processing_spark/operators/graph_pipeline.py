@@ -62,10 +62,17 @@ def triples_to_edges(triples: DataFrame) -> DataFrame:
 
 def build_graph(triples: DataFrame, concepts: DataFrame,
                 root: str = GREENHOUSE_EFFECT) -> GraphBundle:
-    from .traversal import _edge_count_small
+    from .traversal import _adopt_probe, _edge_count_small
 
     edges0 = triples_to_edges(triples)
-    small0 = _edge_count_small(edges0)
+    # probe the PRE-dedup projection: the probe collect dedups driver-side
+    # anyway, so the dropDuplicates exchange inside edges0 adds nothing to
+    # the verdict or the rows — adopt them onto edges0
+    raw_edges = triples.select(F.col("subj").alias("src"),
+                               F.col("obj").alias("dst"),
+                               F.col("pred").alias("type"))
+    small0 = _edge_count_small(raw_edges)
+    _adopt_probe(edges0, raw_edges)
     if not small0:
         return _build_graph_impl(edges0, concepts, root)
     # SMALL path: whole-stage codegen compilation dominates sub-threshold

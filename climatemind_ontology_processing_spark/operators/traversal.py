@@ -105,6 +105,20 @@ def _mark_small(df: DataFrame) -> DataFrame:
     return df
 
 
+def _adopt_probe(target: DataFrame, source: DataFrame) -> None:
+    """Copy a small-graph probe verdict (and its collected rows) from
+    ``source`` onto ``target`` — for a target that differs from the probed
+    source only by a dedup the probe machinery performs driver-side anyway
+    (e.g. dropDuplicates over the same projection), so re-collecting
+    through the target's exchange would do no new work."""
+    src_memo = _SMALL_GRAPH_MEMO.get(source)
+    if not src_memo:
+        return
+    tgt = _SMALL_GRAPH_MEMO.setdefault(target, {})
+    for key, val in src_memo.items():
+        tgt.setdefault(key, val)
+
+
 def _stash_local_rows(df: DataFrame, rows: list) -> DataFrame:
     """Record the driver-side rows a small-path operator just built its
     DataFrame from, so downstream small-path consumers read them back
