@@ -147,17 +147,36 @@ def _build_graph_impl(edges0: DataFrame, concepts: DataFrame,
     # when non-empty (make_graph_class.py:508 ``if sources:``), adaptation
     # sets it unconditionally (:553-557) — so empty bags survive only for
     # adaptation solutions.
-    sol_ids = (mit.withColumn("_always", F.lit(False))
-               .unionByName(adapt_ids.withColumn("_always", F.lit(True))))
-    sol_flags = sol_ids.groupBy("id").agg(F.max("_always").alias("_always"))
-    solution_sources_df = (nodes
-        .join(sol_flags.withColumnRenamed("id", "label"), "label")
-        .select("label",
-                F.when((F.size(flatten_source_lists(F.col("properties"))) > 0)
-                       | F.col("_always"),
-                       flatten_source_lists(F.col("properties")))
-                 .alias("solution_sources"))
-        .filter(F.col("solution_sources").isNotNull()))
+    from .traversal import _local_rows
+
+    mit_rows = _local_rows(mit)
+    aid_rows = _local_rows(adapt_ids)
+    flat = flatten_source_lists(F.col("properties"))
+    if mit_rows is not None and aid_rows is not None:
+        # small path: both id sets are driver-side — literal membership
+        # filters replace the flag union + groupBy + join (node labels are
+        # unique, so the inner join was exactly this filter; _always =
+        # max(_always) is True iff the label is an adaptation id)
+        always_set = {r[0] for r in aid_rows}
+        sol = sorted({r[0] for r in mit_rows} | always_set)
+        in_always = (F.col("label").isin(sorted(always_set))
+                     if always_set else F.lit(False))
+        solution_sources_df = (nodes
+            .filter(F.col("label").isin(sol) if sol else F.lit(False))
+            .select("label",
+                    F.when((F.size(flat) > 0) | in_always, flat)
+                     .alias("solution_sources"))
+            .filter(F.col("solution_sources").isNotNull()))
+    else:
+        sol_ids = (mit.withColumn("_always", F.lit(False))
+                   .unionByName(adapt_ids.withColumn("_always", F.lit(True))))
+        sol_flags = sol_ids.groupBy("id").agg(F.max("_always").alias("_always"))
+        solution_sources_df = (nodes
+            .join(sol_flags.withColumnRenamed("id", "label"), "label")
+            .select("label",
+                    F.when((F.size(flat) > 0) | F.col("_always"), flat)
+                     .alias("solution_sources"))
+            .filter(F.col("solution_sources").isNotNull()))
 
     # annotated graph + cyto + subgraphs (checkpointed: the 25-subgraph
     # fan-out below references these plans ~25x each — without truncation
@@ -190,12 +209,17 @@ def _build_graph_impl(edges0: DataFrame, concepts: DataFrame,
                else F.array().cast("array<string>"))
         return F.when(F.col("label") == root, arr)
 
+    # size-gated broadcast hints: in the small path several right sides
+    # are driver-built frames (LogicalRDD, unknown stats) that would
+    # otherwise plan as sort-merge joins with exchanges; above the
+    # threshold they keep the planner's choice
+    _b = F.broadcast if small else (lambda df: df)
     nodes_final = (nodes
-        .join(solution_sources_df, "label", "left")
-        .join(adapt.withColumnRenamed("effect", "label"), "label", "left")
-        .join(myth_cat.withColumnRenamed("target", "label"), "label", "left")
-        .join(myth_src.withColumnRenamed("myth", "label"), "label", "left")
-        .join(causal, "label", "left")
+        .join(_b(solution_sources_df), "label", "left")
+        .join(_b(adapt.withColumnRenamed("effect", "label")), "label", "left")
+        .join(_b(myth_cat.withColumnRenamed("target", "label")), "label", "left")
+        .join(_b(myth_src.withColumnRenamed("myth", "label")), "label", "left")
+        .join(_b(causal), "label", "left")
         .withColumn("mitigation_solutions", _root_list(mit_ranked))
         .withColumn("general_myths", _root_list(gen_myth_list)))
 

@@ -49,18 +49,31 @@ def solution_and_impact_myths(edges_g: DataFrame, nodes: DataFrame,
                               downstream_adaptation_ids: DataFrame) -> DataFrame:
     """(target, solution_myths array, impact_myths array) — empty arrays where
     a category doesn't apply but the other does."""
+    from .traversal import _local_rows
+
     me = myth_edges(edges_g, nodes)
     risk = nodes.filter(
         F.col("super_class_membership").isNotNull() &
         F.map_contains_key("super_class_membership", RISK_SOLUTION_KEY)
     ).select(F.col("label").alias("target"))
-    down = downstream_adaptation_ids.select(
-        F.col(downstream_adaptation_ids.columns[0]).alias("target"))
 
-    tagged = (me
-              .join(F.broadcast(risk.withColumn("_is_risk", F.lit(True))),
-                    "target", "left")
-              .join(down.withColumn("_is_down", F.lit(True)), "target", "left"))
+    tagged = me.join(
+        F.broadcast(risk.withColumn("_is_risk", F.lit(True))),
+        "target", "left")
+    down_rows = _local_rows(downstream_adaptation_ids)
+    if down_rows is not None:
+        # driver-side id set (small path): literal membership instead of a
+        # join against a stats-less local frame — identical tagging (the
+        # left join yields True-or-null; so does when(isin))
+        vals = sorted({r[0] for r in down_rows})
+        is_down = (F.when(F.col("target").isin(vals), F.lit(True))
+                   if vals else F.lit(None).cast("boolean"))
+        tagged = tagged.withColumn("_is_down", is_down)
+    else:
+        down = downstream_adaptation_ids.select(
+            F.col(downstream_adaptation_ids.columns[0]).alias("target"))
+        tagged = tagged.join(down.withColumn("_is_down", F.lit(True)),
+                             "target", "left")
     return (tagged.groupBy("target")
             .agg(
                 F.array_sort(F.collect_set(
@@ -73,9 +86,18 @@ def solution_and_impact_myths(edges_g: DataFrame, nodes: DataFrame,
 def general_myths_ranked(edges_g: DataFrame, nodes: DataFrame,
                          upstream_ids: DataFrame) -> DataFrame:
     """O2 — (myth, myth_frequency) sorted by frequency desc, label asc."""
+    from .traversal import _local_rows
+
     me = myth_edges(edges_g, nodes)
-    ups = upstream_ids.select(F.col(upstream_ids.columns[0]).alias("target"))
-    general = me.join(ups, "target", "left_semi").select("myth").distinct()
+    ups_rows = _local_rows(upstream_ids)
+    if ups_rows is not None:
+        vals = sorted({r[0] for r in ups_rows})
+        general = (me.filter(F.col("target").isin(vals)) if vals
+                   else me.filter(F.lit(False))).select("myth").distinct()
+    else:
+        ups = upstream_ids.select(
+            F.col(upstream_ids.columns[0]).alias("target"))
+        general = me.join(ups, "target", "left_semi").select("myth").distinct()
     freq = nodes.select(
         F.col("label").alias("myth"),
         F.col("data_properties").getItem("myth_frequency").alias("myth_frequency"))

@@ -154,7 +154,13 @@ def _build_subgraphs_local(nodes: DataFrame, edges_annot: DataFrame,
     ty = edges_annot.schema["src"].dataType.simpleString()
 
     def _df(vals):
-        return spark.createDataFrame([(v,) for v in vals], f"id {ty}")
+        # stash the rows: downstream consumers (myths, solution-source
+        # gating) turn membership joins into literal isin filters when the
+        # id list is already driver-side
+        from .traversal import _stash_local_rows
+        rows = [(v,) for v in vals]
+        return _stash_local_rows(
+            spark.createDataFrame(rows, f"id {ty}"), rows)
 
     return {
         "upstream": _df(upstream),
