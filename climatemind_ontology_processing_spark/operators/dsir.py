@@ -111,13 +111,13 @@ def dsir_scores(raw_docs: DataFrame, target_docs: DataFrame,
     0 with 0 features — present, not silently dropped).  ``score_micro`` is
     the integer-exact importance log-weight x 1e6; rank descending to
     prefer target-like documents."""
-    # raw features feed TWO full consumers (the q-distribution census in
-    # dsir_log_ratios and the per-doc scoring join); materialize once —
-    # the recompute is a tokenize+hash explode over the whole raw corpus,
-    # exactly the expensive-per-arm case the repo checkpoints (A/B at
-    # sf0.1: 1.14 s -> 0.42 s).  Target features are consumed once.
-    rf = hashed_ngram_counts(raw_docs, id_col, text_col, buckets,
-                             hash_family).localCheckpoint(eager=True)
+    # NOTE: raw features feed two consumers (the q census and the scoring
+    # join), but an eager checkpoint here measured NEUTRAL-to-worse once
+    # plan construction was timed too (1.28 vs 1.39 s at sf0.1) — the
+    # synchronous store of the corpus-sized feature table costs what the
+    # recompute saves (AQE reuses the groupBy exchange).  Same verdict as
+    # rule_mining's substrate; keep the plan lazy.
+    rf = hashed_ngram_counts(raw_docs, id_col, text_col, buckets, hash_family)
     tf = hashed_ngram_counts(target_docs, id_col, text_col, buckets,
                              hash_family)
     ratios = dsir_log_ratios(tf, rf, buckets)
