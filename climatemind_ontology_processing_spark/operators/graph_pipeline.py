@@ -134,9 +134,23 @@ def _build_graph_impl(edges0: DataFrame, concepts: DataFrame,
     edges_b = _ckpt(make_acyclic(edges, nodes))
 
     # G3/G7/O1
+    from .traversal import _local_rows
+
     ups = _ckpt_set(upstream_nodes(edges_b, root))
     mit = _ckpt_set(mitigation_solutions(edges_b, root, ups=ups))
-    mit_ranked = [r.id for r in rank_mitigations(mit, nodes).collect()]
+    # small path: ONE narrow collect of the per-label annotation maps
+    # replaces the rank_mitigations and general_myths collect jobs (their
+    # ordering replicas are pinned in tests/test_small_path_equivalence)
+    ann_rows = (nodes.select("label", "data_properties",
+                             "super_class_membership").collect()
+                if small else None)
+    mit_rows0 = _local_rows(mit)
+    if ann_rows is not None and mit_rows0 is not None:
+        from .mitigation import rank_mitigations_local
+        _dp = {r["label"]: r["data_properties"] for r in ann_rows}
+        mit_ranked = rank_mitigations_local([r[0] for r in mit_rows0], _dp)
+    else:
+        mit_ranked = [r.id for r in rank_mitigations(mit, nodes).collect()]
 
     # G4/G5/G8 — inhibit neighbors from PRE-cut G, paths from B
     adapt = _ckpt_set(adaptation_solutions(edges, edges_b, root))
@@ -191,7 +205,21 @@ def _build_graph_impl(edges0: DataFrame, concepts: DataFrame,
     # subgraph per process_myths.py:42)
     down_ids = subs["downstream_adaptations"]
     myth_cat = solution_and_impact_myths(edges, nodes, down_ids)
-    gen_myths = general_myths_ranked(edges, nodes, ups)
+    ups_rows = _local_rows(ups)
+    if ann_rows is not None and ups_rows is not None:
+        from .myths import general_myths_ranked_local
+        from .traversal import _collect_edge_rows, _stash_local_rows
+        _scm = {r["label"]: r["super_class_membership"] for r in ann_rows}
+        gen_rows = general_myths_ranked_local(
+            _collect_edge_rows(edges), _scm, _dp,
+            {r[0] for r in ups_rows})
+        gen_myths = _stash_local_rows(
+            edges.sparkSession.createDataFrame(
+                gen_rows, "myth string, myth_frequency double"), gen_rows)
+        gen_myth_list = [m for m, _f in gen_rows]
+    else:
+        gen_myths = general_myths_ranked(edges, nodes, ups)
+        gen_myth_list = [r["myth"] for r in gen_myths.collect()]
     myth_src = myth_sources(nodes)
 
     # causal sources
@@ -202,7 +230,6 @@ def _build_graph_impl(edges0: DataFrame, concepts: DataFrame,
     # "increase in greenhouse effect" (make_graph_class.py:499-503 mitigation
     # solutions; process_myths.py:102-106 general myths) — the S4 gpickle
     # feeds an app from these fields, so the node table must carry them
-    gen_myth_list = [r["myth"] for r in gen_myths.collect()]
 
     def _root_list(values: list[str]):
         arr = (F.array(*[F.lit(v) for v in values]) if values

@@ -98,6 +98,27 @@ def rank_mitigations(mitigations: DataFrame, nodes: DataFrame) -> DataFrame:
             .select("id", "co2"))
 
 
+def rank_mitigations_local(mit_ids: list, dp_by_label: dict) -> list:
+    """Driver replica of :func:`rank_mitigations`' ordering for the
+    small-graph path: same truthy-CO2 key (null and 0 last), CO2
+    descending with NaN greatest (Spark double order), label ascending.
+    ``dp_by_label`` maps label -> data_properties dict (missing label ==
+    the left join's null row).  Equivalence pinned in
+    tests/test_small_path_equivalence.py."""
+    import math
+
+    def key(i):
+        co2 = (dp_by_label.get(i) or {}).get("CO2_eq_reduced")
+        k = co2 if (co2 is not None and co2 != 0) else None
+        if k is None:
+            return (1, 0.0, i)
+        if isinstance(k, float) and math.isnan(k):
+            return (0, float("-inf"), i)
+        return (0, -k, i)
+
+    return sorted(mit_ids, key=key)
+
+
 def mitigation_list(edges_b: DataFrame, nodes: DataFrame,
                     root: str = GREENHOUSE_EFFECT) -> list[str]:
     """Driver-side ordered list for the ``mitigation solutions`` attribute of

@@ -105,6 +105,32 @@ def general_myths_ranked(edges_g: DataFrame, nodes: DataFrame,
             .orderBy(F.col("myth_frequency").desc_nulls_last(), F.col("myth").asc()))
 
 
+def general_myths_ranked_local(edge_rows: list, scm_by_label: dict,
+                               dp_by_label: dict, ups: set) -> list:
+    """Driver replica of :func:`general_myths_ranked` for the small-graph
+    path: myth nodes from the super_class_membership maps, is_a_myth_about
+    out-edges into the upstream set, ranked (myth_frequency desc
+    nulls-last with NaN greatest, label asc).  Returns (myth, frequency)
+    tuples.  Equivalence pinned in tests/test_small_path_equivalence.py."""
+    import math
+
+    myth_labels = {lab for lab, scm in scm_by_label.items()
+                   if scm is not None and MYTH_KEY in scm}
+    general = {s for s, d, t in edge_rows
+               if t == MYTH_ABOUT and s in myth_labels and d in ups}
+
+    def key(m):
+        f = (dp_by_label.get(m) or {}).get("myth_frequency")
+        if f is None:
+            return (1, 0.0, m)
+        if isinstance(f, float) and math.isnan(f):
+            return (0, float("-inf"), m)
+        return (0, -f, m)
+
+    return [(m, (dp_by_label.get(m) or {}).get("myth_frequency"))
+            for m in sorted(general, key=key)]
+
+
 def myth_sources(nodes: DataFrame) -> DataFrame:
     """A6 — (myth, myth_sources array) for every myth node."""
     return myth_nodes(nodes).select(

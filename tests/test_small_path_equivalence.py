@@ -79,3 +79,51 @@ def test_textrank_small_equals_distributed(spark, monkeypatch):
     monkeypatch.setattr(trav, "SMALL_GRAPH_THRESHOLD", 0)
     dist = _rows(textrank_scores(docs))
     assert small == dist
+
+
+def test_annotation_rank_replicas_equal_dataframe_path(spark):
+    """The driver replicas of rank_mitigations / general_myths_ranked used
+    by build_graph's small path must order exactly like their DataFrame
+    twins on the golden fixture (incl. truthy-CO2 nulls-last and
+    frequency desc nulls-last)."""
+    import json as _json
+    from importlib import resources
+
+    from climatemind_ontology_processing_spark.operators.graph_pipeline import (
+        build_graph)
+    from climatemind_ontology_processing_spark.operators.mitigation import (
+        rank_mitigations, rank_mitigations_local)
+    from climatemind_ontology_processing_spark.operators.myths import (
+        general_myths_ranked, general_myths_ranked_local)
+    from climatemind_ontology_processing_spark.sources.dictionary import (
+        concepts_df)
+
+    golden = _json.loads(
+        (resources.files("climatemind_ontology_processing_spark.data")
+         / "golden_graph.json").read_text())
+    fx = spark.createDataFrame(
+        [(e["src"], e["type"], e["dst"]) for e in golden["edges"]],
+        "subj string, pred string, obj string")
+    b = build_graph(fx, concepts_df(spark))
+    mit = b.extras["mitigation_ids"]
+    ups = b.extras["upstream_ids"]
+    # DataFrame twins on the same inputs
+    df_rank = [r.id for r in rank_mitigations(mit, b.nodes).collect()]
+    assert b.mitigation_ranked == df_rank
+    df_gen = [(r["myth"], r["myth_frequency"])
+              for r in general_myths_ranked(b.edges, b.nodes, ups).collect()]
+    got_gen = [(r["myth"], r["myth_frequency"])
+               for r in b.extras["general_myths"].collect()]
+    assert got_gen == df_gen
+    # key-function edge cases no fixture covers: zero/None CO2 last, NaN first
+    dp = {"a": {"CO2_eq_reduced": 2.0}, "b": {"CO2_eq_reduced": 0.0},
+          "c": None, "d": {"CO2_eq_reduced": float("nan")},
+          "e": {"CO2_eq_reduced": 5.0}}
+    assert rank_mitigations_local(["a", "b", "c", "d", "e"], dp) == \
+        ["d", "e", "a", "b", "c"]
+    rows = [("m1", "t1", "is_a_myth_about"), ("m2", "t1", "is_a_myth_about"),
+            ("m3", "t2", "other")]
+    scm = {"m1": {"myth": ["x"]}, "m2": {"myth": ["x"]}, "m3": {"myth": ["x"]}}
+    dp2 = {"m1": {"myth_frequency": 1.0}, "m2": None}
+    assert general_myths_ranked_local(rows, scm, dp2, {"t1"}) == \
+        [("m1", 1.0), ("m2", None)]
