@@ -130,17 +130,27 @@ def sampled_betweenness(edges: DataFrame, num_sources: int = 8,
     e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
           .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
                   & (F.col("a") != F.col("b"))))
+    from .traversal import (SMALL_GRAPH_THRESHOLD, _collect_probe_rows,
+                            _edge_count_small)
+
+    # probe the DIRECTED edge set and symmetrize driver-side: the old
+    # probe collected union(e0, flip(e0)).distinct(), whose outer distinct
+    # added an exchange stage on top of the substrate (13 -> 12 jobs)
+    if SMALL_GRAPH_THRESHOLD > 0 and _edge_count_small(e0):
+        seen: set = set()
+        sym_rows = []
+        for a, b in _collect_probe_rows(e0):
+            for p in ((a, b), (b, a)):
+                if p not in seen:
+                    seen.add(p)
+                    sym_rows.append(p)
+        if len(sym_rows) <= SMALL_GRAPH_THRESHOLD:
+            return _betweenness_local(edges.sparkSession, sym_rows, sources,
+                                      num_sources, max_rounds,
+                                      e0.schema["a"].dataType.simpleString())
+
     sym = e0.unionByName(
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-
-    from .traversal import SMALL_GRAPH_THRESHOLD
-
-    if SMALL_GRAPH_THRESHOLD > 0:
-        probe = sym.limit(SMALL_GRAPH_THRESHOLD + 1).collect()
-        if len(probe) <= SMALL_GRAPH_THRESHOLD:
-            return _betweenness_local(edges.sparkSession, probe, sources,
-                                      num_sources, max_rounds,
-                                      sym.schema["a"].dataType.simpleString())
 
     e = _checkpoint(sym)
     if sources is None:
