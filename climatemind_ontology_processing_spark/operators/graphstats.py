@@ -255,20 +255,27 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
         raise ValueError("rounds must be >= 1")
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .filter(F.col("a") != F.col("b")))
-    und = e.unionByName(e.select(F.col("b").alias("a"),
-                                 F.col("a").alias("b"))).distinct() \
-        .localCheckpoint(eager=True)
 
-    from .traversal import SMALL_GRAPH_THRESHOLD
+    from .traversal import (SMALL_GRAPH_THRESHOLD, _collect_probe_rows,
+                            _edge_count_small)
 
-    if SMALL_GRAPH_THRESHOLD > 0:
-        probe = und.limit(SMALL_GRAPH_THRESHOLD + 1).collect()
-        if len(probe) <= SMALL_GRAPH_THRESHOLD:
+    # probe the DIRECTED set and symmetrize driver-side (betweenness
+    # pattern): the old shape eagerly checkpointed union+flip+distinct
+    # BEFORE the probe, paying two exchanges and a store even on tiny
+    # graphs; the distributed branch below still materializes it
+    if SMALL_GRAPH_THRESHOLD > 0 and _edge_count_small(e):
+        seen: set = set()
+        sym_rows = []
+        for a, b in _collect_probe_rows(e):
+            for p in ((a, b), (b, a)):
+                if p not in seen:
+                    seen.add(p)
+                    sym_rows.append(p)
+        if len(sym_rows) <= SMALL_GRAPH_THRESHOLD:
             # small-graph path: the identical synchronous rounds (most
-            # frequent neighbor label, ties to the smallest) driver-side;
-            # und is already checkpointed, so the probe reads, not computes
+            # frequent neighbor label, ties to the smallest) driver-side
             adj: dict = {}
-            for a, b in probe:
+            for a, b in sym_rows:
                 adj.setdefault(a, []).append(b)
             lab = {n: n for n in adj}
             for _ in range(rounds):
@@ -280,10 +287,13 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
                         cnt[l] = cnt.get(l, 0) + 1
                     new[n] = min(cnt, key=lambda l: (-cnt[l], l))
                 lab = new
-            ty = und.schema["a"].dataType.simpleString()
+            ty = e.schema["a"].dataType.simpleString()
             return edges.sparkSession.createDataFrame(
                 sorted(lab.items()), f"id {ty}, community {ty}")
 
+    und = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b"))).distinct() \
+        .localCheckpoint(eager=True)
     labels = und.select(F.col("a").alias("id")).distinct() \
         .withColumn("lab", F.col("id"))
     for _ in range(rounds):
@@ -658,15 +668,18 @@ def node2vec_walks(edges: DataFrame, length: int = 4,
         if not 1 <= v <= 8_000_000:
             # H40 < 2^40; mult <= 8e6 keeps H40 * mult < 2^63
             raise ValueError(f"{nm} must be in [1, 8000000], got {v}")
-    sel = (edges.select(F.col(src).alias("c"), F.col(dst).alias("n"))
+    pre = (edges.select(F.col(src).alias("c"), F.col(dst).alias("n"))
            .filter(F.col("c").isNotNull() & F.col("n").isNotNull())
-           .filter(F.col("c") != F.col("n"))
-           .distinct())
+           .filter(F.col("c") != F.col("n")))
+    sel = pre.distinct()
 
-    from .traversal import SMALL_GRAPH_THRESHOLD
+    from .traversal import (SMALL_GRAPH_THRESHOLD, _collect_probe_rows,
+                            _edge_count_small)
 
-    if SMALL_GRAPH_THRESHOLD > 0:
-        probe = sel.limit(SMALL_GRAPH_THRESHOLD + 1).collect()
+    # probe BELOW the distinct (the probe machinery dedups driver-side
+    # anyway — same equivalence as build_graph's pre-dedup probe)
+    if SMALL_GRAPH_THRESHOLD > 0 and _edge_count_small(pre):
+        probe = _collect_probe_rows(pre)
         if len(probe) <= SMALL_GRAPH_THRESHOLD:
             # small-graph path: the identical hash-biased argmin walk over
             # the collected adjacency — every choice still derives from
