@@ -133,12 +133,13 @@ def hyperball(edges: DataFrame, rounds: int = 3, p: int = 6,
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    sel = (edges.select(F.col(src).alias("c"), F.col(dst).alias("n"))
+    pre = (edges.select(F.col(src).alias("c"), F.col(dst).alias("n"))
            .filter(F.col("c").isNotNull() & F.col("n").isNotNull())
-           .filter(F.col("c") != F.col("n"))
-           .distinct())
+           .filter(F.col("c") != F.col("n")))
+    sel = pre.distinct()
 
-    from .traversal import SMALL_GRAPH_THRESHOLD
+    from .traversal import (SMALL_GRAPH_THRESHOLD, _collect_probe_rows,
+                            _edge_count_small)
 
     if SMALL_GRAPH_THRESHOLD > 0:
         # hash_family is validated by hll_reg_rho on the distributed path;
@@ -149,11 +150,14 @@ def hyperball(edges: DataFrame, rounds: int = 3, p: int = 6,
                              "break the 60-bit register layout)")
         if not 4 <= p <= 16:
             raise ValueError(f"p must be in [4, 16], got {p}")
-        probe = sel.limit(SMALL_GRAPH_THRESHOLD + 1).collect()
-        if len(probe) <= SMALL_GRAPH_THRESHOLD:
-            return _hyperball_local(
-                edges.sparkSession, probe, rounds, p,
-                sel.schema["c"].dataType.simpleString())
+        # probe BELOW the distinct — the probe machinery dedups
+        # driver-side anyway (build_graph pre-dedup-probe equivalence)
+        if _edge_count_small(pre):
+            probe = _collect_probe_rows(pre)
+            if len(probe) <= SMALL_GRAPH_THRESHOLD:
+                return _hyperball_local(
+                    edges.sparkSession, probe, rounds, p,
+                    pre.schema["c"].dataType.simpleString())
 
     e = sel.localCheckpoint(eager=True)
     nodes = (e.select(F.col("c").alias("id"))
